@@ -1,0 +1,162 @@
+"""Group-affine weight quantization (TPU-native layout).
+
+Role parity: reference relies on `mx.quantize`/`mx.quantized_matmul`
+(mlx_vlm/utils.py:657, quant_utils.py:35) with the affine scheme
+``w ≈ scales * q + biases`` over groups along the input dimension.
+
+TPU design: quantized weights live in HBM as uint8 (one or two elements per
+byte), and are dequantized on the fly.  The XLA path below dequantizes into
+bf16 tiles that fuse into the consuming matmul; a Pallas fused
+int4-matmul kernel lives in `mlx_vlm_tpu/ops/qmatmul.py` for the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "QuantizedTensor",
+    "quantize",
+    "dequantize",
+    "quantized_matmul",
+]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "scales", "biases"],
+    meta_fields=["bits", "group_size", "out_dtype"],
+)
+@dataclasses.dataclass
+class QuantizedTensor:
+    """A group-affine quantized 2-D (or stacked 3-D) weight.
+
+    q:      uint8, packed along the last axis. For bits=4 two elements per
+            byte (low nibble = even index); for bits=8 one element per byte.
+    scales: [..., groups] in `out_dtype`
+    biases: [..., groups] in `out_dtype`
+    bits:   4 or 8
+    group_size: elements per quantization group along the input axis
+    """
+
+    q: jax.Array
+    scales: jax.Array
+    biases: jax.Array
+    bits: int
+    group_size: int
+    out_dtype: str  # dtype name, e.g. "bfloat16"
+
+    @property
+    def shape(self):
+        *lead, packed = self.q.shape
+        per_byte = 8 // self.bits
+        return tuple(lead) + (packed * per_byte,)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.out_dtype)
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+
+def _check_bits(bits: int):
+    if bits not in (4, 8):
+        raise ValueError(f"Only 4- and 8-bit quantization supported, got {bits}")
+
+
+def quantize(w: jax.Array, bits: int = 4, group_size: int = 64) -> QuantizedTensor:
+    """Affine-quantize `w` along its last axis (mlx-compatible semantics).
+
+    For each group: q = round((w - min) / scale), w ≈ scale * q + min.
+    """
+    _check_bits(bits)
+    *lead, n = w.shape
+    if n % group_size:
+        raise ValueError(f"last dim {n} not divisible by group_size {group_size}")
+    out_dtype = w.dtype
+    wf = w.astype(jnp.float32).reshape(*lead, n // group_size, group_size)
+    wmax = wf.max(axis=-1)
+    wmin = wf.min(axis=-1)
+    qmax = float(2**bits - 1)
+    scale = (wmax - wmin) / qmax
+    scale = jnp.where(scale == 0.0, 1.0, scale)
+    q = jnp.clip(jnp.round((wf - wmin[..., None]) / scale[..., None]), 0, qmax)
+    q = q.astype(jnp.uint8).reshape(*lead, n)
+    if bits == 4:
+        lo = q[..., 0::2]
+        hi = q[..., 1::2]
+        q = (lo | (hi << 4)).astype(jnp.uint8)
+    return QuantizedTensor(
+        q=q,
+        scales=scale.astype(out_dtype),
+        biases=wmin.astype(out_dtype),
+        bits=bits,
+        group_size=group_size,
+        out_dtype=jnp.dtype(out_dtype).name,
+    )
+
+
+def _unpack(q: jax.Array, bits: int) -> jax.Array:
+    """uint8 packed -> uint8 elements in [0, 2^bits)."""
+    if bits == 8:
+        return q
+    lo = q & 0x0F
+    hi = q >> 4
+    # interleave: even indices = lo, odd = hi
+    out = jnp.stack([lo, hi], axis=-1)
+    return out.reshape(*q.shape[:-1], q.shape[-1] * 2)
+
+
+def dequantize(t: QuantizedTensor, dtype=None) -> jax.Array:
+    dtype = dtype or t.dtype
+    q = _unpack(t.q, t.bits)
+    *lead, n = q.shape
+    g = t.group_size
+    qf = q.reshape(*lead, n // g, g).astype(jnp.float32)
+    w = qf * t.scales.astype(jnp.float32)[..., None] + t.biases.astype(jnp.float32)[
+        ..., None
+    ]
+    return w.reshape(*lead, n).astype(dtype)
+
+
+def quantized_matmul(x: jax.Array, t: QuantizedTensor, transpose: bool = True) -> jax.Array:
+    """x @ dequant(t).T (transpose=True, HF Linear layout) or x @ dequant(t).
+
+    XLA fallback; the Pallas kernel in ops/qmatmul.py overrides this for the
+    serving hot path.
+    """
+    w = dequantize(t, dtype=x.dtype)
+    if transpose:
+        return jax.lax.dot_general(
+            x, w, (((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    return (x @ w).astype(x.dtype)
+
+
+def from_mlx_packed(
+    wq_u32: np.ndarray, scales: np.ndarray, biases: np.ndarray, bits: int, group_size: int
+) -> QuantizedTensor:
+    """Import an mlx affine-quantized checkpoint tensor.
+
+    mlx packs little-endian along the input axis into uint32 words
+    (8 x 4-bit or 4 x 8-bit per word).  We rebyte to our uint8 layout.
+    """
+    _check_bits(bits)
+    u8 = wq_u32.view(np.uint8)  # little-endian byte order matches low-first packing
+    # for bits=4 nibble order inside a byte is already low-first in mlx.
+    return QuantizedTensor(
+        q=jnp.asarray(u8),
+        scales=jnp.asarray(scales),
+        biases=jnp.asarray(biases),
+        bits=bits,
+        group_size=group_size,
+        out_dtype=np.dtype(scales.dtype).name,
+    )

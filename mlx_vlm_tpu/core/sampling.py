@@ -1,0 +1,151 @@
+"""Samplers and logits processors (jit-compatible).
+
+Role parity: reference `mlx_vlm/sample_utils.py` — make_sampler:10
+(temperature, top-p, min-p, top-k, top-n-sigma, typical-p, xtc),
+make_logits_processors:92 (logit bias, repetition/presence/frequency
+penalties with context windows), top_p_sampling:478.
+
+TPU design: every sampler is a pure function `(logits[B,V], key) -> [B]`
+composed once at setup and traced into the decode-step program, so sampling
+runs on-device inside the same compiled step as the forward pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["make_sampler", "make_logits_processors", "top_p_sampling"]
+
+_NEG_INF = -jnp.inf
+
+
+def _apply_top_k(logits: jax.Array, top_k: int) -> jax.Array:
+    vals, _ = jax.lax.top_k(logits, top_k)
+    thresh = vals[..., -1:]
+    return jnp.where(logits < thresh, _NEG_INF, logits)
+
+
+def _apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
+    """Nucleus filtering on sorted probabilities (reference sample_utils.py:478)."""
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while cumulative prob (exclusive) < top_p
+    keep_sorted = (cum - probs) < top_p
+    # threshold = smallest logit kept
+    masked = jnp.where(keep_sorted, sorted_logits, jnp.inf)
+    thresh = jnp.min(masked, axis=-1, keepdims=True)
+    return jnp.where(logits < thresh, _NEG_INF, logits)
+
+
+def _apply_min_p(logits: jax.Array, min_p: float) -> jax.Array:
+    probs = jax.nn.softmax(logits, axis=-1)
+    pmax = jnp.max(probs, axis=-1, keepdims=True)
+    return jnp.where(probs < min_p * pmax, _NEG_INF, logits)
+
+
+def _apply_top_n_sigma(logits: jax.Array, n_sigma: float) -> jax.Array:
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    finite = jnp.isfinite(logits)
+    mean = jnp.mean(jnp.where(finite, logits, 0), axis=-1, keepdims=True)
+    std = jnp.std(jnp.where(finite, logits, 0), axis=-1, keepdims=True)
+    return jnp.where(logits < mx - n_sigma * std, _NEG_INF, logits)
+
+
+def make_sampler(
+    temp: float = 0.0,
+    top_p: float = 0.0,
+    min_p: float = 0.0,
+    top_k: int = -1,
+    top_n_sigma: float = -1.0,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Build `(logprobs[B,V], key) -> tokens[B] int32`.
+
+    Filters compose in the reference's order: top_k -> top_n_sigma -> top_p ->
+    min_p, then temperature-scaled categorical draw.
+    """
+
+    def sample(logits: jax.Array, key: jax.Array) -> jax.Array:
+        if temp == 0.0:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        x = logits.astype(jnp.float32)
+        if top_k > 0:
+            x = _apply_top_k(x, top_k)
+        if top_n_sigma > 0:
+            x = _apply_top_n_sigma(x, top_n_sigma)
+        if top_p > 0.0 and top_p < 1.0:
+            x = _apply_top_p(x, top_p)
+        if min_p > 0.0:
+            x = _apply_min_p(x, min_p)
+        return jax.random.categorical(key, x / temp, axis=-1).astype(jnp.int32)
+
+    return sample
+
+
+def top_p_sampling(logits, top_p, temperature, key):
+    return make_sampler(temp=temperature, top_p=top_p)(logits, key)
+
+
+def make_logits_processors(
+    logit_bias: Optional[dict] = None,
+    repetition_penalty: Optional[float] = None,
+    repetition_context_size: int = 20,
+    presence_penalty: Optional[float] = None,
+    frequency_penalty: Optional[float] = None,
+):
+    """Build jit-compatible processors `(history[B,W] int32, logits[B,V]) -> logits`.
+
+    `history` is a fixed-width ring of the last W generated tokens, padded
+    with -1.  Reference: sample_utils.py:92-477.
+    """
+    processors = []
+
+    if logit_bias:
+        ids = jnp.asarray(list(logit_bias.keys()), jnp.int32)
+        vals = jnp.asarray(list(logit_bias.values()), jnp.float32)
+
+        def bias_proc(history, logits):
+            return logits.at[..., ids].add(vals.astype(logits.dtype))
+
+        processors.append(bias_proc)
+
+    if repetition_penalty and repetition_penalty != 1.0:
+        w = repetition_context_size
+
+        def rep_proc(history, logits):
+            hist = history[:, -w:]
+            valid = hist >= 0
+            safe = jnp.where(valid, hist, 0)
+            B, V = logits.shape
+            onehot = jax.nn.one_hot(safe, V, dtype=jnp.bool_) & valid[..., None]
+            seen = jnp.any(onehot, axis=1)  # [B, V]
+            lf = logits.astype(jnp.float32)
+            penalized = jnp.where(
+                lf < 0, lf * repetition_penalty, lf / repetition_penalty
+            )
+            return jnp.where(seen, penalized, lf).astype(logits.dtype)
+
+        processors.append(rep_proc)
+
+    if presence_penalty or frequency_penalty:
+        pp = presence_penalty or 0.0
+        fp = frequency_penalty or 0.0
+
+        def freq_proc(history, logits):
+            valid = history >= 0
+            safe = jnp.where(valid, history, 0)
+            B, V = logits.shape
+            counts = jnp.zeros((B, V), jnp.float32)
+            onehot = jax.nn.one_hot(safe, V, dtype=jnp.float32) * valid[..., None]
+            counts = jnp.sum(onehot, axis=1)
+            lf = logits.astype(jnp.float32)
+            lf = lf - fp * counts - pp * (counts > 0)
+            return lf.astype(logits.dtype)
+
+        processors.append(freq_proc)
+
+    return processors

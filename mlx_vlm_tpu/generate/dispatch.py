@@ -1,0 +1,201 @@
+"""High-level generate / stream_generate APIs.
+
+Role parity: reference `mlx_vlm/generate/dispatch.py` — stream_generate:700,
+generate:1110, main:1233 (CLI).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Generator, List, Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.sampling import make_logits_processors, make_sampler
+from ..utils.processing import prepare_inputs
+from .ar import generate_step, get_engine
+from .common import GenerationResult, device_peak_memory_gb
+
+__all__ = ["stream_generate", "generate"]
+
+
+def _get_eos_ids(model, processor) -> set:
+    eos = set()
+    cfg = getattr(model, "config_dict", {}) or {}
+    v = cfg.get("eos_token_id")
+    if v is None and isinstance(cfg.get("text_config"), dict):
+        v = cfg["text_config"].get("eos_token_id")
+    if isinstance(v, int):
+        eos.add(v)
+    elif isinstance(v, (list, tuple)):
+        eos.update(v)
+    tok = getattr(processor, "tokenizer", processor)
+    tid = getattr(tok, "eos_token_id", None)
+    if tid is not None:
+        eos.add(int(tid))
+    return eos
+
+
+def stream_generate(
+    model,
+    processor,
+    prompt: Union[str, List[int], np.ndarray],
+    image: Optional[Any] = None,
+    audio: Optional[Any] = None,
+    video: Optional[Any] = None,
+    *,
+    max_tokens: int = 256,
+    temperature: float = 0.0,
+    top_p: float = 0.0,
+    min_p: float = 0.0,
+    top_k: int = -1,
+    repetition_penalty: Optional[float] = None,
+    repetition_context_size: int = 20,
+    logit_bias: Optional[dict] = None,
+    seed: Optional[int] = None,
+    prefill_step_size: int = 512,
+    block_size: int = 32,
+    **kwargs,
+) -> Generator[GenerationResult, None, None]:
+    """Stream GenerationResult chunks (reference dispatch.py:700)."""
+    inputs = prepare_inputs(processor, prompt, images=image, videos=video)
+    input_ids = inputs["input_ids"]
+    pixel_values = inputs.get("pixel_values")
+    grid_thw = inputs.get("image_grid_thw")
+    if grid_thw is None:
+        grid_thw = inputs.get("video_grid_thw")
+    attention_mask = inputs.get("attention_mask")
+
+    tic = time.perf_counter()
+    # --- embed (vision tower + merge) on device
+    ids_dev = jnp.asarray(input_ids)
+    if pixel_values is not None:
+        freqs, segs = model.vision_aux_inputs(np.asarray(grid_thw))
+        embeds = jax.jit(model.get_input_embeddings)(
+            model.params,
+            ids_dev,
+            jnp.asarray(pixel_values),
+            jnp.asarray(freqs),
+            jnp.asarray(segs),
+        )
+    else:
+        embeds = jax.jit(model.get_input_embeddings)(model.params, ids_dev)
+
+    position_ids, rope_deltas = model.prepare_position_ids(
+        np.asarray(input_ids),
+        None if pixel_values is None else np.asarray(inputs.get("image_grid_thw"))
+        if inputs.get("image_grid_thw") is not None
+        else None,
+        np.asarray(inputs["video_grid_thw"])
+        if inputs.get("video_grid_thw") is not None
+        else None,
+        attention_mask,
+    )
+
+    sampler = make_sampler(temperature, top_p, min_p, top_k)
+    processors = make_logits_processors(
+        logit_bias, repetition_penalty, repetition_context_size
+    )
+
+    eos_ids = _get_eos_ids(model, processor)
+    tok = getattr(processor, "tokenizer", processor)
+    from ..utils.tokenizer import StreamingDetokenizer
+
+    detok = StreamingDetokenizer(tok)
+
+    prompt_tokens = int(np.asarray(input_ids).shape[1])
+    prompt_time = None
+    gen_start = None
+    n = 0
+    finish_reason = "length"
+    for token, logprobs in generate_step(
+        embeds,
+        model,
+        position_ids=position_ids,
+        rope_deltas=rope_deltas,
+        max_tokens=max_tokens,
+        sampler=sampler,
+        logits_processors=processors,
+        prefill_step_size=prefill_step_size,
+        block_size=block_size,
+        seed=seed,
+    ):
+        now = time.perf_counter()
+        if prompt_time is None:
+            prompt_time = now - tic
+            gen_start = now
+        t = int(np.asarray(token).reshape(-1)[0])
+        n += 1
+        if t in eos_ids:
+            finish_reason = "stop"
+            yield GenerationResult(
+                text="",
+                token=t,
+                logprobs=logprobs,
+                prompt_tokens=prompt_tokens,
+                generation_tokens=n,
+                prompt_tps=prompt_tokens / max(prompt_time, 1e-9),
+                generation_tps=(n - 1) / max(now - gen_start, 1e-9),
+                peak_memory=device_peak_memory_gb(),
+                finish_reason=finish_reason,
+            )
+            return
+        detok.add_token(t)
+        is_last = n >= max_tokens
+        text = detok.last_segment()
+        if is_last:
+            text += detok.finalize()
+        yield GenerationResult(
+            text=text,
+            token=t,
+            logprobs=logprobs,
+            prompt_tokens=prompt_tokens,
+            generation_tokens=n,
+            prompt_tps=prompt_tokens / max(prompt_time, 1e-9),
+            generation_tps=(n - 1) / max(now - gen_start, 1e-9) if n > 1 else 0.0,
+            peak_memory=device_peak_memory_gb(),
+            finish_reason="length" if is_last else None,
+        )
+
+
+def generate(
+    model,
+    processor,
+    prompt: Union[str, List[int]],
+    image: Optional[Any] = None,
+    audio: Optional[Any] = None,
+    video: Optional[Any] = None,
+    verbose: bool = False,
+    **kwargs,
+) -> GenerationResult:
+    """Blocking generate (reference dispatch.py:1110)."""
+    pieces: List[str] = []
+    last: Optional[GenerationResult] = None
+    for res in stream_generate(model, processor, prompt, image, audio, video, **kwargs):
+        pieces.append(res.text)
+        last = res
+        if verbose and res.text:
+            print(res.text, end="", flush=True)
+    if verbose:
+        print()
+        if last:
+            print(
+                f"Prompt: {last.prompt_tokens} tokens, {last.prompt_tps:.3f} tokens-per-sec"
+            )
+            print(
+                f"Generation: {last.generation_tokens} tokens, "
+                f"{last.generation_tps:.3f} tokens-per-sec"
+            )
+            print(f"Peak memory: {last.peak_memory:.3f} GB")
+    text = "".join(pieces)
+    if last is None:
+        return GenerationResult(
+            text="", token=None, logprobs=None, prompt_tokens=0,
+            generation_tokens=0, prompt_tps=0.0, generation_tps=0.0,
+            peak_memory=0.0, finish_reason="length",
+        )
+    last.text = text
+    return last

