@@ -36,13 +36,14 @@ def main():
     cfg = qwen2_vl_2b_config()
 
     t0 = time.time()
-    # zero-filled weights: same FLOPs/bandwidth, no host RNG cost
+    # zero-filled weights materialized on device: same FLOPs/bandwidth as
+    # real weights, no multi-GB host->device transfer over the tunnel
     weights = qwen2_vl_hf_weights(cfg, zeros=True)
-    model = load_model_from_weights(cfg, weights, jnp.bfloat16)
+    model = load_model_from_weights(cfg, weights, jnp.bfloat16, zeros_on_device=True)
     del weights
     build_s = time.time() - t0
 
-    B, S_prompt, n_decode = 1, 128, 128
+    B, S_prompt, n_decode = 1, 128, 320
     D = cfg["hidden_size"]
     embeds = jnp.zeros((B, S_prompt, D), jnp.bfloat16)
 
@@ -63,13 +64,14 @@ def main():
     first = next(gen)
     prefill_s = time.time() - t0
 
-    # timed decode (steady state)
-    t0 = time.time()
-    n = 0
+    # timed decode: steady state = second half (first blocks pay tunnel /
+    # donation warmup)
+    stamps = [time.time()]
     for _ in gen:
-        n += 1
-    decode_s = time.time() - t0
-    decode_tps = n / decode_s
+        stamps.append(time.time())
+    n = len(stamps) - 1
+    half = n // 2
+    decode_tps = (n - half) / (stamps[-1] - stamps[half])
     prefill_tps = S_prompt / prefill_s
 
     result = {

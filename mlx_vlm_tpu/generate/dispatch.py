@@ -73,13 +73,12 @@ def stream_generate(
     # --- embed (vision tower + merge) on device
     ids_dev = jnp.asarray(input_ids)
     if pixel_values is not None:
-        freqs, segs = model.vision_aux_inputs(np.asarray(grid_thw))
+        aux = model.vision_aux_inputs(np.asarray(grid_thw))
         embeds = jax.jit(model.get_input_embeddings)(
             model.params,
             ids_dev,
             jnp.asarray(pixel_values),
-            jnp.asarray(freqs),
-            jnp.asarray(segs),
+            **{k: jnp.asarray(v) for k, v in aux.items()},
         )
     else:
         embeds = jax.jit(model.get_input_embeddings)(model.params, ids_dev)

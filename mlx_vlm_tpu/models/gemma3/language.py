@@ -1,0 +1,158 @@
+"""Gemma 3 decoder.
+
+Role parity: reference mlx_vlm/models/gemma3/language.py — RMSNorm(1+w):17,
+q/k norms:44-45, local/global rope bases:49, sandwich norms:128-140,
+embed scaling sqrt(D):191, sliding-window pattern (every Nth layer is
+global):214-228, make_cache with RotatingKVCache for local layers:272.
+
+TPU design: one scan over stacked layers; the per-layer local/global choice
+is a scanned boolean selecting between two precomputed (cos,sin) pairs and
+two masks.  Local layers use the shared fixed-capacity cache with a
+window mask (ring-buffer local caches are a later memory optimization —
+attention work is already bounded by the window via masking).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...core import cache as cache_lib
+from ...core.layers import embedding, embedding_as_linear, linear, rms_norm
+from ...core.mask import causal_cache_mask
+from ...core.rope import apply_rope, default_inv_freq, rope_cos_sin
+from ...ops.attention import sdpa
+from .config import TextConfig
+
+
+class LanguageModel:
+    def __init__(self, args: TextConfig, config=None):
+        self.args = args
+        self.config = config or args
+        self.n_heads = args.num_attention_heads
+        self.n_kv_heads = args.num_key_value_heads
+        self.head_dim = args.head_dim
+        self.scale = args.query_pre_attn_scalar**-0.5
+        self.inv_freq_local = jnp.asarray(
+            default_inv_freq(args.head_dim, args.rope_local_base_freq), jnp.float32
+        )
+        self.inv_freq_global = jnp.asarray(
+            default_inv_freq(args.head_dim, args.rope_global_base_freq), jnp.float32
+        )
+        # rope_scaling {"factor": 8.0} linear-scales the *global* rope
+        if args.rope_scaling:
+            factor = args.rope_scaling.get("factor", 1.0)
+            self.inv_freq_global = self.inv_freq_global / factor
+        pattern = args.sliding_window_pattern
+        self.is_global = np.asarray(
+            [(i + 1) % pattern == 0 for i in range(args.num_hidden_layers)]
+        )
+
+    def __call__(self, params, inputs_embeds, cache, position_ids):
+        args = self.args
+        B, S, _ = inputs_embeds.shape
+        if position_ids.ndim == 3:
+            position_ids = position_ids[0]
+        cos_l, sin_l = rope_cos_sin(position_ids, self.inv_freq_local)
+        cos_g, sin_g = rope_cos_sin(position_ids, self.inv_freq_global)
+
+        h = inputs_embeds * jnp.asarray(
+            args.hidden_size**0.5, jnp.bfloat16
+        ).astype(inputs_embeds.dtype)
+        mp = params["model"]
+        eps = args.rms_norm_eps
+
+        if cache is None:
+            zero = jnp.zeros((), jnp.int32)
+            lp0 = jnp.zeros((B,), jnp.int32)
+            mask_g = causal_cache_mask(zero, lp0, S, S)
+            mask_l = causal_cache_mask(zero, lp0, S, S, window=args.sliding_window)
+            offset = None
+        else:
+            mask_g = causal_cache_mask(cache.offset, cache.left_pad, S, cache.capacity)
+            mask_l = causal_cache_mask(
+                cache.offset, cache.left_pad, S, cache.capacity,
+                window=args.sliding_window,
+            )
+            offset = cache.offset
+
+        flags = jnp.asarray(self.is_global)
+
+        def layer(h, xs):
+            if cache is None:
+                lp, is_g = xs
+            else:
+                lp, k_buf, v_buf, is_g = xs
+            cos = jnp.where(is_g, cos_g, cos_l)
+            sin = jnp.where(is_g, sin_g, sin_l)
+            mask = jnp.where(is_g, mask_g, mask_l)
+
+            x = rms_norm(lp["input_layernorm"], h, eps, offset=1.0)
+            q, k, v = self._qkv(lp["self_attn"], x)
+            q = rms_norm(lp["self_attn"]["q_norm"], q, eps, offset=1.0)
+            k = rms_norm(lp["self_attn"]["k_norm"], k, eps, offset=1.0)
+            q, k = apply_rope(q, k, cos, sin)
+            if cache is None:
+                attn = sdpa(q, k, v, self.scale, mask)
+            else:
+                k_buf, v_buf = cache_lib.update_layer(k_buf, v_buf, k, v, offset)
+                attn = sdpa(q, k_buf, v_buf, self.scale, mask)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, S, -1)
+            attn = linear(lp["self_attn"]["o_proj"], attn)
+            # sandwich norms (reference language.py:128-140)
+            h = h + rms_norm(lp["post_attention_layernorm"], attn, eps, offset=1.0)
+            x = rms_norm(lp["pre_feedforward_layernorm"], h, eps, offset=1.0)
+            g = linear(lp["mlp"]["gate_proj"], x)
+            u = linear(lp["mlp"]["up_proj"], x)
+            r = linear(lp["mlp"]["down_proj"], jax.nn.gelu(g, approximate=True) * u)
+            h = h + rms_norm(lp["post_feedforward_layernorm"], r, eps, offset=1.0)
+            if cache is None:
+                return h, None
+            return h, (k_buf, v_buf)
+
+        if cache is None:
+            h, _ = jax.lax.scan(layer, h, (mp["layers"], flags))
+            return rms_norm(mp["norm"], h, eps, offset=1.0), None
+
+        h, (k_new, v_new) = jax.lax.scan(
+            layer, h, (mp["layers"], cache.k, cache.v, flags)
+        )
+        h = rms_norm(mp["norm"], h, eps, offset=1.0)
+        new_cache = cache_lib.KVCache(
+            k=k_new, v=v_new, offset=cache.offset + S, left_pad=cache.left_pad
+        )
+        return h, new_cache
+
+    def _qkv(self, p, x):
+        B, S, _ = x.shape
+        q = linear(p["q_proj"], x).reshape(B, S, self.n_heads, self.head_dim)
+        k = linear(p["k_proj"], x).reshape(B, S, self.n_kv_heads, self.head_dim)
+        v = linear(p["v_proj"], x).reshape(B, S, self.n_kv_heads, self.head_dim)
+        return (
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+        )
+
+    def logits(self, params, hidden):
+        if "lm_head" in params:
+            return linear(params["lm_head"], hidden)
+        return embedding_as_linear(params["model"]["embed_tokens"], hidden)
+
+    def embed(self, params, input_ids):
+        return embedding(params["model"]["embed_tokens"], input_ids)
+
+    def init_cache(self, batch_size, capacity, dtype=jnp.bfloat16, left_pad=None):
+        return cache_lib.init_cache(
+            self.args.num_hidden_layers,
+            batch_size,
+            self.n_kv_heads,
+            self.head_dim,
+            capacity,
+            dtype,
+            left_pad,
+        )

@@ -1,0 +1,122 @@
+"""Llama-style decoder (shared by llama / mistral / qwen2 text models).
+
+Role parity: reference mlx_vlm/models/llama/language.py (and mlx-lm's llama).
+Same scan-stacked, fixed-capacity-cache design as qwen2_vl/language.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...core import cache as cache_lib
+from ...core.layers import embedding, embedding_as_linear, linear, rms_norm, swiglu_mlp
+from ...core.mask import causal_cache_mask
+from ...core.rope import apply_rope, make_rope
+from ...ops.attention import sdpa
+from .config import TextConfig
+
+
+class LanguageModel:
+    def __init__(self, args: TextConfig, config=None):
+        self.args = args
+        self.config = config or args
+        self.n_heads = args.num_attention_heads
+        self.n_kv_heads = args.num_key_value_heads
+        self.head_dim = args.head_dim or args.hidden_size // args.num_attention_heads
+        self.scale = self.head_dim**-0.5
+        self.rope = make_rope(
+            self.head_dim,
+            args.rope_theta,
+            args.rope_scaling,
+            args.max_position_embeddings,
+        )
+
+    def __call__(self, params, inputs_embeds, cache, position_ids):
+        B, S, _ = inputs_embeds.shape
+        cos, sin = self.rope.cos_sin(position_ids)
+        h = inputs_embeds
+        mp = params["model"]
+
+        if cache is None:
+            zero = jnp.zeros((), jnp.int32)
+            mask = causal_cache_mask(zero, jnp.zeros((B,), jnp.int32), S, S)
+
+            def layer_nc(h, lp):
+                x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
+                h = h + self._attention_nc(lp["self_attn"], x, cos, sin, mask)
+                x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
+                h = h + swiglu_mlp(lp["mlp"], x)
+                return h, None
+
+            h, _ = jax.lax.scan(layer_nc, h, mp["layers"])
+            return rms_norm(mp["norm"], h, self.args.rms_norm_eps), None
+
+        mask = causal_cache_mask(cache.offset, cache.left_pad, S, cache.capacity)
+
+        def layer(h, xs):
+            lp, k_buf, v_buf = xs
+            x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
+            attn, k_buf, v_buf = self._attention(
+                lp["self_attn"], x, cos, sin, mask, k_buf, v_buf, cache.offset
+            )
+            h = h + attn
+            x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
+            h = h + swiglu_mlp(lp["mlp"], x)
+            return h, (k_buf, v_buf)
+
+        h, (k_new, v_new) = jax.lax.scan(layer, h, (mp["layers"], cache.k, cache.v))
+        h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
+        new_cache = cache_lib.KVCache(
+            k=k_new, v=v_new, offset=cache.offset + S, left_pad=cache.left_pad
+        )
+        return h, new_cache
+
+    def _qkv(self, p, x):
+        B, S, _ = x.shape
+        q = linear(p["q_proj"], x).reshape(B, S, self.n_heads, self.head_dim)
+        k = linear(p["k_proj"], x).reshape(B, S, self.n_kv_heads, self.head_dim)
+        v = linear(p["v_proj"], x).reshape(B, S, self.n_kv_heads, self.head_dim)
+        return (
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+        )
+
+    def _attention(self, p, x, cos, sin, mask, k_buf, v_buf, offset):
+        B, S, _ = x.shape
+        q, k, v = self._qkv(p, x)
+        q, k = apply_rope(q, k, cos, sin)
+        k_buf, v_buf = cache_lib.update_layer(k_buf, v_buf, k, v, offset)
+        out = sdpa(q, k_buf, v_buf, self.scale, mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
+        return linear(p["o_proj"], out), k_buf, v_buf
+
+    def _attention_nc(self, p, x, cos, sin, mask):
+        B, S, _ = x.shape
+        q, k, v = self._qkv(p, x)
+        q, k = apply_rope(q, k, cos, sin)
+        out = sdpa(q, k, v, self.scale, mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
+        return linear(p["o_proj"], out)
+
+    def logits(self, params, hidden):
+        if self.args.tie_word_embeddings:
+            return embedding_as_linear(params["model"]["embed_tokens"], hidden)
+        return linear(params["lm_head"], hidden)
+
+    def embed(self, params, input_ids):
+        return embedding(params["model"]["embed_tokens"], input_ids)
+
+    def init_cache(self, batch_size, capacity, dtype=jnp.bfloat16, left_pad=None):
+        return cache_lib.init_cache(
+            self.args.num_hidden_layers,
+            batch_size,
+            self.n_kv_heads,
+            self.head_dim,
+            capacity,
+            dtype,
+            left_pad,
+        )

@@ -104,13 +104,18 @@ class Model:
             input_ids, image_grid_thw, video_grid_thw, attention_mask
         )
 
-    def vision_aux_inputs(self, grid_thw: np.ndarray):
-        """Host-side rotary freqs + segment ids for the vision tower."""
-        return vision_rotary_and_segments(
+    def vision_aux_inputs(self, grid_thw: np.ndarray) -> dict:
+        """Host-side rotary freqs + segment ids for the vision tower.
+
+        Returns a dict of extra device inputs for get_input_embeddings —
+        uniform interface across model families.
+        """
+        freqs, segs = vision_rotary_and_segments(
             grid_thw,
             self.config.vision_config.spatial_merge_size,
             self.vision_tower.head_dim,
         )
+        return {"rotary_freqs": freqs, "segment_ids": segs}
 
     @staticmethod
     def sanitize(weights: dict) -> dict:

@@ -73,6 +73,10 @@ def get_model_and_args(config: dict):
     try:
         arch = importlib.import_module(f"mlx_vlm_tpu.models.{model_type}")
     except ImportError as e:
+        from ..models import text_only
+
+        if text_only.is_text_only_config(config):
+            return text_only, model_type
         raise ValueError(f"Model type {model_type} not supported: {e}") from e
     return arch, model_type
 
@@ -159,8 +163,14 @@ def _fold_quantized(flat: dict, qcfg: dict) -> dict:
     return out
 
 
-def _to_device(flat: dict, dtype) -> dict:
+def _to_device(flat: dict, dtype, zeros_on_device: bool = False) -> dict:
     def put(v):
+        if zeros_on_device and not isinstance(v, QuantizedTensor):
+            v = np.asarray(v)
+            if np.issubdtype(v.dtype, np.floating):
+                # benchmark path: materialize on device, skip host transfer
+                return jnp.zeros(v.shape, dtype)
+            return jnp.asarray(v)
         if isinstance(v, QuantizedTensor):
             return QuantizedTensor(
                 q=jnp.asarray(v.q),
@@ -199,7 +209,9 @@ def _read_safetensors(model_path: Path) -> dict:
     return weights
 
 
-def load_model_from_weights(config: dict, weights: dict, dtype=jnp.bfloat16):
+def load_model_from_weights(
+    config: dict, weights: dict, dtype=jnp.bfloat16, zeros_on_device: bool = False
+):
     """Full load pipeline from an in-memory flat weight dict (HF keys)."""
     arch, _ = get_model_and_args(config)
     model_config = arch.ModelConfig.from_dict(config)
@@ -210,7 +222,7 @@ def load_model_from_weights(config: dict, weights: dict, dtype=jnp.bfloat16):
     if qcfg:
         weights = _fold_quantized(weights, qcfg)
     weights = _stack_layers(weights, tuple(model.stack_patterns))
-    params = _nest(_to_device(weights, dtype))
+    params = _nest(_to_device(weights, dtype, zeros_on_device))
     model.params = params
     model.config_dict = config
     return model

@@ -136,6 +136,312 @@ def make_tiny_qwen2_vl(seed: int = 0, dtype=jnp.float32, config: Optional[dict] 
     return load_model_from_weights(cfg, weights, dtype)
 
 
+def tiny_qwen2_5_vl_config(**overrides) -> dict:
+    cfg = {
+        "model_type": "qwen2_5_vl",
+        "hidden_size": 64,
+        "num_hidden_layers": 2,
+        "intermediate_size": 128,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "rms_norm_eps": 1e-6,
+        "vocab_size": 256,
+        "rope_theta": 10000.0,
+        "rope_scaling": {"type": "mrope", "mrope_section": [2, 3, 3]},
+        "tie_word_embeddings": False,
+        "max_position_embeddings": 1024,
+        "image_token_id": 151655 % 256,
+        "video_token_id": 151656 % 256,
+        "vision_start_token_id": 151652 % 256,
+        "vision_config": {
+            "depth": 3,
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "out_hidden_size": 64,
+            "num_heads": 4,
+            "patch_size": 14,
+            "in_channels": 3,
+            "spatial_merge_size": 2,
+            "temporal_patch_size": 2,
+            "window_size": 56,  # vit_ws = 56/2/14 = 2 merged tokens per side
+            "fullatt_block_indexes": [1],
+        },
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def qwen2_5_vl_hf_weights(config: dict, seed: int = 0, scale: float = 0.05) -> dict:
+    """Random weights with HF qwen2.5-vl checkpoint keys."""
+    rng = np.random.default_rng(seed)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    # language part identical to qwen2_vl (swap in a qwen2_vl-style vision
+    # config so the generator runs, then drop its visual.* keys)
+    lang_cfg = dict(config)
+    lang_cfg["vision_config"] = tiny_qwen2_vl_config()["vision_config"]
+    w = {
+        k: v
+        for k, v in qwen2_vl_hf_weights(lang_cfg, seed, scale).items()
+        if not k.startswith("visual.")
+    }
+    vc = config["vision_config"]
+    E = vc["hidden_size"]
+    I = vc["intermediate_size"]
+    P = vc.get("patch_size", 14)
+    T = vc.get("temporal_patch_size", 2)
+    C = vc.get("in_channels", 3)
+    m = vc.get("spatial_merge_size", 2)
+    out_d = vc["out_hidden_size"]
+    w["visual.patch_embed.proj.weight"] = rand(E, C, T, P, P)
+    for i in range(vc["depth"]):
+        p = f"visual.blocks.{i}."
+        w[p + "norm1.weight"] = np.ones(E, np.float32)
+        w[p + "norm2.weight"] = np.ones(E, np.float32)
+        w[p + "attn.qkv.weight"] = rand(3 * E, E)
+        w[p + "attn.qkv.bias"] = rand(3 * E)
+        w[p + "attn.proj.weight"] = rand(E, E)
+        w[p + "attn.proj.bias"] = rand(E)
+        w[p + "mlp.gate_proj.weight"] = rand(I, E)
+        w[p + "mlp.gate_proj.bias"] = rand(I)
+        w[p + "mlp.up_proj.weight"] = rand(I, E)
+        w[p + "mlp.up_proj.bias"] = rand(I)
+        w[p + "mlp.down_proj.weight"] = rand(E, I)
+        w[p + "mlp.down_proj.bias"] = rand(E)
+    hidden_m = E * m * m
+    w["visual.merger.ln_q.weight"] = np.ones(E, np.float32)
+    w["visual.merger.mlp.0.weight"] = rand(hidden_m, hidden_m)
+    w["visual.merger.mlp.0.bias"] = rand(hidden_m)
+    w["visual.merger.mlp.2.weight"] = rand(out_d, hidden_m)
+    w["visual.merger.mlp.2.bias"] = rand(out_d)
+    return w
+
+
+def make_tiny_qwen2_5_vl(seed: int = 0, dtype=jnp.float32, config: Optional[dict] = None):
+    cfg = config or tiny_qwen2_5_vl_config()
+    weights = qwen2_5_vl_hf_weights(cfg, seed)
+    return load_model_from_weights(cfg, weights, dtype)
+
+
+def tiny_llama_config(**overrides) -> dict:
+    cfg = {
+        "model_type": "llama",
+        "hidden_size": 64,
+        "num_hidden_layers": 2,
+        "intermediate_size": 128,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "rms_norm_eps": 1e-5,
+        "vocab_size": 256,
+        "rope_theta": 10000.0,
+        "tie_word_embeddings": False,
+        "max_position_embeddings": 1024,
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def llama_hf_weights(config: dict, seed: int = 0, scale: float = 0.05) -> dict:
+    rng = np.random.default_rng(seed)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    D = config["hidden_size"]
+    V = config["vocab_size"]
+    I = config["intermediate_size"]
+    nh = config["num_attention_heads"]
+    nkv = config.get("num_key_value_heads") or nh
+    hd = config.get("head_dim") or D // nh
+    w = {"model.embed_tokens.weight": rand(V, D), "model.norm.weight": np.ones(D, np.float32)}
+    for i in range(config["num_hidden_layers"]):
+        p = f"model.layers.{i}."
+        w[p + "input_layernorm.weight"] = np.ones(D, np.float32)
+        w[p + "post_attention_layernorm.weight"] = np.ones(D, np.float32)
+        w[p + "self_attn.q_proj.weight"] = rand(nh * hd, D)
+        w[p + "self_attn.k_proj.weight"] = rand(nkv * hd, D)
+        w[p + "self_attn.v_proj.weight"] = rand(nkv * hd, D)
+        w[p + "self_attn.o_proj.weight"] = rand(D, nh * hd)
+        w[p + "mlp.gate_proj.weight"] = rand(I, D)
+        w[p + "mlp.up_proj.weight"] = rand(I, D)
+        w[p + "mlp.down_proj.weight"] = rand(D, I)
+    if not config.get("tie_word_embeddings"):
+        w["lm_head.weight"] = rand(V, D)
+    return w
+
+
+def tiny_llava_config(**overrides) -> dict:
+    cfg = {
+        "model_type": "llava",
+        "image_token_index": 32,
+        "vision_feature_layer": -2,
+        "vision_feature_select_strategy": "default",
+        "vocab_size": 256,
+        "text_config": tiny_llama_config(),
+        "vision_config": {
+            "model_type": "clip_vision_model",
+            "num_hidden_layers": 2,
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "num_attention_heads": 4,
+            "image_size": 28,
+            "patch_size": 14,
+            "num_channels": 3,
+        },
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def llava_hf_weights(config: dict, seed: int = 0, scale: float = 0.05) -> dict:
+    rng = np.random.default_rng(seed)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    tc, vc = config["text_config"], config["vision_config"]
+    w = {
+        "language_model." + k: v for k, v in llama_hf_weights(tc, seed, scale).items()
+    }
+    E = vc["hidden_size"]
+    P = vc["patch_size"]
+    C = vc.get("num_channels", 3)
+    I = vc["intermediate_size"]
+    n_pos = (vc["image_size"] // P) ** 2 + 1
+    p = "vision_tower.vision_model."
+    w[p + "embeddings.class_embedding"] = rand(E)
+    w[p + "embeddings.patch_embedding.weight"] = rand(E, C, P, P)
+    w[p + "embeddings.position_embedding.weight"] = rand(n_pos, E)
+    w[p + "pre_layrnorm.weight"] = np.ones(E, np.float32)
+    w[p + "pre_layrnorm.bias"] = np.zeros(E, np.float32)
+    w[p + "post_layernorm.weight"] = np.ones(E, np.float32)
+    w[p + "post_layernorm.bias"] = np.zeros(E, np.float32)
+    for i in range(vc["num_hidden_layers"]):
+        q = p + f"encoder.layers.{i}."
+        for nm in ("layer_norm1", "layer_norm2"):
+            w[q + nm + ".weight"] = np.ones(E, np.float32)
+            w[q + nm + ".bias"] = np.zeros(E, np.float32)
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            w[q + f"self_attn.{nm}.weight"] = rand(E, E)
+            w[q + f"self_attn.{nm}.bias"] = rand(E)
+        w[q + "mlp.fc1.weight"] = rand(I, E)
+        w[q + "mlp.fc1.bias"] = rand(I)
+        w[q + "mlp.fc2.weight"] = rand(E, I)
+        w[q + "mlp.fc2.bias"] = rand(E)
+    D = tc["hidden_size"]
+    w["multi_modal_projector.linear_1.weight"] = rand(D, E)
+    w["multi_modal_projector.linear_1.bias"] = rand(D)
+    w["multi_modal_projector.linear_2.weight"] = rand(D, D)
+    w["multi_modal_projector.linear_2.bias"] = rand(D)
+    return w
+
+
+def make_tiny_llava(seed: int = 0, dtype=jnp.float32, config: Optional[dict] = None):
+    cfg = config or tiny_llava_config()
+    return load_model_from_weights(cfg, llava_hf_weights(cfg, seed), dtype)
+
+
+def tiny_gemma3_config(**overrides) -> dict:
+    cfg = {
+        "model_type": "gemma3",
+        "image_token_index": 64,
+        "hidden_size": 48,  # top-level hidden (feature scaling divisor)
+        "pad_token_id": 0,
+        "text_config": {
+            "model_type": "gemma3_text",
+            "hidden_size": 48,
+            "num_hidden_layers": 4,
+            "intermediate_size": 96,
+            "num_attention_heads": 4,
+            "num_key_value_heads": 2,
+            "head_dim": 16,
+            "rms_norm_eps": 1e-6,
+            "vocab_size": 256,
+            "sliding_window": 4,
+            "sliding_window_pattern": 2,  # every 2nd layer global
+            "mm_tokens_per_image": 4,
+        },
+        "vision_config": {
+            "model_type": "siglip_vision_model",
+            "num_hidden_layers": 2,
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "num_attention_heads": 4,
+            "image_size": 56,  # 4x4 patches
+            "patch_size": 14,
+            "num_channels": 3,
+        },
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def gemma3_hf_weights(config: dict, seed: int = 0, scale: float = 0.05) -> dict:
+    rng = np.random.default_rng(seed)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    tc, vc = config["text_config"], config["vision_config"]
+    D = tc["hidden_size"]
+    V = tc["vocab_size"]
+    I = tc["intermediate_size"]
+    nh, nkv, hd = tc["num_attention_heads"], tc["num_key_value_heads"], tc["head_dim"]
+    w = {
+        "language_model.model.embed_tokens.weight": rand(V, D),
+        "language_model.model.norm.weight": np.zeros(D, np.float32),
+    }
+    for i in range(tc["num_hidden_layers"]):
+        p = f"language_model.model.layers.{i}."
+        for nm in (
+            "input_layernorm", "post_attention_layernorm",
+            "pre_feedforward_layernorm", "post_feedforward_layernorm",
+        ):
+            w[p + nm + ".weight"] = np.zeros(D, np.float32)
+        w[p + "self_attn.q_proj.weight"] = rand(nh * hd, D)
+        w[p + "self_attn.k_proj.weight"] = rand(nkv * hd, D)
+        w[p + "self_attn.v_proj.weight"] = rand(nkv * hd, D)
+        w[p + "self_attn.o_proj.weight"] = rand(D, nh * hd)
+        w[p + "self_attn.q_norm.weight"] = np.zeros(hd, np.float32)
+        w[p + "self_attn.k_norm.weight"] = np.zeros(hd, np.float32)
+        w[p + "mlp.gate_proj.weight"] = rand(I, D)
+        w[p + "mlp.up_proj.weight"] = rand(I, D)
+        w[p + "mlp.down_proj.weight"] = rand(D, I)
+    E = vc["hidden_size"]
+    P = vc["patch_size"]
+    C = vc.get("num_channels", 3)
+    Iv = vc["intermediate_size"]
+    n_pos = (vc["image_size"] // P) ** 2
+    p = "vision_tower.vision_model."
+    w[p + "embeddings.patch_embedding.weight"] = rand(E, C, P, P)
+    w[p + "embeddings.patch_embedding.bias"] = rand(E)
+    w[p + "embeddings.position_embedding.weight"] = rand(n_pos, E)
+    w[p + "post_layernorm.weight"] = np.ones(E, np.float32)
+    w[p + "post_layernorm.bias"] = np.zeros(E, np.float32)
+    for i in range(vc["num_hidden_layers"]):
+        q = p + f"encoder.layers.{i}."
+        for nm in ("layer_norm1", "layer_norm2"):
+            w[q + nm + ".weight"] = np.ones(E, np.float32)
+            w[q + nm + ".bias"] = np.zeros(E, np.float32)
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            w[q + f"self_attn.{nm}.weight"] = rand(E, E)
+            w[q + f"self_attn.{nm}.bias"] = rand(E)
+        w[q + "mlp.fc1.weight"] = rand(Iv, E)
+        w[q + "mlp.fc1.bias"] = rand(Iv)
+        w[q + "mlp.fc2.weight"] = rand(E, Iv)
+        w[q + "mlp.fc2.bias"] = rand(E)
+    w["multi_modal_projector.mm_input_projection_weight"] = rand(E, D)
+    w["multi_modal_projector.mm_soft_emb_norm.weight"] = np.zeros(E, np.float32)
+    return w
+
+
+def make_tiny_gemma3(seed: int = 0, dtype=jnp.float32, config: Optional[dict] = None):
+    cfg = config or tiny_gemma3_config()
+    return load_model_from_weights(cfg, gemma3_hf_weights(cfg, seed), dtype)
+
+
 def qwen2_vl_2b_config() -> dict:
     """Real Qwen2-VL-2B-Instruct dimensions (for benchmarking w/o weights)."""
     return tiny_qwen2_vl_config(

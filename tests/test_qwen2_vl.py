@@ -117,7 +117,8 @@ class TestVision:
     def test_tower_shapes(self, model):
         vc = model.config.vision_config
         grid = np.asarray([[1, 4, 4]])  # 16 patches -> 4 merged tokens
-        freqs, segs = model.vision_aux_inputs(grid)
+        aux = model.vision_aux_inputs(grid)
+        freqs, segs = aux["rotary_freqs"], aux["segment_ids"]
         N = 16
         pv = np.random.default_rng(0).standard_normal(
             (N, vc.in_channels * vc.temporal_patch_size * vc.patch_size**2)
@@ -131,7 +132,8 @@ class TestVision:
         """Features of image 1 must not change when image 2 changes."""
         vc = model.config.vision_config
         grid = np.asarray([[1, 2, 2], [1, 2, 2]])
-        freqs, segs = model.vision_aux_inputs(grid)
+        aux = model.vision_aux_inputs(grid)
+        freqs, segs = aux["rotary_freqs"], aux["segment_ids"]
         D = vc.in_channels * vc.temporal_patch_size * vc.patch_size**2
         rng = np.random.default_rng(1)
         pv1 = rng.standard_normal((8, D)).astype(np.float32)
@@ -223,7 +225,8 @@ class TestEndToEnd:
         )
         D_patch = vc.in_channels * vc.temporal_patch_size * vc.patch_size**2
         pv = np.random.default_rng(3).standard_normal((16, D_patch)).astype(np.float32)
-        freqs, segs = model.vision_aux_inputs(grid)
+        aux = model.vision_aux_inputs(grid)
+        freqs, segs = aux["rotary_freqs"], aux["segment_ids"]
         import jax
 
         embeds = jax.jit(model.get_input_embeddings)(
