@@ -23,7 +23,16 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["KVCache", "init_cache", "update_layer", "RotatingKVCache"]
+__all__ = [
+    "KVCache",
+    "BatchKVCache",
+    "init_cache",
+    "init_batch_cache",
+    "update_layer",
+    "update_layer_rows",
+    "insert_row",
+    "RotatingKVCache",
+]
 
 
 @partial(
@@ -94,6 +103,107 @@ def update_layer(
         v_cache, v_new.astype(v_cache.dtype), (zero, zero, offset, zero)
     )
     return k_cache, v_cache
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "offset", "left_pad"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class BatchKVCache:
+    """Continuous-batching cache: independent per-row write cursors.
+
+    Role parity: reference cache.py:875 (BatchKVCache).  Rows live in fixed
+    slots; `offset[b]` counts valid tokens of row b; rows are recycled by
+    `insert_row` without touching the others — no recompiles on
+    insert/remove (SURVEY.md §7.6 "fixed batch slots").
+
+    k, v:    [L, B, n_kv_heads, capacity, head_dim]
+    offset:  int32 [B]
+    left_pad:int32 [B]  (always 0 in slot mode; kept for mask parity)
+    """
+
+    k: jax.Array
+    v: jax.Array
+    offset: jax.Array
+    left_pad: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def batch_size(self) -> int:
+        return self.k.shape[1]
+
+
+def init_batch_cache(
+    num_layers: int,
+    batch_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    capacity: int,
+    dtype=jnp.bfloat16,
+) -> BatchKVCache:
+    shape = (num_layers, batch_size, num_kv_heads, capacity, head_dim)
+    return BatchKVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        offset=jnp.zeros((batch_size,), jnp.int32),
+        left_pad=jnp.zeros((batch_size,), jnp.int32),
+    )
+
+
+def update_layer_rows(
+    k_cache: jax.Array,  # [B, H, C, D]
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [B, H, S, D]
+    v_new: jax.Array,
+    offsets: jax.Array,  # int32 [B] per-row write positions
+):
+    """Per-row dynamic writes (vmapped dynamic_update_slice)."""
+    zero = jnp.zeros((), jnp.int32)
+
+    def write(kc, vc, kn, vn, off):
+        kc = jax.lax.dynamic_update_slice(kc, kn.astype(kc.dtype), (zero, off, zero))
+        vc = jax.lax.dynamic_update_slice(vc, vn.astype(vc.dtype), (zero, off, zero))
+        return kc, vc
+
+    return jax.vmap(write)(k_cache, v_cache, k_new, v_new, offsets)
+
+
+def update_layer_auto(k_cache, v_cache, k_new, v_new, offset):
+    """Dispatch on cursor shape: scalar (KVCache) vs per-row (BatchKVCache)."""
+    if offset.ndim == 1:
+        return update_layer_rows(k_cache, v_cache, k_new, v_new, offset)
+    return update_layer(k_cache, v_cache, k_new, v_new, offset)
+
+
+def insert_row(
+    batch: BatchKVCache,
+    row: KVCache,  # [L, 1, H, Cp, D] prefilled single-row cache
+    slot: jax.Array,  # int32 scalar
+    prompt_len: jax.Array,  # int32 scalar (valid tokens in `row`)
+) -> BatchKVCache:
+    """Copy a prefilled row cache into batch slot `slot` (reference
+    BatchGenerator.insert ar.py:2494)."""
+    zero = jnp.zeros((), jnp.int32)
+    cp = min(row.k.shape[3], batch.capacity)
+    k_src = row.k[:, :, :, :cp]
+    v_src = row.v[:, :, :, :cp]
+    k = jax.lax.dynamic_update_slice(
+        batch.k, k_src.astype(batch.k.dtype), (zero, slot, zero, zero, zero)
+    )
+    v = jax.lax.dynamic_update_slice(
+        batch.v, v_src.astype(batch.v.dtype), (zero, slot, zero, zero, zero)
+    )
+    return BatchKVCache(
+        k=k,
+        v=v,
+        offset=batch.offset.at[slot].set(prompt_len),
+        left_pad=batch.left_pad.at[slot].set(0),
+    )
 
 
 @partial(

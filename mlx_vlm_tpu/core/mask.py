@@ -18,7 +18,7 @@ __all__ = ["causal_cache_mask", "segment_mask", "full_valid_mask"]
 
 
 def causal_cache_mask(
-    offset: jax.Array,  # int32 scalar: tokens already in cache before this chunk
+    offset: jax.Array,  # int32 scalar or [B]: tokens already in cache per row
     left_pad: jax.Array,  # int32 [B]
     q_len: int,
     capacity: int,
@@ -27,13 +27,16 @@ def causal_cache_mask(
     """Mask for queries at absolute positions offset..offset+q_len-1 against a
     left-aligned cache of size `capacity`.
 
-    keep(b, i, j) = left_pad[b] <= j <= offset + i, optionally limited to a
-    sliding window of size `window` ending at the query position.
+    keep(b, i, j) = left_pad[b] <= j <= offset[b] + i, optionally limited to
+    a sliding window of size `window` ending at the query position.
     Returns bool [B, 1, q_len, capacity].
     """
     j = jnp.arange(capacity, dtype=jnp.int32)[None, None, None, :]
     i = jnp.arange(q_len, dtype=jnp.int32)[None, None, :, None]
-    qpos = offset + i
+    if offset.ndim == 1:  # per-row cursors (BatchKVCache)
+        qpos = offset[:, None, None, None] + i
+    else:
+        qpos = offset + i
     keep = (j <= qpos) & (j >= left_pad[:, None, None, None])
     if window is not None:
         keep &= j > qpos - window

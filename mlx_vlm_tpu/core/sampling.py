@@ -90,6 +90,49 @@ def top_p_sampling(logits, top_p, temperature, key):
     return make_sampler(temp=temperature, top_p=top_p)(logits, key)
 
 
+def make_batched_sampler():
+    """Per-row-parameterized sampler for continuous batching.
+
+    Returns `(logits [B,V], params, key) -> tokens [B]` where params is a dict
+    of [B] arrays: temp, top_p, min_p, top_k (<=0 disables).  Rows with
+    temp==0 decode greedily.  All filters are vectorized over rows so one
+    compiled program serves any mix of requests (reference keeps per-request
+    samplers host-side, ar.py:87).
+    """
+
+    def sample(logits: jax.Array, params: dict, key: jax.Array) -> jax.Array:
+        x = logits.astype(jnp.float32)
+        B, V = x.shape
+        temp = params["temp"].reshape(B, 1)
+        top_p = params["top_p"].reshape(B, 1)
+        min_p = params["min_p"].reshape(B, 1)
+        top_k = params["top_k"].reshape(B, 1)
+
+        order = jnp.argsort(-x, axis=-1)
+        sorted_x = jnp.take_along_axis(x, order, axis=-1)
+        ranks = jnp.argsort(order, axis=-1)  # rank of each vocab entry
+
+        # top-k: keep rank < k (k<=0 disables)
+        keep = (top_k <= 0) | (ranks < top_k)
+        # top-p on sorted probs
+        probs_sorted = jax.nn.softmax(sorted_x, axis=-1)
+        cum = jnp.cumsum(probs_sorted, axis=-1)
+        keep_sorted = (cum - probs_sorted) < jnp.where(top_p > 0, top_p, 1.0)
+        keep &= jnp.take_along_axis(keep_sorted, ranks, axis=-1)
+        # min-p
+        probs = jax.nn.softmax(x, axis=-1)
+        pmax = probs.max(axis=-1, keepdims=True)
+        keep &= (min_p <= 0) | (probs >= min_p * pmax)
+
+        filtered = jnp.where(keep, x, _NEG_INF)
+        safe_temp = jnp.where(temp > 0, temp, 1.0)
+        drawn = jax.random.categorical(key, filtered / safe_temp, axis=-1)
+        greedy = jnp.argmax(x, axis=-1)
+        return jnp.where(temp.reshape(-1) > 0, drawn, greedy).astype(jnp.int32)
+
+    return sample
+
+
 def make_logits_processors(
     logit_bias: Optional[dict] = None,
     repetition_penalty: Optional[float] = None,

@@ -99,7 +99,7 @@ class LanguageModel:
             if cache is None:
                 attn = sdpa(q, k, v, self.scale, mask)
             else:
-                k_buf, v_buf = cache_lib.update_layer(k_buf, v_buf, k, v, offset)
+                k_buf, v_buf = cache_lib.update_layer_auto(k_buf, v_buf, k, v, offset)
                 attn = sdpa(q, k_buf, v_buf, self.scale, mask)
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, -1)
             attn = linear(lp["self_attn"]["o_proj"], attn)
@@ -122,7 +122,7 @@ class LanguageModel:
             layer, h, (mp["layers"], cache.k, cache.v, flags)
         )
         h = rms_norm(mp["norm"], h, eps, offset=1.0)
-        new_cache = cache_lib.KVCache(
+        new_cache = type(cache)(
             k=k_new, v=v_new, offset=cache.offset + S, left_pad=cache.left_pad
         )
         return h, new_cache

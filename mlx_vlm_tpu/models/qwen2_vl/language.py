@@ -96,7 +96,7 @@ class LanguageModel:
 
         h, (k_new, v_new) = jax.lax.scan(layer, h, (mp["layers"], cache.k, cache.v))
         h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
-        new_cache = cache_lib.KVCache(
+        new_cache = type(cache)(
             k=k_new, v=v_new, offset=cache.offset + S, left_pad=cache.left_pad
         )
         return h, new_cache
@@ -128,7 +128,7 @@ class LanguageModel:
         from ...core.rope import apply_rope
 
         q, k = apply_rope(q, k, cos, sin)
-        k_buf, v_buf = cache_lib.update_layer(k_buf, v_buf, k, v, offset)
+        k_buf, v_buf = cache_lib.update_layer_auto(k_buf, v_buf, k, v, offset)
         out = sdpa(q, k_buf, v_buf, self.scale, mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
         return linear(p["o_proj"], out), k_buf, v_buf
