@@ -1,0 +1,185 @@
+"""HTTP server (stdlib ThreadingHTTPServer — this image has no
+fastapi/uvicorn; the stdlib threaded server is dependency-free and each
+request handler blocks only on its own token queue).
+
+Role parity: reference mlx_vlm/server/app.py — endpoints /v1/chat/completions,
+/v1/messages (+count_tokens), /v1/models, /health:799, /metrics:820,
+/v1/cache/stats:829, API-key middleware, one-model registry.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from ..version import __version__
+from .engine import ResponseGenerator
+
+logger = logging.getLogger("mlx_vlm_tpu.server")
+
+
+class ServerState:
+    def __init__(self, model_name: str, generator: ResponseGenerator,
+                 api_key: Optional[str] = None):
+        self.model_name = model_name
+        self.generator = generator
+        self.api_key = api_key or os.environ.get("MLX_VLM_SERVER_API_KEY")
+
+
+def make_handler(state: ServerState):
+    from . import anthropic as anthropic_routes
+    from . import openai as openai_routes
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        server_version = f"mlx-vlm-tpu/{__version__}"
+
+        def log_message(self, fmt, *args):  # route through logging
+            logger.info("%s - %s", self.address_string(), fmt % args)
+
+        # ---------------------------------------------------------- helpers
+        def send_json(self, obj, status: int = 200):
+            payload = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def start_sse(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+        def send_sse(self, obj):
+            self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode())
+            self.wfile.flush()
+
+        def send_sse_event(self, event: str, obj):
+            self.wfile.write(
+                f"event: {event}\ndata: {json.dumps(obj)}\n\n".encode()
+            )
+            self.wfile.flush()
+
+        def send_sse_done(self):
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
+        def _body(self) -> dict:
+            length = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(length) if length else b"{}"
+            return json.loads(raw or b"{}")
+
+        def _auth_ok(self) -> bool:
+            if not state.api_key:
+                return True
+            auth = self.headers.get("Authorization", "")
+            key = auth.removeprefix("Bearer ").strip() or self.headers.get(
+                "x-api-key", ""
+            )
+            return key == state.api_key
+
+        # ------------------------------------------------------------ routes
+        def do_GET(self):  # noqa: N802
+            if self.path == "/health":
+                self.send_json({"status": "ok", "model": state.model_name})
+            elif self.path == "/metrics":
+                self.send_json(state.generator.metrics.snapshot())
+            elif self.path in ("/v1/models", "/models"):
+                self.send_json({
+                    "object": "list",
+                    "data": [{
+                        "id": state.model_name,
+                        "object": "model",
+                        "owned_by": "mlx_vlm_tpu",
+                    }],
+                })
+            elif self.path == "/v1/cache/stats":
+                apc = getattr(state.generator, "apc", None)
+                self.send_json(apc.stats() if apc else {"enabled": False})
+            else:
+                self.send_json({"error": {"message": "not found"}}, 404)
+
+        def do_POST(self):  # noqa: N802
+            try:
+                body = self._body()
+            except Exception as e:  # noqa: BLE001
+                self.send_json(
+                    {"error": {"message": f"invalid JSON body: {e}"}}, 400
+                )
+                return
+            try:
+                if self.path == "/v1/chat/completions":
+                    openai_routes.chat_completion(
+                        self, body, state.generator, state.model_name
+                    )
+                elif self.path == "/v1/messages":
+                    if not self._auth_ok():
+                        self.send_json({"error": {"message": "unauthorized"}}, 401)
+                        return
+                    anthropic_routes.messages_endpoint(
+                        self, body, state.generator, state.model_name
+                    )
+                elif self.path == "/v1/messages/count_tokens":
+                    anthropic_routes.count_tokens(
+                        self, body, state.generator, state.model_name
+                    )
+                elif self.path == "/v1/cache/reset":
+                    apc = getattr(state.generator, "apc", None)
+                    if apc:
+                        apc.reset()
+                    self.send_json({"status": "ok"})
+                else:
+                    self.send_json({"error": {"message": "not found"}}, 404)
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # noqa: BLE001
+                from pydantic import ValidationError
+
+                status = 400 if isinstance(e, (ValidationError, ValueError)) else 500
+                etype = "invalid_request_error" if status == 400 else "server_error"
+                if status == 500:
+                    logger.exception("request failed")
+                try:
+                    self.send_json(
+                        {"error": {"message": str(e), "type": etype}}, status
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
+
+    return Handler
+
+
+def create_server(
+    model, processor, model_name: str = "local-model",
+    host: str = "0.0.0.0", port: int = 8080,
+    num_slots: int = 8, capacity: int = 4096,
+    api_key: Optional[str] = None,
+    **engine_kwargs,
+) -> ThreadingHTTPServer:
+    generator = ResponseGenerator(
+        model, processor, num_slots=num_slots, capacity=capacity, **engine_kwargs
+    )
+    state = ServerState(model_name, generator, api_key)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd.state = state
+    return httpd
+
+
+def serve(model_path: str, host="0.0.0.0", port=8080, **kwargs):
+    from ..utils.loader import load
+
+    model, processor = load(model_path)
+    httpd = create_server(model, processor, model_name=model_path,
+                          host=host, port=port, **kwargs)
+    logger.info("serving %s on %s:%d", model_path, host, port)
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.state.generator.shutdown()

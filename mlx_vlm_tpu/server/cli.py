@@ -1,0 +1,32 @@
+"""`python -m mlx_vlm_tpu server` — reference mlx_vlm/server/cli.py:28."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("mlx_vlm_tpu.server")
+    p.add_argument("--model", required=True, help="model path or HF repo")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-concurrency", type=int, default=8,
+                   help="continuous-batching slots")
+    p.add_argument("--max-context", type=int, default=4096)
+    p.add_argument("--api-key", default=None)
+    p.add_argument("--log-level", default="INFO")
+    args = p.parse_args(argv)
+    logging.basicConfig(level=args.log_level)
+
+    from .app import serve
+
+    serve(
+        args.model, host=args.host, port=args.port,
+        num_slots=args.max_concurrency, capacity=args.max_context,
+        api_key=args.api_key,
+    )
+
+
+if __name__ == "__main__":
+    main()

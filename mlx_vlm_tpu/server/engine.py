@@ -1,0 +1,335 @@
+"""Server generation engine: single TPU-owner thread over the batch engine.
+
+Role parity: reference mlx_vlm/server/generation.py — ResponseGenerator:1014
+(dedicated GPU thread, queue-fed), StreamingToken per-request queues,
+GenerationArguments:669, ServerMetricsStore:407, context-budget
+validation:2282 (PromptTooLongError:60).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+import uuid
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger("mlx_vlm_tpu.server")
+
+
+class PromptTooLongError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class GenerationArguments:
+    """Normalized request (reference generation.py:669)."""
+
+    prompt: str = ""
+    images: List[Any] = dataclasses.field(default_factory=list)
+    max_tokens: int = 512
+    temperature: float = 0.0
+    top_p: float = 0.0
+    min_p: float = 0.0
+    top_k: int = -1
+    stop: List[str] = dataclasses.field(default_factory=list)
+    seed: Optional[int] = None
+    request_id: str = ""
+
+    def __post_init__(self):
+        if not self.request_id:
+            self.request_id = uuid.uuid4().hex
+
+
+@dataclasses.dataclass
+class StreamingToken:
+    token: Optional[int]
+    text: str = ""
+    logprob: float = 0.0
+    finish_reason: Optional[str] = None
+    error: Optional[str] = None
+
+
+class ServerMetricsStore:
+    """Rolling request metrics (reference generation.py:407)."""
+
+    def __init__(self, history: int = 256):
+        self.lock = threading.Lock()
+        self.requests: List[dict] = []
+        self.history = history
+        self.started = time.time()
+        self.total_prompt_tokens = 0
+        self.total_generation_tokens = 0
+
+    def record(self, env: dict):
+        with self.lock:
+            self.requests.append(env)
+            self.total_prompt_tokens += env.get("prompt_tokens", 0)
+            self.total_generation_tokens += env.get("generation_tokens", 0)
+            if len(self.requests) > self.history:
+                self.requests = self.requests[-self.history :]
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            recent = self.requests[-20:]
+            return {
+                "uptime_s": time.time() - self.started,
+                "requests_total": len(self.requests),
+                "total_prompt_tokens": self.total_prompt_tokens,
+                "total_generation_tokens": self.total_generation_tokens,
+                "recent": recent,
+            }
+
+
+class ResponseGenerator:
+    """Owns the accelerator; all device work happens on this one thread."""
+
+    def __init__(
+        self,
+        model,
+        processor,
+        num_slots: int = 8,
+        capacity: int = 4096,
+        block_size: int = 8,
+        max_context: Optional[int] = None,
+        token_queue_timeout: float = 600.0,
+    ):
+        from ..generate.batch import BatchGenerator
+        from ..generate.dispatch import _get_eos_ids
+
+        self.model = model
+        self.processor = processor
+        self.eos_ids = tuple(_get_eos_ids(model, processor))
+        self.max_context = max_context or capacity
+        self.capacity = capacity
+        self.token_queue_timeout = token_queue_timeout
+        dtype = next(
+            (
+                l.dtype
+                for l in jax.tree_util.tree_leaves(model.params)
+                if jnp.issubdtype(l.dtype, jnp.floating)
+            ),
+            jnp.bfloat16,
+        )
+        self.batch = BatchGenerator(
+            model, num_slots=num_slots, capacity=capacity,
+            block_size=block_size, dtype=dtype,
+        )
+        self.metrics = ServerMetricsStore()
+        self._requests: "queue.Queue" = queue.Queue()
+        self._cancel: set = set()
+        self._cancel_lock = threading.Lock()
+        self._queues: Dict[str, "queue.Queue[StreamingToken]"] = {}
+        self._meta: Dict[str, dict] = {}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True, name="tpu-owner")
+        self._thread.start()
+
+    # ------------------------------------------------------------ user side
+    def generate(self, args: GenerationArguments):
+        """Enqueue; returns an iterator of StreamingToken."""
+        q: "queue.Queue[StreamingToken]" = queue.Queue()
+        self._queues[args.request_id] = q
+        self._requests.put(args)
+
+        timeout = self.token_queue_timeout
+
+        def it():
+            try:
+                while True:
+                    try:
+                        tok = q.get(timeout=timeout)
+                    except queue.Empty:
+                        yield StreamingToken(
+                            token=None, finish_reason="error",
+                            error="token queue timeout",
+                        )
+                        return
+                    yield tok
+                    if tok.finish_reason is not None or tok.error:
+                        return
+            finally:
+                self._queues.pop(args.request_id, None)
+
+        return it()
+
+    def cancel(self, request_id: str):
+        with self._cancel_lock:
+            self._cancel.add(request_id)
+
+    def shutdown(self):
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    # ------------------------------------------------------------ TPU thread
+    def _prepare(self, args: GenerationArguments):
+        from ..generate.batch import BatchRequest, SamplingParams
+        from ..utils.processing import prepare_inputs
+
+        inputs = prepare_inputs(
+            self.processor, args.prompt, images=args.images or None
+        )
+        ids = np.asarray(inputs["input_ids"])
+        if ids.shape[1] + args.max_tokens > self.max_context:
+            if ids.shape[1] >= self.max_context:
+                raise PromptTooLongError(
+                    f"prompt has {ids.shape[1]} tokens; context budget is "
+                    f"{self.max_context}"
+                )
+            args.max_tokens = self.max_context - ids.shape[1]
+        pixel_values = inputs.get("pixel_values")
+        grid = inputs.get("image_grid_thw")
+        if pixel_values is not None:
+            aux = self.model.vision_aux_inputs(np.asarray(grid))
+            embeds = jax.jit(self.model.get_input_embeddings)(
+                self.model.params, jnp.asarray(ids), jnp.asarray(pixel_values),
+                **{k: jnp.asarray(v) for k, v in aux.items()},
+            )
+        else:
+            embeds = jax.jit(self.model.get_input_embeddings)(
+                self.model.params, jnp.asarray(ids)
+            )
+        pos, deltas = self.model.prepare_position_ids(
+            ids, grid if pixel_values is not None else None
+        )
+        self._meta[args.request_id] = {
+            "prompt_tokens": int(ids.shape[1]),
+            "t_submit": time.time(),
+            "t_first": None,
+            "generated": 0,
+            "detok": self._make_detok(),
+            "stop": args.stop,
+            "tail": "",
+        }
+        return BatchRequest(
+            uid=args.request_id,
+            inputs_embeds=embeds,
+            max_tokens=args.max_tokens,
+            position_ids=pos,
+            rope_delta=int(deltas[0, 0]),
+            sampling=SamplingParams(
+                temp=args.temperature, top_p=args.top_p,
+                min_p=args.min_p, top_k=args.top_k,
+            ),
+            eos_ids=self.eos_ids,
+        )
+
+    def _make_detok(self):
+        from ..utils.tokenizer import StreamingDetokenizer
+
+        tok = getattr(self.processor, "tokenizer", self.processor)
+        return StreamingDetokenizer(tok)
+
+    def _run(self):
+        while not self._stop.is_set():
+            # admit queued HTTP requests
+            try:
+                args = self._requests.get(
+                    timeout=0.005 if self.batch.num_active or self.batch.queue else 0.2
+                )
+            except queue.Empty:
+                args = None
+            if args is not None:
+                with self._cancel_lock:
+                    cancelled = args.request_id in self._cancel
+                    self._cancel.discard(args.request_id)
+                if cancelled:
+                    continue
+                try:
+                    req = self._prepare(args)
+                    self.batch.insert(req)
+                except Exception as e:  # noqa: BLE001
+                    logger.exception("prepare failed")
+                    q = self._queues.get(args.request_id)
+                    if q:
+                        q.put(StreamingToken(token=None, finish_reason="error",
+                                             error=str(e)))
+                continue  # admit any further queued requests before decoding
+
+            # drain cancellations
+            with self._cancel_lock:
+                for rid in list(self._cancel):
+                    self.batch.remove(rid)
+                    self._meta.pop(rid, None)
+                    self._cancel.clear()
+
+            if not (self.batch.num_active or self.batch.queue):
+                continue
+            try:
+                produced = self.batch.next()
+            except Exception as e:  # noqa: BLE001
+                logger.exception("batch step failed")
+                for rid, q in list(self._queues.items()):
+                    q.put(StreamingToken(token=None, finish_reason="error",
+                                         error=str(e)))
+                continue
+            now = time.time()
+            for rid, toks in produced.items():
+                meta = self._meta.get(rid)
+                q = self._queues.get(rid)
+                if meta is None:
+                    continue
+                if meta["t_first"] is None:
+                    meta["t_first"] = now
+                finished = False
+                for tok, lp in toks:
+                    meta["generated"] += 1
+                    is_eos = tok in self.eos_ids
+                    text = ""
+                    if not is_eos:
+                        meta["detok"].add_token(tok)
+                        text = meta["detok"].last_segment()
+                    # stop-sequence scan (host-side)
+                    stop_hit = None
+                    if meta["stop"] and text:
+                        meta["tail"] = (meta["tail"] + text)[-64:]
+                        for s in meta["stop"]:
+                            if s in meta["tail"]:
+                                stop_hit = s
+                                break
+                    finish = None
+                    if is_eos:
+                        finish = "stop"
+                    elif stop_hit:
+                        finish = "stop"
+                        self.batch.remove(rid)
+                    if q:
+                        q.put(StreamingToken(token=None if is_eos else tok,
+                                             text=text, logprob=lp,
+                                             finish_reason=finish))
+                    if finish:
+                        finished = True
+                        break
+                still_active = any(
+                    s is not None and s.req.uid == rid for s in self.batch.slots
+                ) or any(r.uid == rid for r in self.batch.queue)
+                if not finished and not still_active:
+                    # length exhausted
+                    if q:
+                        tail = meta["detok"].finalize()
+                        q.put(StreamingToken(token=None, text=tail,
+                                             finish_reason="length"))
+                    finished = True
+                if finished:
+                    decode_s = now - (meta["t_first"] or now)
+                    self.metrics.record({
+                        "request_id": rid,
+                        "prompt_tokens": meta["prompt_tokens"],
+                        "generation_tokens": meta["generated"],
+                        "ttft_s": (meta["t_first"] or now) - meta["t_submit"],
+                        # tokens after the first, over decode wall time; 0 when
+                        # everything landed in a single scheduler cycle
+                        "generation_tps": (
+                            (meta["generated"] - 1) / decode_s
+                            if decode_s > 1e-6
+                            else 0.0
+                        ),
+                    })
+                    self._meta.pop(rid, None)

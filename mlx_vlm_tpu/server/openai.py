@@ -1,0 +1,161 @@
+"""OpenAI-compatible chat completions.
+
+Role parity: reference mlx_vlm/server/openai.py (register_routes:368) and
+request_normalization.py — /v1/chat/completions with streaming SSE, image
+parts (url / base64 data URIs), usage accounting.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import time
+import uuid
+from typing import Any, Dict, List, Tuple
+
+from ..prompt_utils import apply_chat_template
+from .engine import GenerationArguments
+
+
+def _decode_image(url: str):
+    from PIL import Image
+
+    if url.startswith("data:"):
+        payload = url.split(",", 1)[1]
+        return Image.open(io.BytesIO(base64.b64decode(payload)))
+    return url  # http/file path — resolved by load_image later
+
+
+def normalize_chat_request(body: dict, model, processor) -> GenerationArguments:
+    from .schemas import OpenAIChatRequest
+
+    req = OpenAIChatRequest(**body)
+    images: List[Any] = []
+    messages = []
+    for m in req.messages:
+        content = m.content
+        if isinstance(content, list):
+            text_parts = []
+            parts = []
+            for part in content:
+                ptype = part.get("type")
+                if ptype in ("image_url", "input_image", "image"):
+                    url = part.get("image_url")
+                    if isinstance(url, dict):
+                        url = url.get("url")
+                    url = url or part.get("url") or part.get("image")
+                    images.append(_decode_image(url))
+                    parts.append({"type": "image"})
+                elif ptype in ("text", "input_text"):
+                    text_parts.append(part.get("text", ""))
+                    parts.append({"type": "text", "text": part.get("text", "")})
+            messages.append({"role": m.role, "content": parts})
+        else:
+            messages.append({"role": m.role, "content": content or ""})
+    prompt = apply_chat_template(
+        processor, getattr(model, "config_dict", {}), messages,
+        add_generation_prompt=True, num_images=len(images),
+    )
+    stop = req.stop if isinstance(req.stop, list) else ([req.stop] if req.stop else [])
+    return GenerationArguments(
+        prompt=prompt,
+        images=images,
+        max_tokens=req.max_tokens or req.max_completion_tokens or 512,
+        temperature=req.temperature or 0.0,
+        top_p=0.0 if (req.top_p or 1.0) >= 1.0 else req.top_p,
+        stop=stop,
+        seed=req.seed,
+    )
+
+
+def chat_completion(handler, body: dict, generator, model_name: str):
+    """Handle POST /v1/chat/completions (stream + non-stream)."""
+    args = normalize_chat_request(body, generator.model, generator.processor)
+    created = int(time.time())
+    cid = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+    stream = bool(body.get("stream", False))
+    it = generator.generate(args)
+
+    if stream:
+        handler.start_sse()
+        sent_role = False
+        finish = "stop"
+        n_gen = 0
+        for tok in it:
+            if tok.error:
+                handler.send_sse({"error": {"message": tok.error}})
+                break
+            delta = {}
+            if not sent_role:
+                delta["role"] = "assistant"
+                sent_role = True
+            if tok.text:
+                delta["content"] = tok.text
+            if tok.token is not None:
+                n_gen += 1
+            chunk = {
+                "id": cid,
+                "object": "chat.completion.chunk",
+                "created": created,
+                "model": model_name,
+                "choices": [{
+                    "index": 0,
+                    "delta": delta,
+                    "finish_reason": tok.finish_reason,
+                }],
+            }
+            if tok.finish_reason:
+                meta = generator.metrics.snapshot()["recent"]
+                env = meta[-1] if meta else {}
+                chunk["usage"] = {
+                    "prompt_tokens": env.get("prompt_tokens", 0),
+                    "completion_tokens": n_gen,
+                    "total_tokens": env.get("prompt_tokens", 0) + n_gen,
+                }
+                if env.get("generation_tps"):
+                    chunk["timings"] = {
+                        "predicted_per_second": env["generation_tps"]
+                    }
+            handler.send_sse(chunk)
+            if tok.finish_reason:
+                break
+        handler.send_sse_done()
+        return None
+
+    pieces = []
+    finish = "stop"
+    n_gen = 0
+    error = None
+    for tok in it:
+        if tok.error:
+            error = tok.error
+            break
+        pieces.append(tok.text)
+        if tok.token is not None:
+            n_gen += 1
+        if tok.finish_reason:
+            finish = tok.finish_reason
+            break
+    if error:
+        handler.send_json({"error": {"message": error, "type": "server_error"}}, 500)
+        return None
+    meta = generator.metrics.snapshot()["recent"]
+    env = meta[-1] if meta else {}
+    handler.send_json({
+        "id": cid,
+        "object": "chat.completion",
+        "created": created,
+        "model": model_name,
+        "choices": [{
+            "index": 0,
+            "message": {"role": "assistant", "content": "".join(pieces)},
+            "finish_reason": finish,
+        }],
+        "usage": {
+            "prompt_tokens": env.get("prompt_tokens", 0),
+            "completion_tokens": n_gen,
+            "total_tokens": env.get("prompt_tokens", 0) + n_gen,
+        },
+    })
+    return None

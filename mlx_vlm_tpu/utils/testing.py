@@ -442,6 +442,56 @@ def make_tiny_gemma3(seed: int = 0, dtype=jnp.float32, config: Optional[dict] = 
     return load_model_from_weights(cfg, gemma3_hf_weights(cfg, seed), dtype)
 
 
+def build_tiny_checkpoint(directory: str, seed: int = 11, scale: float = 0.5) -> dict:
+    """Write a complete loadable qwen2-vl checkpoint (weights + config + a
+    real trained BPE tokenizer) into `directory`.  Returns the config."""
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    specials = [
+        "<|im_start|>", "<|im_end|>", "<|vision_start|>", "<|vision_end|>",
+        "<|image_pad|>", "<|video_pad|>", "<|endoftext|>",
+    ]
+    trainer = trainers.BpeTrainer(vocab_size=300, special_tokens=specials)
+    tok.train_from_iterator(
+        [
+            "What is in this image? A photo of a cat sitting on a mat. " * 20,
+            "Describe the picture please, thank you very much. " * 20,
+        ],
+        trainer,
+    )
+    tok.save(os.path.join(directory, "tokenizer.json"))
+    with open(os.path.join(directory, "tokenizer_config.json"), "w") as f:
+        json.dump(
+            {
+                "tokenizer_class": "PreTrainedTokenizerFast",
+                "eos_token": "<|im_end|>",
+                "pad_token": "<|endoftext|>",
+            },
+            f,
+        )
+    ids = {s: tok.token_to_id(s) for s in specials}
+    vocab = max(320, tok.get_vocab_size())
+    cfg = tiny_qwen2_vl_config(
+        vocab_size=vocab,
+        image_token_id=ids["<|image_pad|>"],
+        video_token_id=ids["<|video_pad|>"],
+        vision_start_token_id=ids["<|vision_start|>"],
+        eos_token_id=ids["<|im_end|>"],
+    )
+    save_file(qwen2_vl_hf_weights(cfg, seed=seed, scale=scale),
+              os.path.join(directory, "model.safetensors"))
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    return cfg
+
+
 def qwen2_vl_2b_config() -> dict:
     """Real Qwen2-VL-2B-Instruct dimensions (for benchmarking w/o weights)."""
     return tiny_qwen2_vl_config(

@@ -1,0 +1,244 @@
+import base64
+import io
+import json
+import socket
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from mlx_vlm_tpu.server.app import create_server
+    from mlx_vlm_tpu.utils.loader import load
+    from mlx_vlm_tpu.utils.testing import build_tiny_checkpoint
+
+    d = tmp_path_factory.mktemp("ckpt")
+    build_tiny_checkpoint(str(d))
+    model, processor = load(str(d), dtype=jnp.float32)
+    port = _free_port()
+    httpd = create_server(
+        model, processor, model_name="tiny-qwen2-vl",
+        host="127.0.0.1", port=port, num_slots=2, capacity=256,
+        block_size=2, token_queue_timeout=120.0,
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+    httpd.state.generator.shutdown()
+
+
+def _post(url, path, body, timeout=120):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post_stream(url, path, body, timeout=120):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    events = []
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        for line in r:
+            line = line.decode().strip()
+            if line.startswith("data: "):
+                payload = line[6:]
+                if payload == "[DONE]":
+                    events.append("[DONE]")
+                else:
+                    events.append(json.loads(payload))
+    return events
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _png_b64():
+    from PIL import Image
+
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((56, 56, 3)) * 255).astype(np.uint8)
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class TestBasicEndpoints:
+    def test_health(self, server):
+        status, body = _get(server, "/health")
+        assert status == 200 and body["status"] == "ok"
+
+    def test_models(self, server):
+        status, body = _get(server, "/v1/models")
+        assert body["data"][0]["id"] == "tiny-qwen2-vl"
+
+    def test_404(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server, "/nope")
+        assert e.value.code == 404
+
+
+class TestOpenAI:
+    def test_chat_completion(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "Hello there friend"}],
+            "max_tokens": 6,
+        })
+        assert status == 200
+        assert body["object"] == "chat.completion"
+        assert body["choices"][0]["message"]["role"] == "assistant"
+        assert body["usage"]["completion_tokens"] >= 1
+        assert body["choices"][0]["finish_reason"] in ("stop", "length")
+
+    def test_chat_completion_stream(self, server):
+        events = _post_stream(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "Stream please"}],
+            "max_tokens": 5,
+            "stream": True,
+        })
+        assert events[-1] == "[DONE]"
+        chunks = [e for e in events if isinstance(e, dict)]
+        assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+        assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+        assert "usage" in chunks[-1]
+
+    def test_chat_with_image(self, server):
+        b64 = _png_b64()
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{
+                "role": "user",
+                "content": [
+                    {"type": "text", "text": "What is this?"},
+                    {"type": "image_url",
+                     "image_url": {"url": f"data:image/png;base64,{b64}"}},
+                ],
+            }],
+            "max_tokens": 4,
+        })
+        assert status == 200
+        assert body["usage"]["prompt_tokens"] > 10  # image tokens included
+
+    def test_concurrent_requests(self, server):
+        results = {}
+
+        def hit(i):
+            results[i] = _post(server, "/v1/chat/completions", {
+                "messages": [{"role": "user", "content": f"request {i}"}],
+                "max_tokens": 4,
+            })
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 4
+        for status, body in results.values():
+            assert status == 200 and body["choices"][0]["message"]["content"] is not None
+
+    def test_prompt_too_long(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server, "/v1/chat/completions", {
+                "messages": [{"role": "user", "content": "word " * 600}],
+                "max_tokens": 4,
+            })
+        assert e.value.code == 500
+        body = json.loads(e.value.read())
+        assert "context budget" in body["error"]["message"]
+
+    def test_bad_json(self, server):
+        req = urllib.request.Request(
+            server + "/v1/chat/completions", data=b"{not json",
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+
+
+class TestAnthropic:
+    def test_messages(self, server):
+        status, body = _post(server, "/v1/messages", {
+            "model": "x", "max_tokens": 5,
+            "system": "You are terse.",
+            "messages": [{"role": "user", "content": "Hi"}],
+        })
+        assert status == 200
+        assert body["type"] == "message"
+        assert body["content"][0]["type"] == "text"
+        assert body["stop_reason"] in ("end_turn", "max_tokens")
+
+    def test_messages_stream_events(self, server):
+        req = urllib.request.Request(
+            server + "/v1/messages",
+            data=json.dumps({
+                "max_tokens": 4, "stream": True,
+                "messages": [{"role": "user", "content": "Hello"}],
+            }).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        names = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for line in r:
+                line = line.decode().strip()
+                if line.startswith("event: "):
+                    names.append(line[7:])
+        assert names[0] == "message_start"
+        assert "content_block_delta" in names
+        assert names[-1] == "message_stop"
+
+    def test_messages_with_image(self, server):
+        status, body = _post(server, "/v1/messages", {
+            "max_tokens": 4,
+            "messages": [{
+                "role": "user",
+                "content": [
+                    {"type": "image",
+                     "source": {"type": "base64", "media_type": "image/png",
+                                "data": _png_b64()}},
+                    {"type": "text", "text": "Describe"},
+                ],
+            }],
+        })
+        assert status == 200 and body["usage"]["input_tokens"] > 10
+
+    def test_count_tokens(self, server):
+        status, body = _post(server, "/v1/messages/count_tokens", {
+            "messages": [{"role": "user", "content": "count me"}],
+            "max_tokens": 1,
+        })
+        assert status == 200 and body["input_tokens"] > 0
+
+
+class TestMetrics:
+    def test_metrics_populated(self, server):
+        _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "for metrics"}],
+            "max_tokens": 3,
+        })
+        status, body = _get(server, "/metrics")
+        assert body["requests_total"] >= 1
+        assert body["total_generation_tokens"] >= 1
