@@ -66,6 +66,25 @@ class KVCache:
     def batch_size(self) -> int:
         return self.k.shape[1]
 
+    # --- scan plumbing: per-layer arrays threaded through lax.scan ---------
+    def scan_arrays(self):
+        return (self.k, self.v)
+
+    def with_arrays(self, ys, new_tokens: int):
+        k, v = ys
+        return type(self)(
+            k=k, v=v, offset=self.offset + new_tokens, left_pad=self.left_pad
+        )
+
+    def attend(self, cxs, q, k, v, scale, mask):
+        """Write new k/v into this layer's buffers and run masked SDPA."""
+        from ..ops.attention import sdpa
+
+        k_buf, v_buf = cxs
+        k_buf, v_buf = update_layer_auto(k_buf, v_buf, k, v, self.offset)
+        out = sdpa(q, k_buf, v_buf, scale, mask)
+        return out, (k_buf, v_buf)
+
 
 def init_cache(
     num_layers: int,
@@ -137,6 +156,10 @@ class BatchKVCache:
     def batch_size(self) -> int:
         return self.k.shape[1]
 
+    scan_arrays = KVCache.scan_arrays
+    with_arrays = KVCache.with_arrays
+    attend = KVCache.attend
+
 
 def init_batch_cache(
     num_layers: int,
@@ -181,28 +204,149 @@ def update_layer_auto(k_cache, v_cache, k_new, v_new, offset):
 
 
 def insert_row(
-    batch: BatchKVCache,
-    row: KVCache,  # [L, 1, H, Cp, D] prefilled single-row cache
+    batch,
+    row,  # prefilled single-row cache of the SAME cache class
     slot: jax.Array,  # int32 scalar
     prompt_len: jax.Array,  # int32 scalar (valid tokens in `row`)
-) -> BatchKVCache:
+):
     """Copy a prefilled row cache into batch slot `slot` (reference
-    BatchGenerator.insert ar.py:2494)."""
+    BatchGenerator.insert ar.py:2494).  Works for any cache class exposing
+    scan_arrays()/with_arrays() with [L,B,H,C,...] buffers."""
     zero = jnp.zeros((), jnp.int32)
-    cp = min(row.k.shape[3], batch.capacity)
-    k_src = row.k[:, :, :, :cp]
-    v_src = row.v[:, :, :, :cp]
-    k = jax.lax.dynamic_update_slice(
-        batch.k, k_src.astype(batch.k.dtype), (zero, slot, zero, zero, zero)
-    )
-    v = jax.lax.dynamic_update_slice(
-        batch.v, v_src.astype(batch.v.dtype), (zero, slot, zero, zero, zero)
-    )
-    return BatchKVCache(
-        k=k,
-        v=v,
+    outs = []
+    for b_buf, r_buf in zip(batch.scan_arrays(), row.scan_arrays()):
+        cp = min(r_buf.shape[3], b_buf.shape[3])
+        src = r_buf[:, :, :, :cp]
+        outs.append(
+            jax.lax.dynamic_update_slice(
+                b_buf, src.astype(b_buf.dtype), (zero, slot, zero, zero, zero)
+            )
+        )
+    new = batch.with_arrays(tuple(outs), 0)
+    return dataclasses.replace(
+        new,
         offset=batch.offset.at[slot].set(prompt_len),
         left_pad=batch.left_pad.at[slot].set(0),
+    )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["kq", "ks", "kb", "vq", "vs", "vb", "offset", "left_pad"],
+    meta_fields=["bits", "group_size"],
+)
+@dataclasses.dataclass
+class QuantizedKVCache:
+    """Group-affine quantized KV cache (4- or 8-bit along head_dim).
+
+    Role parity: reference cache.py:184 (QuantizedKVCache) /
+    :1646 (BatchQuantizedKVCache) built on mx.quantize.
+
+    kq, vq:  uint8 [L, B, H, C, D * bits / 8]  (packed codes)
+    ks/kb, vs/vb: [L, B, H, C, D/group] scale / bias (bf16)
+    offset:  scalar (single-stream) or [B] (batch slots)
+
+    The XLA path halves/quarters KV *capacity* cost; the fused Pallas
+    decode-attention kernel (ops/) removes the dequantize bandwidth too.
+    """
+
+    kq: jax.Array
+    ks: jax.Array
+    kb: jax.Array
+    vq: jax.Array
+    vs: jax.Array
+    vb: jax.Array
+    offset: jax.Array
+    left_pad: jax.Array
+    bits: int
+    group_size: int
+
+    @property
+    def capacity(self) -> int:
+        return self.kq.shape[3]
+
+    @property
+    def num_layers(self) -> int:
+        return self.kq.shape[0]
+
+    @property
+    def batch_size(self) -> int:
+        return self.kq.shape[1]
+
+    def scan_arrays(self):
+        return (self.kq, self.ks, self.kb, self.vq, self.vs, self.vb)
+
+    def with_arrays(self, ys, new_tokens: int):
+        kq, ks, kb, vq, vs, vb = ys
+        return dataclasses.replace(
+            self, kq=kq, ks=ks, kb=kb, vq=vq, vs=vs, vb=vb,
+            offset=self.offset + new_tokens,
+        )
+
+    def _quantize(self, x: jax.Array):
+        """[B,H,S,D] -> (codes uint8 [B,H,S,D*bits/8], scales, biases)."""
+        from .quant import quantize
+
+        t = quantize(x, bits=self.bits, group_size=self.group_size)
+        return t.q, t.scales, t.biases
+
+    def _dequantize(self, q, s, b, dtype):
+        from .quant import QuantizedTensor, dequantize
+
+        t = QuantizedTensor(
+            q=q, scales=s, biases=b, bits=self.bits,
+            group_size=self.group_size, out_dtype=jnp.dtype(dtype).name,
+        )
+        return dequantize(t, dtype)
+
+    def attend(self, cxs, q, k, v, scale, mask):
+        from ..ops.attention import sdpa
+
+        kq, ks, kb, vq, vs, vb = cxs
+        knq, kns, knb = self._quantize(k)
+        vnq, vns, vnb = self._quantize(v)
+        off = self.offset
+        kq, vq_ = update_layer_auto(kq, vq, knq, vnq, off)
+        ks, vs_ = update_layer_auto(ks, vs, kns, vns, off)
+        kb, vb_ = update_layer_auto(kb, vb, knb, vnb, off)
+        dtype = q.dtype
+        k_full = self._dequantize(kq, ks, kb, dtype)
+        v_full = self._dequantize(vq_, vs_, vb_, dtype)
+        out = sdpa(q, k_full, v_full, scale, mask)
+        return out, (kq, ks, kb, vq_, vs_, vb_)
+
+
+def init_quantized_cache(
+    num_layers: int,
+    batch_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    capacity: int,
+    dtype=jnp.bfloat16,
+    bits: int = 8,
+    group_size: int = 64,
+    left_pad: Optional[jax.Array] = None,
+    per_row: bool = False,
+) -> QuantizedKVCache:
+    packed = head_dim * bits // 8
+    groups = head_dim // group_size
+    base = (num_layers, batch_size, num_kv_heads, capacity)
+    if left_pad is None:
+        left_pad = jnp.zeros((batch_size,), jnp.int32)
+    offset = (
+        jnp.zeros((batch_size,), jnp.int32) if per_row else jnp.zeros((), jnp.int32)
+    )
+    return QuantizedKVCache(
+        kq=jnp.zeros(base + (packed,), jnp.uint8),
+        ks=jnp.zeros(base + (groups,), dtype),
+        kb=jnp.zeros(base + (groups,), dtype),
+        vq=jnp.zeros(base + (packed,), jnp.uint8),
+        vs=jnp.zeros(base + (groups,), dtype),
+        vb=jnp.zeros(base + (groups,), dtype),
+        offset=offset,
+        left_pad=left_pad,
+        bits=bits,
+        group_size=group_size,
     )
 
 

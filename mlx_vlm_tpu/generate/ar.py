@@ -153,6 +153,29 @@ def get_engine(model) -> DecodeEngine:
     return eng
 
 
+def make_cache(
+    model,
+    batch_size: int,
+    capacity: int,
+    dtype,
+    kv_bits: Optional[int] = None,
+    kv_group_size: int = 64,
+    per_row: bool = False,
+):
+    """Cache factory (reference ar.py:724 `_make_cache` + kv-quant policy
+    common.py:505 `maybe_quantize_kv_cache`)."""
+    from ..core import cache as cache_lib
+
+    lm = model.language_model
+    if kv_bits:
+        return cache_lib.init_quantized_cache(
+            lm.args.num_hidden_layers, batch_size, lm.n_kv_heads, lm.head_dim,
+            capacity, dtype, bits=kv_bits, group_size=kv_group_size,
+            per_row=per_row,
+        )
+    return lm.init_cache(batch_size, capacity, dtype)
+
+
 def generate_step(
     inputs_embeds: jax.Array,  # [B, S, D]
     model,
@@ -166,6 +189,8 @@ def generate_step(
     kv_capacity: Optional[int] = None,
     seed: Optional[int] = None,
     block_size: int = 32,
+    kv_bits: Optional[int] = None,
+    kv_group_size: int = 64,
     prompt_progress_callback: Optional[Callable] = None,
 ) -> Generator[Tuple[np.ndarray, np.ndarray], None, None]:
     """Yield (token [B] int, chosen-token logprob [B]) pairs.
@@ -191,8 +216,8 @@ def generate_step(
     capacity = kv_capacity or round_up(
         S + max_tokens + block_size + 1, CACHE_BUCKET
     )
-    cache = model.language_model.init_cache(
-        B, capacity, dtype=inputs_embeds.dtype
+    cache = make_cache(
+        model, B, capacity, inputs_embeds.dtype, kv_bits, kv_group_size
     )
 
     # ---- chunked prefill (reference ar.py:420-456)

@@ -73,7 +73,11 @@ class BatchGenerator:
         block_size: int = DEFAULT_BLOCK,
         prefill_step_size: int = 512,
         dtype=jnp.bfloat16,
+        kv_bits: Optional[int] = None,
+        kv_group_size: int = 64,
     ):
+        from .ar import make_cache
+
         self.model = model
         self.lm = model.language_model
         self.B = num_slots
@@ -81,14 +85,21 @@ class BatchGenerator:
         self.block = block_size
         self.prefill_step = prefill_step_size
         self.dtype = dtype
+        self.kv_bits = kv_bits
+        self.kv_group_size = kv_group_size
         self.engine = get_engine(model)
         self._sampler = make_batched_sampler()
 
         B = num_slots
-        self.cache = cache_lib.init_batch_cache(
-            self.lm.args.num_hidden_layers, B, self.lm.n_kv_heads,
-            self.lm.head_dim, capacity, dtype,
-        )
+        if kv_bits:
+            self.cache = make_cache(
+                model, B, capacity, dtype, kv_bits, kv_group_size, per_row=True
+            )
+        else:
+            self.cache = cache_lib.init_batch_cache(
+                self.lm.args.num_hidden_layers, B, self.lm.n_kv_heads,
+                self.lm.head_dim, capacity, dtype,
+            )
         from .ar import HISTORY_SIZE
 
         self.history = -jnp.ones((B, HISTORY_SIZE), jnp.int32)
@@ -183,8 +194,13 @@ class BatchGenerator:
             embeds = jnp.pad(embeds, ((0, 0), (0, S_pad - S), (0, 0)))
         pos_pad = np.zeros((3, 1, S_pad), np.int32)
         pos_pad[:, :, :S] = pos
+        from .ar import make_cache
+
         row_capacity = round_up(S_pad, 256)
-        row_cache = self.lm.init_cache(1, row_capacity, self.dtype)
+        row_cache = make_cache(
+            self.model, 1, row_capacity, self.dtype, self.kv_bits,
+            self.kv_group_size,
+        )
         logits = None
         last = S - 1
         for c0 in range(0, S_pad, step):

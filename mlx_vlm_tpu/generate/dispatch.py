@@ -58,6 +58,8 @@ def stream_generate(
     seed: Optional[int] = None,
     prefill_step_size: int = 512,
     block_size: int = 32,
+    kv_bits: Optional[int] = None,
+    kv_group_size: int = 64,
     **kwargs,
 ) -> Generator[GenerationResult, None, None]:
     """Stream GenerationResult chunks (reference dispatch.py:700)."""
@@ -120,6 +122,8 @@ def stream_generate(
         logits_processors=processors,
         prefill_step_size=prefill_step_size,
         block_size=block_size,
+        kv_bits=kv_bits,
+        kv_group_size=kv_group_size,
         seed=seed,
     ):
         now = time.perf_counter()

@@ -86,7 +86,7 @@ class LanguageModel:
             if cache is None:
                 lp, is_g = xs
             else:
-                lp, k_buf, v_buf, is_g = xs
+                lp, cxs, is_g = xs
             cos = jnp.where(is_g, cos_g, cos_l)
             sin = jnp.where(is_g, sin_g, sin_l)
             mask = jnp.where(is_g, mask_g, mask_l)
@@ -99,8 +99,7 @@ class LanguageModel:
             if cache is None:
                 attn = sdpa(q, k, v, self.scale, mask)
             else:
-                k_buf, v_buf = cache_lib.update_layer_auto(k_buf, v_buf, k, v, offset)
-                attn = sdpa(q, k_buf, v_buf, self.scale, mask)
+                attn, cxs = cache.attend(cxs, q, k, v, self.scale, mask)
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, -1)
             attn = linear(lp["self_attn"]["o_proj"], attn)
             # sandwich norms (reference language.py:128-140)
@@ -112,20 +111,17 @@ class LanguageModel:
             h = h + rms_norm(lp["post_feedforward_layernorm"], r, eps, offset=1.0)
             if cache is None:
                 return h, None
-            return h, (k_buf, v_buf)
+            return h, cxs
 
         if cache is None:
             h, _ = jax.lax.scan(layer, h, (mp["layers"], flags))
             return rms_norm(mp["norm"], h, eps, offset=1.0), None
 
-        h, (k_new, v_new) = jax.lax.scan(
-            layer, h, (mp["layers"], cache.k, cache.v, flags)
+        h, cys = jax.lax.scan(
+            layer, h, (mp["layers"], cache.scan_arrays(), flags)
         )
         h = rms_norm(mp["norm"], h, eps, offset=1.0)
-        new_cache = type(cache)(
-            k=k_new, v=v_new, offset=cache.offset + S, left_pad=cache.left_pad
-        )
-        return h, new_cache
+        return h, cache.with_arrays(cys, S)
 
     def _qkv(self, p, x):
         B, S, _ = x.shape

@@ -57,22 +57,17 @@ class LanguageModel:
         mask = causal_cache_mask(cache.offset, cache.left_pad, S, cache.capacity)
 
         def layer(h, xs):
-            lp, k_buf, v_buf = xs
+            lp, cxs = xs
             x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
-            attn, k_buf, v_buf = self._attention(
-                lp["self_attn"], x, cos, sin, mask, k_buf, v_buf, cache.offset
-            )
+            attn, cxs = self._attention(lp["self_attn"], x, cos, sin, mask, cache, cxs)
             h = h + attn
             x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
             h = h + swiglu_mlp(lp["mlp"], x)
-            return h, (k_buf, v_buf)
+            return h, cxs
 
-        h, (k_new, v_new) = jax.lax.scan(layer, h, (mp["layers"], cache.k, cache.v))
+        h, cys = jax.lax.scan(layer, h, (mp["layers"], cache.scan_arrays()))
         h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
-        new_cache = type(cache)(
-            k=k_new, v=v_new, offset=cache.offset + S, left_pad=cache.left_pad
-        )
-        return h, new_cache
+        return h, cache.with_arrays(cys, S)
 
     def _qkv(self, p, x):
         B, S, _ = x.shape
@@ -85,14 +80,13 @@ class LanguageModel:
             v.transpose(0, 2, 1, 3),
         )
 
-    def _attention(self, p, x, cos, sin, mask, k_buf, v_buf, offset):
+    def _attention(self, p, x, cos, sin, mask, cache, cxs):
         B, S, _ = x.shape
         q, k, v = self._qkv(p, x)
         q, k = apply_rope(q, k, cos, sin)
-        k_buf, v_buf = cache_lib.update_layer_auto(k_buf, v_buf, k, v, offset)
-        out = sdpa(q, k_buf, v_buf, self.scale, mask)
+        out, cxs = cache.attend(cxs, q, k, v, self.scale, mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, S, -1)
-        return linear(p["o_proj"], out), k_buf, v_buf
+        return linear(p["o_proj"], out), cxs
 
     def _attention_nc(self, p, x, cos, sin, mask):
         B, S, _ = x.shape

@@ -1,0 +1,77 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlx_vlm_tpu.generate.ar import generate_step, make_cache
+from mlx_vlm_tpu.utils.testing import make_tiny_qwen2_vl
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_tiny_qwen2_vl(seed=5, dtype=jnp.float32)
+
+
+def _embeds(model, ids):
+    return jax.jit(model.get_input_embeddings)(model.params, jnp.asarray(ids))
+
+
+class TestQuantizedKVCache:
+    def test_8bit_logits_close_to_fp(self, model):
+        S = 10
+        ids = (np.arange(S, dtype=np.int32) * 7 % 200)[None]
+        embeds = _embeds(model, ids)
+        pos = np.broadcast_to(np.arange(S, dtype=np.int32), (3, 1, S))
+
+        cache_fp = make_cache(model, 1, 16, jnp.float32)
+        ref, _ = model(model.params, embeds, cache_fp, jnp.asarray(pos))
+
+        cache_q = make_cache(model, 1, 16, jnp.float32, kv_bits=8, kv_group_size=16)
+        out, new_cache = model(model.params, embeds, cache_q, jnp.asarray(pos))
+        assert int(new_cache.offset) == S
+        err = np.abs(np.asarray(ref) - np.asarray(out)).max()
+        assert err < 0.05, f"8-bit KV error too large: {err}"
+
+    def test_4bit_runs_and_is_close(self, model):
+        S = 8
+        ids = (np.arange(S, dtype=np.int32) % 200)[None]
+        embeds = _embeds(model, ids)
+        pos = np.broadcast_to(np.arange(S, dtype=np.int32), (3, 1, S))
+        cache_fp = make_cache(model, 1, 16, jnp.float32)
+        ref, _ = model(model.params, embeds, cache_fp, jnp.asarray(pos))
+        cache_q = make_cache(model, 1, 16, jnp.float32, kv_bits=4, kv_group_size=16)
+        out, _ = model(model.params, embeds, cache_q, jnp.asarray(pos))
+        err = np.abs(np.asarray(ref) - np.asarray(out)).max()
+        assert err < 0.5, f"4-bit KV error too large: {err}"
+
+    def test_generate_step_with_quantized_kv(self, model):
+        ids = (np.arange(12, dtype=np.int32) % 200)[None]
+        embeds = _embeds(model, ids)
+        ref = [int(t[0]) for t, _ in generate_step(embeds, model, max_tokens=6)]
+        q8 = [
+            int(t[0])
+            for t, _ in generate_step(
+                embeds, model, max_tokens=6, kv_bits=8, kv_group_size=16
+            )
+        ]
+        assert len(q8) == 6
+        # 8-bit KV should rarely flip greedy tokens on a tiny model
+        assert sum(a == b for a, b in zip(ref, q8)) >= 4
+
+    def test_batch_with_quantized_kv(self, model):
+        from mlx_vlm_tpu.generate.batch import BatchGenerator, BatchRequest
+
+        p = (np.arange(7, dtype=np.int32) % 200)[None]
+        gen = BatchGenerator(
+            model, num_slots=2, capacity=256, block_size=2,
+            dtype=jnp.float32, kv_bits=8, kv_group_size=16,
+        )
+        gen.insert(BatchRequest(uid=0, inputs_embeds=_embeds(model, p), max_tokens=5))
+        outs = []
+        for _ in range(50):
+            if not (gen.num_active or gen.queue):
+                break
+            for uid, toks in gen.next().items():
+                outs.extend(t for t, _ in toks)
+        assert len(outs) == 5
