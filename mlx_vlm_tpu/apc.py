@@ -1,0 +1,284 @@
+"""Automatic Prefix Caching (APC).
+
+Role parity: reference mlx_vlm/apc.py — APCManager:2840, APCBlock:496,
+chained hashing H(parent, tokens, extra):95, semantic_extra_hash:193 (image
+content + model identity), media-safety rules:412-472, warm-cache builders
+:3588, harvest:4040, APCStats:582, from_env:4405.
+
+TPU design: the pool lives in host RAM (numpy blocks).  Harvest is a
+device->host copy of the prompt's KV slab; warm restore assembles the prefix
+host-side and uploads it into a fresh fixed-capacity cache whose write
+cursor starts at the reused length.  (The reference leans on Apple unified
+memory; on TPU these are explicit transfers, done once per prompt.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+import threading
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_BLOCK_SIZE = 16
+DEFAULT_NUM_BLOCKS = 2048
+
+
+def _hash(parent: Optional[str], tokens: Tuple[int, ...], extra: str = "") -> str:
+    h = hashlib.sha256()
+    h.update((parent or "").encode())
+    h.update(np.asarray(tokens, np.int64).tobytes())
+    h.update(extra.encode())
+    return h.hexdigest()
+
+
+def semantic_extra_hash(
+    model_key: str = "",
+    images: Optional[Sequence[Any]] = None,
+    tenant: str = "",
+) -> str:
+    """Multimodal-aware salt: same tokens + different image must not collide
+    (reference apc.py:193)."""
+    h = hashlib.sha256()
+    h.update(model_key.encode())
+    h.update(tenant.encode())
+    for im in images or []:
+        arr = np.asarray(im)
+        h.update(arr.tobytes()[:65536])
+        h.update(str(arr.shape).encode())
+    return h.hexdigest()
+
+
+def media_token_spans(tokens: Sequence[int], media_ids: Sequence[int]) -> List[Tuple[int, int]]:
+    """Contiguous spans of media tokens (reference apc.py:412)."""
+    spans = []
+    start = None
+    mset = set(media_ids)
+    for i, t in enumerate(tokens):
+        if t in mset:
+            if start is None:
+                start = i
+        elif start is not None:
+            spans.append((start, i))
+            start = None
+    if start is not None:
+        spans.append((start, len(tokens)))
+    return spans
+
+
+def adjust_prefix_to_media_boundary(
+    prefix_len: int, tokens: Sequence[int], media_ids: Sequence[int]
+) -> int:
+    """Shrink prefix so it never splits a media span (reference apc.py:472)."""
+    for s, e in media_token_spans(tokens, media_ids):
+        if s < prefix_len < e:
+            return s
+    return prefix_len
+
+
+@dataclasses.dataclass
+class APCBlock:
+    hash: str
+    parent: Optional[str]
+    tokens: Tuple[int, ...]
+    k: np.ndarray  # [L, H, bs, D]  (or packed arrays for quantized caches)
+    v: np.ndarray
+    last_used: float = 0.0
+    refs: int = 0
+
+
+@dataclasses.dataclass
+class APCStats:
+    lookups: int = 0
+    hits: int = 0
+    hit_tokens: int = 0
+    stores: int = 0
+    evictions: int = 0
+    rejects: Dict[str, int] = dataclasses.field(default_factory=dict)
+
+    def reject(self, reason: str):
+        self.rejects[reason] = self.rejects.get(reason, 0) + 1
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+class APCManager:
+    """Fixed-size block pool with chained hashes and LRU eviction."""
+
+    def __init__(
+        self,
+        num_blocks: int = DEFAULT_NUM_BLOCKS,
+        block_size: int = DEFAULT_BLOCK_SIZE,
+        media_token_ids: Sequence[int] = (),
+    ):
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+        self.media_token_ids = tuple(media_token_ids)
+        self.blocks: Dict[str, APCBlock] = {}
+        self.lock = threading.RLock()
+        self.stats = APCStats()
+
+    # ----------------------------------------------------------------- query
+    def lookup(self, tokens: Sequence[int], extra: str = "") -> Tuple[int, List[APCBlock]]:
+        """Longest cached prefix (multiple of block_size, media-safe,
+        strictly shorter than the prompt)."""
+        bs = self.block_size
+        tokens = list(tokens)
+        with self.lock:
+            self.stats.lookups += 1
+            matched: List[APCBlock] = []
+            parent = None
+            limit = (len(tokens) - 1) // bs  # leave >=1 token to prefill
+            for b in range(limit):
+                chunk = tuple(tokens[b * bs : (b + 1) * bs])
+                h = _hash(parent, chunk, extra)
+                blk = self.blocks.get(h)
+                if blk is None:
+                    break
+                matched.append(blk)
+                parent = h
+            prefix = len(matched) * bs
+            safe = adjust_prefix_to_media_boundary(
+                prefix, tokens, self.media_token_ids
+            )
+            if safe != prefix:
+                self.stats.reject("media_boundary")
+                safe = (safe // bs) * bs
+                matched = matched[: safe // bs]
+                prefix = safe
+            now = time.time()
+            for blk in matched:
+                blk.last_used = now
+            if prefix:
+                self.stats.hits += 1
+                self.stats.hit_tokens += prefix
+            return prefix, matched
+
+    # ----------------------------------------------------------------- store
+    def commit(
+        self,
+        tokens: Sequence[int],
+        cache,
+        extra: str = "",
+        row: int = 0,
+        upto: Optional[int] = None,
+    ):
+        """Split the prompt KV into blocks and insert (skips already-cached
+        prefix).  `cache` is a framework KVCache; device->host copy happens
+        here, once."""
+        bs = self.block_size
+        tokens = list(tokens)
+        n = upto if upto is not None else len(tokens)
+        n = (n // bs) * bs
+        if n == 0:
+            self.stats.reject("too_short")
+            return 0
+        if type(cache).__name__ not in ("KVCache", "BatchKVCache"):
+            self.stats.reject("cache_type")
+            return 0
+        # pre-compute the hash chain; device->host copy only for the missing
+        # suffix region (a warm hit re-commit is then free)
+        hashes = []
+        parent = None
+        for b in range(n // bs):
+            chunk = tuple(tokens[b * bs : (b + 1) * bs])
+            h = _hash(parent, chunk, extra)
+            hashes.append((h, parent, chunk))
+            parent = h
+        with self.lock:
+            first_missing = next(
+                (i for i, (h, _, _) in enumerate(hashes) if h not in self.blocks),
+                None,
+            )
+        if first_missing is None:
+            return 0
+        lo = first_missing * bs
+        k_host = np.asarray(cache.k[:, row, :, lo:n, :])  # [L, H, n-lo, D]
+        v_host = np.asarray(cache.v[:, row, :, lo:n, :])
+        stored = 0
+        with self.lock:
+            for b in range(first_missing, n // bs):
+                h, parent, chunk = hashes[b]
+                if h not in self.blocks:
+                    self._evict_if_full()
+                    s = (b * bs) - lo
+                    self.blocks[h] = APCBlock(
+                        hash=h,
+                        parent=parent,
+                        tokens=chunk,
+                        k=k_host[:, :, s : s + bs, :].copy(),
+                        v=v_host[:, :, s : s + bs, :].copy(),
+                        last_used=time.time(),
+                    )
+                    stored += 1
+            self.stats.stores += stored
+        return stored
+
+    def _evict_if_full(self):
+        if len(self.blocks) < self.num_blocks:
+            return
+        # LRU eviction, but never evict a block that is some other block's
+        # parent unless its children are gone too (evict leaves first)
+        parents = {b.parent for b in self.blocks.values() if b.parent}
+        candidates = [b for b in self.blocks.values() if b.hash not in parents]
+        if not candidates:
+            candidates = list(self.blocks.values())
+        victim = min(candidates, key=lambda b: b.last_used)
+        del self.blocks[victim.hash]
+        self.stats.evictions += 1
+
+    # ------------------------------------------------------------- warm cache
+    def make_warm_cache(
+        self,
+        matched: List[APCBlock],
+        model,
+        capacity: int,
+        dtype=jnp.bfloat16,
+    ):
+        """Assemble matched blocks into a fresh cache with offset=prefix."""
+        from .generate.ar import make_cache
+
+        lm = model.language_model
+        prefix = len(matched) * self.block_size
+        cache = make_cache(model, 1, capacity, dtype)
+        if not matched:
+            return cache
+        k_np = np.concatenate([b.k for b in matched], axis=2)  # [L,H,prefix,D]
+        v_np = np.concatenate([b.v for b in matched], axis=2)
+        k = cache.k.at[:, 0, :, :prefix, :].set(jnp.asarray(k_np, cache.k.dtype))
+        v = cache.v.at[:, 0, :, :prefix, :].set(jnp.asarray(v_np, cache.v.dtype))
+        return dataclasses.replace(
+            cache, k=k, v=v, offset=jnp.asarray(prefix, jnp.int32)
+        )
+
+    def reset(self):
+        with self.lock:
+            self.blocks.clear()
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            return {
+                "enabled": True,
+                "num_blocks": self.num_blocks,
+                "block_size": self.block_size,
+                "used_blocks": len(self.blocks),
+                **self.stats.as_dict(),
+            }
+
+
+def from_env(media_token_ids: Sequence[int] = ()) -> Optional[APCManager]:
+    """APC_ENABLED / APC_NUM_BLOCKS / APC_BLOCK_SIZE (reference apc.py:4405)."""
+    if os.environ.get("APC_ENABLED", "0") not in ("1", "true", "True"):
+        return None
+    return APCManager(
+        num_blocks=int(os.environ.get("APC_NUM_BLOCKS", DEFAULT_NUM_BLOCKS)),
+        block_size=int(os.environ.get("APC_BLOCK_SIZE", DEFAULT_BLOCK_SIZE)),
+        media_token_ids=media_token_ids,
+    )

@@ -191,6 +191,9 @@ def generate_step(
     block_size: int = 32,
     kv_bits: Optional[int] = None,
     kv_group_size: int = 64,
+    prompt_cache=None,
+    prefix_len: int = 0,
+    prompt_cache_callback: Optional[Callable] = None,
     prompt_progress_callback: Optional[Callable] = None,
 ) -> Generator[Tuple[np.ndarray, np.ndarray], None, None]:
     """Yield (token [B] int, chosen-token logprob [B]) pairs.
@@ -213,23 +216,42 @@ def generate_step(
     rope_deltas = jnp.asarray(np.asarray(rope_deltas).astype(np.int32))
 
     block_size = max(1, min(block_size, max_tokens))
-    capacity = kv_capacity or round_up(
-        S + max_tokens + block_size + 1, CACHE_BUCKET
-    )
-    cache = make_cache(
-        model, B, capacity, inputs_embeds.dtype, kv_bits, kv_group_size
-    )
+    if prompt_cache is not None:
+        cache = prompt_cache
+        capacity = cache.capacity
+    else:
+        prefix_len = 0
+        capacity = kv_capacity or round_up(
+            S + max_tokens + block_size + 1, CACHE_BUCKET
+        )
+        cache = make_cache(
+            model, B, capacity, inputs_embeds.dtype, kv_bits, kv_group_size
+        )
 
-    # ---- chunked prefill (reference ar.py:420-456)
-    step_sz = min(prefill_step_size, round_up(S, CACHE_BUCKET))
-    S_pad = round_up(S, step_sz)
-    embeds = jnp.asarray(inputs_embeds)
-    if S_pad != S:
-        embeds = jnp.pad(embeds, ((0, 0), (0, S_pad - S), (0, 0)))
-    pos_pad = _pad_axis(np.asarray(position_ids, np.int32), 2, S_pad)
+    # ---- chunked prefill over the uncached suffix (reference ar.py:420-456;
+    # APC warm prefixes land via prompt_cache with offset=prefix_len)
+    suffix = S - prefix_len
+    step_sz = min(prefill_step_size, round_up(suffix, CACHE_BUCKET))
+    S_pad = round_up(suffix, step_sz)
+    # padded writes must fit the buffer past the warm prefix — a clamped
+    # dynamic_update_slice would silently overwrite cached rows
+    while prefix_len + S_pad > capacity and step_sz > 64:
+        step_sz = max(64, step_sz // 2)
+        S_pad = round_up(suffix, step_sz)
+    if prefix_len + S_pad > capacity:
+        raise ValueError(
+            f"kv capacity {capacity} too small for prefix {prefix_len} + "
+            f"padded suffix {S_pad}"
+        )
+    embeds = jnp.asarray(inputs_embeds)[:, prefix_len:]
+    if S_pad != suffix:
+        embeds = jnp.pad(embeds, ((0, 0), (0, S_pad - suffix), (0, 0)))
+    pos_pad = _pad_axis(
+        np.asarray(position_ids, np.int32)[:, :, prefix_len:], 2, S_pad
+    )
 
     logits = None
-    last_global = S - 1
+    last_global = suffix - 1
     for c0 in range(0, S_pad, step_sz):
         chunk = jax.lax.dynamic_slice_in_dim(embeds, c0, step_sz, axis=1)
         pchunk = jnp.asarray(pos_pad[:, :, c0 : c0 + step_sz])
@@ -239,10 +261,12 @@ def generate_step(
         if in_chunk:
             logits = lgts
         if prompt_progress_callback:
-            prompt_progress_callback(min(c0 + step_sz, S), S)
+            prompt_progress_callback(prefix_len + min(c0 + step_sz, suffix), S)
     # fix the write cursor to the true prompt length (padding wrote garbage
     # beyond S which stays masked because offset <= true length)
     cache = dataclasses.replace(cache, offset=jnp.asarray(S, jnp.int32))
+    if prompt_cache_callback is not None:
+        prompt_cache_callback(cache)
 
     sampler = sampler or make_sampler()
     processors = tuple(logits_processors or ())

@@ -60,9 +60,15 @@ def stream_generate(
     block_size: int = 32,
     kv_bits: Optional[int] = None,
     kv_group_size: int = 64,
+    apc=None,
+    vision_cache=None,
     **kwargs,
 ) -> Generator[GenerationResult, None, None]:
-    """Stream GenerationResult chunks (reference dispatch.py:700)."""
+    """Stream GenerationResult chunks (reference dispatch.py:700).
+
+    `apc` is an mlx_vlm_tpu.apc.APCManager for automatic prefix caching;
+    `vision_cache` an mlx_vlm_tpu.vision_cache.VisionFeatureCache.
+    """
     inputs = prepare_inputs(processor, prompt, images=image, videos=video)
     input_ids = inputs["input_ids"]
     pixel_values = inputs.get("pixel_values")
@@ -76,14 +82,46 @@ def stream_generate(
     ids_dev = jnp.asarray(input_ids)
     if pixel_values is not None:
         aux = model.vision_aux_inputs(np.asarray(grid_thw))
-        embeds = jax.jit(model.get_input_embeddings)(
-            model.params,
-            ids_dev,
-            jnp.asarray(pixel_values),
-            **{k: jnp.asarray(v) for k, v in aux.items()},
-        )
+        aux_dev = {k: jnp.asarray(v) for k, v in aux.items()}
+        feats = None
+        if vision_cache is not None and hasattr(model, "vision_features"):
+            ckey = vision_cache.key(pixel_values, grid_thw)
+            feats = vision_cache.get(ckey)
+            if feats is None:
+                feats = jax.jit(model.vision_features)(
+                    model.params, jnp.asarray(pixel_values), **aux_dev
+                )
+                vision_cache.put(ckey, feats)
+            embeds = jax.jit(model.get_input_embeddings)(
+                model.params, ids_dev, image_features=feats
+            )
+        else:
+            embeds = jax.jit(model.get_input_embeddings)(
+                model.params, ids_dev, jnp.asarray(pixel_values), **aux_dev
+            )
     else:
         embeds = jax.jit(model.get_input_embeddings)(model.params, ids_dev)
+
+    # --- APC lookup: reuse the longest cached, media-safe prefix
+    prompt_cache = None
+    prefix_len = 0
+    prompt_cache_callback = None
+    if apc is not None:
+        from ..apc import semantic_extra_hash
+        from .common import round_up as _round_up
+
+        tokens = np.asarray(input_ids)[0].tolist()
+        extra = semantic_extra_hash(
+            model_key=str(getattr(model, "config_dict", {}).get("model_type", "")),
+            images=[np.asarray(pixel_values)] if pixel_values is not None else None,
+        )
+        prefix_len, blocks = apc.lookup(tokens, extra)
+        S = int(np.asarray(input_ids).shape[1])
+        capacity = _round_up(S + max_tokens + block_size + 65, 256)
+        prompt_cache = apc.make_warm_cache(blocks, model, capacity, embeds.dtype)
+
+        def prompt_cache_callback(cache, _tokens=tokens, _extra=extra, _S=S):
+            apc.commit(_tokens, cache, _extra, upto=_S)
 
     position_ids, rope_deltas = model.prepare_position_ids(
         np.asarray(input_ids),
@@ -124,6 +162,9 @@ def stream_generate(
         block_size=block_size,
         kv_bits=kv_bits,
         kv_group_size=kv_group_size,
+        prompt_cache=prompt_cache,
+        prefix_len=prefix_len,
+        prompt_cache_callback=prompt_cache_callback,
         seed=seed,
     ):
         now = time.perf_counter()

@@ -54,6 +54,18 @@ class Model:
         self.language_model = LanguageModel(config.text_config, config)
 
     # ------------------------------------------------------------------ jit
+    def vision_features(
+        self,
+        params: dict,
+        pixel_values: jax.Array,
+        rotary_freqs: jax.Array,
+        segment_ids: jax.Array,
+    ) -> jax.Array:
+        """Merged vision features [N_merged, D] (cacheable per image)."""
+        return self.vision_tower(
+            params["vision_tower"], pixel_values, rotary_freqs, segment_ids
+        )
+
     def get_input_embeddings(
         self,
         params: dict,
@@ -61,16 +73,21 @@ class Model:
         pixel_values: Optional[jax.Array] = None,  # [N, C*T*P*P]
         rotary_freqs: Optional[jax.Array] = None,
         segment_ids: Optional[jax.Array] = None,
+        image_features: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Device part of input embedding (vision tower + merge).
 
         M-RoPE position ids are produced host-side by `prepare_position_ids`.
+        `image_features` short-circuits the tower (vision feature cache,
+        reference qwen2_vl.py:50 `cached_image_features`).
         """
         embeds = self.language_model.embed(params["language_model"], input_ids)
-        if pixel_values is None:
+        if pixel_values is None and image_features is None:
             return embeds
-        feats = self.vision_tower(
-            params["vision_tower"], pixel_values, rotary_freqs, segment_ids
+        feats = (
+            image_features
+            if image_features is not None
+            else self.vision_features(params, pixel_values, rotary_freqs, segment_ids)
         )
         return merge_input_ids_with_image_features(
             self.config.image_token_id,

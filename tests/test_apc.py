@@ -1,0 +1,151 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlx_vlm_tpu.apc import (
+    APCManager,
+    adjust_prefix_to_media_boundary,
+    media_token_spans,
+    semantic_extra_hash,
+)
+from mlx_vlm_tpu.generate.ar import generate_step, make_cache
+from mlx_vlm_tpu.utils.testing import make_tiny_qwen2_vl
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_tiny_qwen2_vl(seed=9, dtype=jnp.float32)
+
+
+def _embeds(model, ids):
+    return jax.jit(model.get_input_embeddings)(model.params, jnp.asarray(ids))
+
+
+class TestHashingAndRules:
+    def test_media_spans(self):
+        toks = [1, 5, 5, 2, 5, 3]
+        assert media_token_spans(toks, [5]) == [(1, 3), (4, 5)]
+
+    def test_boundary_adjustment(self):
+        toks = [1, 5, 5, 5, 2]
+        assert adjust_prefix_to_media_boundary(2, toks, [5]) == 1
+        assert adjust_prefix_to_media_boundary(4, toks, [5]) == 4
+
+    def test_semantic_hash_differs_by_image(self):
+        a = semantic_extra_hash("m", [np.zeros((4, 4))])
+        b = semantic_extra_hash("m", [np.ones((4, 4))])
+        assert a != b
+        assert semantic_extra_hash("m", [np.zeros((4, 4))]) == a
+
+
+class TestBlockPool:
+    def test_commit_and_lookup(self, model):
+        apc = APCManager(num_blocks=64, block_size=4)
+        tokens = list(range(20))
+        cache = make_cache(model, 1, 32, jnp.float32)
+        # fill cache with recognizable values
+        import dataclasses
+
+        k = cache.k.at[:, 0, :, :20, :].set(1.5)
+        cache = dataclasses.replace(cache, k=k, offset=jnp.asarray(20, jnp.int32))
+        stored = apc.commit(tokens, cache)
+        assert stored == 5
+        prefix, blocks = apc.lookup(tokens)
+        # full match limited to < len(tokens): 16 tokens (leaves 4 to prefill)
+        assert prefix == 16
+        assert len(blocks) == 4
+        # different extra hash -> no match
+        p2, _ = apc.lookup(tokens, extra="other")
+        assert p2 == 0
+        # partial prefix
+        p3, _ = apc.lookup(tokens[:9] + [99, 98, 97])
+        assert p3 == 8
+
+    def test_eviction(self, model):
+        apc = APCManager(num_blocks=3, block_size=2)
+        cache = make_cache(model, 1, 16, jnp.float32)
+        import dataclasses
+
+        cache = dataclasses.replace(cache, offset=jnp.asarray(8, jnp.int32))
+        apc.commit([1, 2, 3, 4], cache)
+        apc.commit([9, 10, 11, 12], cache)
+        assert len(apc.blocks) == 3  # 4th insert evicted one
+        assert apc.stats.evictions >= 1
+
+    def test_stats_snapshot(self, model):
+        apc = APCManager(num_blocks=8, block_size=2)
+        apc.lookup([1, 2, 3])
+        snap = apc.snapshot()
+        assert snap["lookups"] == 1 and snap["enabled"]
+
+
+class TestWarmCacheCorrectness:
+    def test_warm_prefill_matches_cold(self, model):
+        """Generation from an APC-warmed cache must equal cold generation."""
+        from mlx_vlm_tpu.apc import APCManager
+
+        apc = APCManager(num_blocks=64, block_size=4)
+        S = 14
+        ids = (np.arange(S, dtype=np.int32) * 13 % 200)[None]
+        tokens = ids[0].tolist()
+        embeds = _embeds(model, ids)
+
+        # harvest inside the callback — the cache buffers are donated to the
+        # decode program right after prefill
+        cold = [
+            int(t[0])
+            for t, _ in generate_step(
+                embeds, model, max_tokens=6,
+                prompt_cache_callback=lambda c: apc.commit(tokens, c, upto=S),
+            )
+        ]
+
+        prefix, blocks = apc.lookup(tokens)
+        assert prefix == 12  # 3 blocks of 4 (leaves >=1 token)
+        warm_cache = apc.make_warm_cache(blocks, model, 256, jnp.float32)
+        assert int(warm_cache.offset) == prefix
+        warm = [
+            int(t[0])
+            for t, _ in generate_step(
+                embeds, model, max_tokens=6,
+                prompt_cache=warm_cache, prefix_len=prefix,
+            )
+        ]
+        assert warm == cold, f"warm {warm} != cold {cold}"
+
+    def test_stream_generate_with_apc(self, model):
+        """Second identical call must hit the APC and produce the same text."""
+        from mlx_vlm_tpu.apc import APCManager
+        from mlx_vlm_tpu.generate.dispatch import stream_generate
+
+        class _FakeTok:
+            eos_token_id = 9999
+
+            def decode(self, ids, **kw):
+                return "".join(chr(97 + (i % 26)) for i in ids)
+
+            def __call__(self, text, **kw):
+                ids = [(ord(c) * 7) % 200 for c in str(text)][:24]
+                return {"input_ids": np.asarray([ids]),
+                        "attention_mask": np.ones((1, len(ids)), np.int64)}
+
+        class _Proc:
+            tokenizer = _FakeTok()
+
+            def __call__(self, text=None, images=None, videos=None, **kw):
+                return self.tokenizer(text[0] if isinstance(text, list) else text)
+
+        apc = APCManager(num_blocks=64, block_size=4)
+        proc = _Proc()
+        prompt = "the quick brown fox jumps over it"
+        out1 = "".join(
+            r.text for r in stream_generate(model, proc, prompt, max_tokens=5, apc=apc)
+        )
+        assert apc.stats.stores > 0
+        out2 = "".join(
+            r.text for r in stream_generate(model, proc, prompt, max_tokens=5, apc=apc)
+        )
+        assert apc.stats.hits >= 1
+        assert out1 == out2
