@@ -1,0 +1,260 @@
+"""Speculative decoding: draft k tokens, verify in one target forward.
+
+Role parity: reference mlx_vlm/speculative/ — run_speculative_rounds
+(utils.py:215), rejection walks (common.py:135), drafter loading
+(drafters/__init__.py), engine hookup (generate/ar.py:465-480).
+
+TPU design:
+- Draft + verify are two jit programs with static block size; the whole
+  round (k draft steps, one [k+1]-token target forward, acceptance walk,
+  cursor rollback) runs on device, returning (tokens, n_accepted).
+- Rollback is free: fixed-capacity caches rewind by moving the write cursor
+  back — stale K/V past the cursor is masked (keep j <= offset+i) and gets
+  overwritten by the next round.  The reference must trim/rollback cache
+  tensors explicitly (mtp.py:430, turboquant.py:3845).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Generator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..generate.ar import CACHE_BUCKET, get_engine, make_cache
+from ..generate.common import round_up
+
+
+def run_speculative_rounds(*args, **kwargs):
+    """Alias for the generator API (reference speculative/utils.py:215)."""
+    return speculative_generate_step(*args, **kwargs)
+
+
+def load_drafter(path_or_repo: str, dtype=jnp.bfloat16, kind: str = "vanilla"):
+    """Load a draft model (reference drafters/__init__.py:load_drafter).
+
+    v1 supports `vanilla` (independent smaller LM sharing the tokenizer);
+    EAGLE-3 / MTP target-coupled drafters follow the same verify loop and
+    plug in here.
+    """
+    from ..utils.loader import load_model
+
+    return load_model(path_or_repo, dtype=dtype)
+
+
+def validate_drafter_compatibility(model, drafter):
+    """Vocab-size check (reference drafters/__init__.py:37)."""
+    tv = model.config_dict.get("vocab_size") or model.config_dict.get(
+        "text_config", {}
+    ).get("vocab_size")
+    dv = drafter.config_dict.get("vocab_size")
+    if tv and dv and tv != dv:
+        raise ValueError(f"drafter vocab {dv} != target vocab {tv}")
+
+
+class SpeculativeEngine:
+    """Jitted draft/verify programs for a (target, drafter) pair."""
+
+    def __init__(self, model, drafter, num_draft: int = 4):
+        self.model = model
+        self.drafter = drafter
+        self.k = num_draft
+        self._draft_fn = None
+        self._verify_fn = None
+
+    def draft_fn(self):
+        if self._draft_fn is not None:
+            return self._draft_fn
+        lm = self.drafter.language_model
+        k = self.k
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def draft(params, cache, tok):
+            B = tok.shape[0]
+
+            def body(carry, _):
+                cache, tok = carry
+                embeds = lm.embed(params["language_model"], tok[:, None])
+                pos = jnp.broadcast_to(cache.offset[None, None], (3, B, 1))
+                hidden, cache = lm(params["language_model"], embeds, cache, pos)
+                logits = lm.logits(params["language_model"], hidden)[:, 0]
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (cache, nxt), nxt
+
+            (cache, _), toks = jax.lax.scan(body, (cache, tok), None, length=k)
+            return toks.T, cache  # [B, k]
+
+        self._draft_fn = draft
+        return draft
+
+    def verify_fn(self):
+        if self._verify_fn is not None:
+            return self._verify_fn
+        lm = self.model.language_model
+        k = self.k
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def verify(params, cache, prev_tok, draft_toks, rope_delta):
+            """One target forward over [prev, d1..dk]; greedy acceptance.
+
+            Returns (out_toks [B, k+1], n_accepted [B], cache-with-rewound-
+            cursor).  out_toks[:, :n_acc+1] are the committed tokens.
+            """
+            B = prev_tok.shape[0]
+            seq = jnp.concatenate([prev_tok[:, None], draft_toks], axis=1)  # [B,k+1]
+            lp = params["language_model"]
+            embeds = lm.embed(lp, seq)
+            base = cache.offset + rope_delta.reshape(-1)[:B]
+            pos = base[None, :, None] + jnp.arange(k + 1)[None, None, :]
+            hidden, cache = lm(lp, embeds, cache, pos.astype(jnp.int32))
+            logits = lm.logits(lp, hidden).astype(jnp.float32)  # [B,k+1,V]
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,k+1]
+            # accept draft i while greedy[:, i] == draft[:, i]
+            match = greedy[:, :k] == draft_toks  # [B,k]
+            n_acc = jnp.argmin(
+                jnp.concatenate(
+                    [match, jnp.zeros((B, 1), bool)], axis=1
+                ).astype(jnp.int32),
+                axis=1,
+            )  # first mismatch position == number accepted
+            # cap at k-1: on a full match the "bonus" is greedy[k-1] == d_k,
+            # keeping the drafter cache exactly one token behind the stream
+            # (its scan writes only its k input tokens' KV)
+            n_acc = jnp.minimum(n_acc, k - 1)
+            # committed tokens: draft[:, :n_acc] then greedy[:, n_acc] (the
+            # correction/bonus token)
+            idx = jnp.arange(k + 1)[None, :]
+            out = jnp.where(idx < n_acc[:, None], jnp.pad(draft_toks, ((0, 0), (0, 1))), 0)
+            bonus = jnp.take_along_axis(greedy, n_acc[:, None], axis=1)[:, 0]
+            out = jnp.where(idx == n_acc[:, None], bonus[:, None], out)
+            # rewind: the forward advanced offset by k+1; commit only n_acc+1
+            cache = dataclasses.replace(
+                cache,
+                offset=cache.offset - (k + 1) + jnp.max(n_acc) + 1,
+            )
+            return out, n_acc, cache
+
+        self._verify_fn = verify
+        return verify
+
+
+@dataclasses.dataclass
+class SpecStats:
+    rounds: int = 0
+    drafted: int = 0
+    accepted: int = 0
+
+    @property
+    def acceptance_rate(self) -> float:
+        return self.accepted / max(self.drafted, 1)
+
+
+def speculative_generate_step(
+    inputs_embeds: jax.Array,  # [1, S, D] (target embeddings)
+    model,
+    drafter,
+    input_ids: Optional[np.ndarray] = None,  # [1, S] for drafter prefill
+    *,
+    position_ids: Optional[np.ndarray] = None,
+    rope_deltas: Optional[np.ndarray] = None,
+    max_tokens: int = 256,
+    num_draft: int = 4,
+    prefill_step_size: int = 512,
+    stats: Optional[SpecStats] = None,
+) -> Generator[Tuple[np.ndarray, np.ndarray], None, None]:
+    """Greedy speculative decoding, B=1 (reference utils.py:215).
+
+    Lossless: output equals plain greedy decoding of the target model.
+    """
+    assert inputs_embeds.shape[0] == 1, "speculative path is single-stream"
+    params = model.params
+    engine = get_engine(model)
+    spec = SpeculativeEngine(model, drafter, num_draft)
+    stats = stats if stats is not None else SpecStats()
+    B, S, _ = inputs_embeds.shape
+    k = num_draft
+
+    if position_ids is None:
+        p = np.broadcast_to(np.arange(S, dtype=np.int32), (B, S))
+        position_ids = np.broadcast_to(p[None], (3, B, S))
+    if rope_deltas is None:
+        rope_deltas = np.zeros((B, 1), np.int32)
+    rope_deltas = jnp.asarray(np.asarray(rope_deltas, np.int32))
+
+    capacity = round_up(S + max_tokens + k + 2, CACHE_BUCKET)
+    cache = make_cache(model, B, capacity, inputs_embeds.dtype)
+
+    # --- target prefill (shared chunked program)
+    step_sz = min(prefill_step_size, round_up(S, CACHE_BUCKET))
+    S_pad = round_up(S, step_sz)
+    embeds = jnp.asarray(inputs_embeds)
+    if S_pad != S:
+        embeds = jnp.pad(embeds, ((0, 0), (0, S_pad - S), (0, 0)))
+    pos_pad = np.zeros((3, B, S_pad), np.int32)
+    pos_pad[:, :, :S] = position_ids
+    logits = None
+    for c0 in range(0, S_pad, step_sz):
+        chunk = jax.lax.dynamic_slice_in_dim(embeds, c0, step_sz, axis=1)
+        in_chunk = c0 <= S - 1 < c0 + step_sz
+        lgts, cache = engine._prefill(
+            params, cache, chunk, jnp.asarray(pos_pad[:, :, c0 : c0 + step_sz]),
+            S - 1 - c0 if in_chunk else 0,
+        )
+        if in_chunk:
+            logits = lgts
+    cache = dataclasses.replace(cache, offset=jnp.asarray(S, jnp.int32))
+
+    # --- drafter prefill on token ids
+    d_engine = get_engine(drafter)
+    dlm = drafter.language_model
+    d_capacity = capacity
+    d_cache = make_cache(drafter, B, d_capacity, inputs_embeds.dtype)
+    ids = np.asarray(input_ids) if input_ids is not None else None
+    if ids is None:
+        raise ValueError("speculative decoding needs input_ids for the drafter")
+    d_embeds = dlm.embed(drafter.params["language_model"], jnp.asarray(ids))
+    d_pad = jnp.pad(d_embeds, ((0, 0), (0, S_pad - S), (0, 0)))
+    for c0 in range(0, S_pad, step_sz):
+        chunk = jax.lax.dynamic_slice_in_dim(d_pad, c0, step_sz, axis=1)
+        _, d_cache = d_engine._prefill(
+            drafter.params, d_cache, chunk,
+            jnp.asarray(pos_pad[:, :, c0 : c0 + step_sz]), 0,
+        )
+    d_cache = dataclasses.replace(d_cache, offset=jnp.asarray(S, jnp.int32))
+
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # first token
+    yield np.asarray(tok), np.zeros((B,), np.float32)
+    n = 1
+
+    draft = spec.draft_fn()
+    verify = spec.verify_fn()
+    # `cur` = sequence position of the last emitted token (target cache's
+    # write cursor; the last token's own KV is written by the next round)
+    cur = S  # t1 sits at position S... cursor semantics: offset == cur - ?
+    while n < max_tokens:
+        d_toks, d_cache = draft(drafter.params, d_cache, tok)
+        out, n_acc, cache = verify(params, cache, tok, d_toks, rope_deltas)
+        out_h = np.asarray(out)
+        n_acc_h = int(np.asarray(n_acc)[0])
+        stats.rounds += 1
+        stats.drafted += k
+        stats.accepted += n_acc_h
+        committed = out_h[0, : n_acc_h + 1]
+        # drafter cursor: its scan wrote [tok, d1..d_{k-1}] starting at the
+        # old cursor; rewind to old + (n_acc + 1) so it points at the bonus
+        # token's position (stale rows masked/overwritten)
+        d_cache = dataclasses.replace(
+            d_cache,
+            offset=jnp.asarray(S + n - 1 + n_acc_h + 1, jnp.int32),
+        )
+        for t in committed:
+            if n >= max_tokens:
+                break
+            yield np.asarray([t]), np.zeros((B,), np.float32)
+            n += 1
+        tok = jnp.asarray([int(committed[-1])], jnp.int32)

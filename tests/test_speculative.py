@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlx_vlm_tpu.generate.ar import generate_step
+from mlx_vlm_tpu.speculative.utils import SpecStats, speculative_generate_step
+from mlx_vlm_tpu.utils.loader import load_model_from_weights
+from mlx_vlm_tpu.utils.testing import llama_hf_weights, tiny_llama_config
+
+
+@pytest.fixture(scope="module")
+def target():
+    cfg = tiny_llama_config(num_hidden_layers=3)
+    return load_model_from_weights(cfg, llama_hf_weights(cfg, seed=1), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def drafter_same(target):
+    cfg = tiny_llama_config(num_hidden_layers=3)
+    return load_model_from_weights(cfg, llama_hf_weights(cfg, seed=1), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def drafter_diff():
+    cfg = tiny_llama_config(num_hidden_layers=2)
+    return load_model_from_weights(cfg, llama_hf_weights(cfg, seed=7), jnp.float32)
+
+
+def _embeds(model, ids):
+    return jax.jit(model.get_input_embeddings)(model.params, jnp.asarray(ids))
+
+
+def _plain_greedy(model, ids, max_tokens):
+    return [
+        int(t[0]) for t, _ in generate_step(_embeds(model, ids), model, max_tokens=max_tokens)
+    ]
+
+
+def _spec_greedy(model, drafter, ids, max_tokens, k=3):
+    stats = SpecStats()
+    toks = [
+        int(t[0])
+        for t, _ in speculative_generate_step(
+            _embeds(model, ids), model, drafter, input_ids=ids,
+            max_tokens=max_tokens, num_draft=k, stats=stats,
+        )
+    ]
+    return toks, stats
+
+
+class TestSpeculative:
+    def test_lossless_with_perfect_drafter(self, target, drafter_same):
+        """Drafter == target: every draft accepted, output identical."""
+        ids = (np.arange(10, dtype=np.int32) * 3 % 200)[None]
+        ref = _plain_greedy(target, ids, 12)
+        out, stats = _spec_greedy(target, drafter_same, ids, 12, k=3)
+        assert out == ref, f"{out} != {ref}"
+        # with a perfect drafter, acceptance is capped at k-1 per round
+        assert stats.acceptance_rate > 0.6
+
+    def test_lossless_with_weak_drafter(self, target, drafter_diff):
+        """Different drafter: output must STILL equal target-only greedy."""
+        ids = (np.arange(9, dtype=np.int32) * 11 % 200)[None]
+        ref = _plain_greedy(target, ids, 14)
+        out, stats = _spec_greedy(target, drafter_diff, ids, 14, k=4)
+        assert out == ref, f"{out} != {ref}"
+        assert stats.rounds >= 1
+
+    def test_various_block_sizes(self, target, drafter_diff):
+        ids = (np.arange(6, dtype=np.int32) + 3)[None]
+        ref = _plain_greedy(target, ids, 10)
+        for k in (2, 5):
+            out, _ = _spec_greedy(target, drafter_diff, ids, 10, k=k)
+            assert out == ref, f"k={k}: {out} != {ref}"
+
+    def test_compat_validation(self, target):
+        from mlx_vlm_tpu.speculative.utils import validate_drafter_compatibility
+
+        cfg = tiny_llama_config(vocab_size=128)
+        bad = load_model_from_weights(cfg, llama_hf_weights(cfg, 0), jnp.float32)
+        with pytest.raises(ValueError):
+            validate_drafter_compatibility(target, bad)
