@@ -38,11 +38,20 @@ def _matmul_wT(x: jax.Array, w) -> jax.Array:
 
 
 def linear(p: dict, x: jax.Array) -> jax.Array:
-    """HF Linear: y = x @ W.T + b. p = {"weight": [out,in], "bias"?: [out]}."""
+    """HF Linear: y = x @ W.T + b. p = {"weight": [out,in], "bias"?: [out]}.
+
+    If LoRA factors are attached (p["lora_a"] [r,in], p["lora_b"] [out,r],
+    scale folded into lora_b), the low-rank path is added — this is how
+    LoRA/QLoRA ride every linear, including quantized base weights
+    (reference trainer/lora_layers.py:11).
+    """
     y = _matmul_wT(x, p["weight"])
     b = p.get("bias")
     if b is not None:
         y = y + b.astype(y.dtype)
+    if "lora_a" in p:
+        z = _matmul_wT(x, p["lora_a"])  # [..., r]
+        y = y + _matmul_wT(z, p["lora_b"])
     return y
 
 
