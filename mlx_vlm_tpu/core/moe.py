@@ -1,0 +1,79 @@
+"""Mixture-of-Experts layers (SwitchGLU).
+
+Role parity: reference mlx_vlm/models/switch_layers.py — SwitchGLU /
+QuantizedSwitchLinear (gather-sort token routing over mx.gather_qmm,
+switch_layers.py:24-196).
+
+TPU design: experts are stacked on an axis of the weight arrays
+([..., E, I, D]) and a `lax.scan` over experts computes masked
+contributions — static shapes, no sort/scatter, fully fused by XLA.  This
+over-computes by E/k (every expert sees every token); a Pallas
+gather-matmul kernel (mx.gather_qmm equivalent) is the planned hot-path
+replacement for decode.  Capacity-based dispatch einsums (GShard-style)
+become attractive only with expert parallelism over the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layers import linear
+from .quant import QuantizedTensor, quantized_matmul
+
+
+def topk_router(
+    x: jax.Array,  # [N, D]
+    gate_w: jax.Array,  # [E, D] router weight (HF layout)
+    top_k: int,
+    norm_topk_prob: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (indices [N,k], weights [N,k]) — softmax-then-topk routing."""
+    logits = linear({"weight": gate_w}, x).astype(jnp.float32)  # [N, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    weights, indices = jax.lax.top_k(probs, top_k)
+    if norm_topk_prob:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return indices, weights
+
+
+def _expert_matmul(x, w):
+    if isinstance(w, QuantizedTensor):
+        return quantized_matmul(x, w, transpose=True)
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def switch_glu(
+    x: jax.Array,  # [N, D]
+    gate_proj,  # [E, I, D] (stacked expert weights, possibly quantized)
+    up_proj,  # [E, I, D]
+    down_proj,  # [E, D, I]
+    indices: jax.Array,  # [N, k]
+    weights: jax.Array,  # [N, k]
+) -> jax.Array:
+    """Top-k expert SwiGLU via masked scan over experts."""
+    N, D = x.shape
+    dtype = x.dtype
+
+    def body(acc, xs):
+        e_idx, wg, wu, wd = xs
+        # per-token routing weight for this expert (0 if not routed)
+        sel = (indices == e_idx).astype(jnp.float32) * weights.astype(jnp.float32)
+        w_tok = jnp.sum(sel, axis=-1)  # [N]
+        h = jax.nn.silu(_expert_matmul(x, wg)) * _expert_matmul(x, wu)
+        out = _expert_matmul(h, wd)
+        return acc + w_tok[:, None].astype(dtype) * out, None
+
+    if isinstance(gate_proj, QuantizedTensor):
+        E = gate_proj.q.shape[0]
+    else:
+        E = gate_proj.shape[0]
+    e_ids = jnp.arange(E, dtype=indices.dtype)
+    acc0 = jnp.zeros((N, D), dtype)
+    acc, _ = jax.lax.scan(body, acc0, (e_ids, gate_proj, up_proj, down_proj))
+    return acc

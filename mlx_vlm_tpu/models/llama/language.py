@@ -48,7 +48,7 @@ class LanguageModel:
                 x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
                 h = h + self._attention_nc(lp["self_attn"], x, cos, sin, mask)
                 x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
-                h = h + swiglu_mlp(lp["mlp"], x)
+                h = h + self._mlp(lp["mlp"], x)
                 return h, None
 
             h, _ = jax.lax.scan(layer_nc, h, mp["layers"])
@@ -62,12 +62,15 @@ class LanguageModel:
             attn, cxs = self._attention(lp["self_attn"], x, cos, sin, mask, cache, cxs)
             h = h + attn
             x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
-            h = h + swiglu_mlp(lp["mlp"], x)
+            h = h + self._mlp(lp["mlp"], x)
             return h, cxs
 
         h, cys = jax.lax.scan(layer, h, (mp["layers"], cache.scan_arrays()))
         h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
         return h, cache.with_arrays(cys, S)
+
+    def _mlp(self, p, x):
+        return swiglu_mlp(p, x)
 
     def _qkv(self, p, x):
         B, S, _ = x.shape

@@ -96,36 +96,45 @@ def _nest(flat: dict) -> dict:
     return out
 
 
-def _stack_layers(flat: dict, patterns: Tuple[str, ...]) -> dict:
-    """Fold `prefix.{i}.rest` keys into stacked arrays keyed `prefix.rest`."""
-    out = {}
-    groups: dict = {}
-    pat_res = [re.compile(rf"^{re.escape(p)}\.(\d+)\.(.+)$") for p in patterns]
-    for k, v in flat.items():
-        for pref, pr in zip(patterns, pat_res):
+def _stack_layers(flat: dict, patterns) -> dict:
+    """Fold `prefix.{i}.rest` keys into stacked arrays keyed `prefix.rest`.
+
+    Patterns are applied in order; an entry may be `(prefix, dest_axis)` to
+    move the new stacked axis (e.g. per-layer expert stacks become
+    [L, E, ...] by stacking experts after layers with dest_axis=1)."""
+    for pat in patterns:
+        if isinstance(pat, (tuple, list)):
+            pref, dest = pat
+        else:
+            pref, dest = pat, 0
+        pr = re.compile(rf"^{re.escape(pref)}\.(\d+)\.(.+)$")
+        out = {}
+        groups: dict = {}
+        for k, v in flat.items():
             m = pr.match(k)
             if m:
                 idx, rest = int(m.group(1)), m.group(2)
-                groups.setdefault((pref, rest), {})[idx] = v
-                break
-        else:
-            out[k] = v
-    for (pref, rest), items in groups.items():
-        vals = [items[i] for i in sorted(items)]
-        if len(vals) != max(items) + 1:
-            raise ValueError(f"missing layer indices under {pref}.*.{rest}")
-        if isinstance(vals[0], QuantizedTensor):
-            out[f"{pref}.{rest}"] = QuantizedTensor(
-                q=np.stack([t.q for t in vals]),
-                scales=np.stack([t.scales for t in vals]),
-                biases=np.stack([t.biases for t in vals]),
-                bits=vals[0].bits,
-                group_size=vals[0].group_size,
-                out_dtype=vals[0].out_dtype,
-            )
-        else:
-            out[f"{pref}.{rest}"] = np.stack(vals)
-    return out
+                groups.setdefault(rest, {})[idx] = v
+            else:
+                out[k] = v
+        for rest, items in groups.items():
+            vals = [items[i] for i in sorted(items)]
+            if len(vals) != max(items) + 1:
+                raise ValueError(f"missing indices under {pref}.*.{rest}")
+            if isinstance(vals[0], QuantizedTensor):
+                stacked = QuantizedTensor(
+                    q=np.moveaxis(np.stack([t.q for t in vals]), 0, dest),
+                    scales=np.moveaxis(np.stack([t.scales for t in vals]), 0, dest),
+                    biases=np.moveaxis(np.stack([t.biases for t in vals]), 0, dest),
+                    bits=vals[0].bits,
+                    group_size=vals[0].group_size,
+                    out_dtype=vals[0].out_dtype,
+                )
+            else:
+                stacked = np.moveaxis(np.stack(vals), 0, dest)
+            out[f"{pref}.{rest}"] = stacked
+        flat = out
+    return flat
 
 
 def _fold_quantized(flat: dict, qcfg: dict) -> dict:

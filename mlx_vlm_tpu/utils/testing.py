@@ -272,6 +272,47 @@ def llama_hf_weights(config: dict, seed: int = 0, scale: float = 0.05) -> dict:
     return w
 
 
+def tiny_qwen2_moe_config(**overrides) -> dict:
+    cfg = tiny_llama_config(
+        model_type="qwen2_moe",
+        num_experts=4,
+        num_experts_per_tok=2,
+        moe_intermediate_size=32,
+        shared_expert_intermediate_size=64,
+        norm_topk_prob=False,
+    )
+    cfg.update(overrides)
+    return cfg
+
+
+def qwen2_moe_hf_weights(config: dict, seed: int = 0, scale: float = 0.05) -> dict:
+    rng = np.random.default_rng(seed)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    D = config["hidden_size"]
+    E = config["num_experts"]
+    Im = config["moe_intermediate_size"]
+    Is = config["shared_expert_intermediate_size"]
+    w = llama_hf_weights(config, seed, scale)
+    for i in range(config["num_hidden_layers"]):
+        p = f"model.layers.{i}.mlp."
+        # replace the dense MLP with MoE weights
+        for nm in ("gate_proj", "up_proj", "down_proj"):
+            del w[f"model.layers.{i}.mlp.{nm}.weight"]
+        w[p + "gate.weight"] = rand(E, D)
+        for e in range(E):
+            w[p + f"experts.{e}.gate_proj.weight"] = rand(Im, D)
+            w[p + f"experts.{e}.up_proj.weight"] = rand(Im, D)
+            w[p + f"experts.{e}.down_proj.weight"] = rand(D, Im)
+        w[p + "shared_expert.gate_proj.weight"] = rand(Is, D)
+        w[p + "shared_expert.up_proj.weight"] = rand(Is, D)
+        w[p + "shared_expert.down_proj.weight"] = rand(D, Is)
+        w[p + "shared_expert_gate.weight"] = rand(1, D)
+    return w
+
+
 def tiny_llava_config(**overrides) -> dict:
     cfg = {
         "model_type": "llava",
