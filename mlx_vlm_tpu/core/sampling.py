@@ -56,17 +56,53 @@ def _apply_top_n_sigma(logits: jax.Array, n_sigma: float) -> jax.Array:
     return jnp.where(logits < mx - n_sigma * std, _NEG_INF, logits)
 
 
+def _apply_typical_p(logits: jax.Array, typical_p: float) -> jax.Array:
+    """Locally-typical sampling: keep tokens whose surprisal is closest to
+    the distribution entropy until mass >= typical_p."""
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(lp)
+    ent = -jnp.sum(p * jnp.where(jnp.isfinite(lp), lp, 0.0), axis=-1, keepdims=True)
+    dev = jnp.abs(-lp - ent)
+    order = jnp.argsort(dev, axis=-1)
+    p_sorted = jnp.take_along_axis(p, order, axis=-1)
+    cum = jnp.cumsum(p_sorted, axis=-1)
+    keep_sorted = (cum - p_sorted) < typical_p
+    ranks = jnp.argsort(order, axis=-1)
+    keep = jnp.take_along_axis(keep_sorted, ranks, axis=-1)
+    return jnp.where(keep, logits, _NEG_INF)
+
+
+def _apply_xtc(logits: jax.Array, probability: float, threshold: float,
+               key: jax.Array) -> jax.Array:
+    """Exclude-top-choices (reference sample_utils.py:349): with probability
+    p, drop every token above `threshold` except the least likely of them."""
+    p = jax.nn.softmax(logits, axis=-1)
+    above = p >= threshold
+    n_above = jnp.sum(above, axis=-1, keepdims=True)
+    # least-likely above-threshold token keeps its place
+    masked_p = jnp.where(above, p, jnp.inf)
+    min_above = jnp.min(masked_p, axis=-1, keepdims=True)
+    drop = above & (p > min_above)
+    fire = jax.random.uniform(key, (logits.shape[0], 1)) < probability
+    drop = drop & fire & (n_above > 1)
+    return jnp.where(drop, _NEG_INF, logits)
+
+
 def make_sampler(
     temp: float = 0.0,
     top_p: float = 0.0,
     min_p: float = 0.0,
     top_k: int = -1,
     top_n_sigma: float = -1.0,
+    typical_p: float = 0.0,
+    xtc_probability: float = 0.0,
+    xtc_threshold: float = 0.1,
 ) -> Callable[[jax.Array, jax.Array], jax.Array]:
     """Build `(logprobs[B,V], key) -> tokens[B] int32`.
 
-    Filters compose in the reference's order: top_k -> top_n_sigma -> top_p ->
-    min_p, then temperature-scaled categorical draw.
+    Filters compose in the reference's order (sample_utils.py:10): top_k ->
+    top_n_sigma -> top_p -> min_p -> typical_p -> xtc, then temperature-
+    scaled categorical draw.
     """
 
     def sample(logits: jax.Array, key: jax.Array) -> jax.Array:
@@ -81,6 +117,11 @@ def make_sampler(
             x = _apply_top_p(x, top_p)
         if min_p > 0.0:
             x = _apply_min_p(x, min_p)
+        if typical_p > 0.0 and typical_p < 1.0:
+            x = _apply_typical_p(x, typical_p)
+        if xtc_probability > 0.0:
+            key, sub = jax.random.split(key)
+            x = _apply_xtc(x, xtc_probability, xtc_threshold, sub)
         return jax.random.categorical(key, x / temp, axis=-1).astype(jnp.int32)
 
     return sample

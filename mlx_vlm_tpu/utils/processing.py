@@ -52,6 +52,78 @@ def load_image(source) -> "Any":
     return img.convert("RGB")
 
 
+def load_video(
+    source,
+    nframes: Optional[int] = None,
+    fps: Optional[float] = None,
+    frame_factor: int = 2,
+    max_frames: int = 64,
+):
+    """cv2 frame sampling — uniform `nframes` or fps-derived, frame count
+    rounded to `frame_factor` (reference utils.py:1432).
+
+    Returns (frames [T, H, W, 3] uint8, effective_fps).
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(str(source))
+    if not cap.isOpened():
+        raise ValueError(f"cannot open video {source}")
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    video_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    if nframes is None:
+        target = fps or 1.0
+        nframes = int(total / video_fps * target)
+    nframes = max(frame_factor, min(nframes, total, max_frames))
+    nframes = (nframes // frame_factor) * frame_factor
+    idxs = np.linspace(0, total - 1, nframes).round().astype(int)
+    frames = []
+    for idx in idxs:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, int(idx))
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {source}")
+    eff_fps = nframes / max(total / video_fps, 1e-6)
+    return np.stack(frames), eff_fps
+
+
+def load_audio(source, sample_rate: int = 16000) -> np.ndarray:
+    """Mono float32 audio (reference utils.py:1252/1397 uses miniaudio +
+    ffmpeg; this image has neither, so wav via scipy + ffmpeg if present)."""
+    import shutil
+    import subprocess
+
+    s = str(source)
+    if s.endswith(".wav"):
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(s)
+        data = data.astype(np.float32)
+        if data.dtype != np.float32 or data.max() > 2.0:
+            data = data / 32768.0
+        if data.ndim == 2:
+            data = data.mean(axis=1)
+        if sr != sample_rate:
+            from scipy.signal import resample
+
+            data = resample(data, int(len(data) * sample_rate / sr)).astype(
+                np.float32
+            )
+        return data
+    if shutil.which("ffmpeg"):
+        out = subprocess.run(
+            ["ffmpeg", "-i", s, "-f", "f32le", "-ac", "1", "-ar",
+             str(sample_rate), "-"],
+            capture_output=True, check=True,
+        )
+        return np.frombuffer(out.stdout, np.float32)
+    raise ValueError(f"cannot decode audio {s}: need .wav or ffmpeg")
+
+
 def smart_resize(
     height: int,
     width: int,
