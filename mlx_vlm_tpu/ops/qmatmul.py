@@ -35,7 +35,8 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, bits, group_size):
         codes = q
     tn, k = codes.shape
     g = group_size
-    codes = codes.reshape(tn, k // g, g).astype(jnp.float32)
+    # Mosaic has no direct u8->f32 cast; hop through int32
+    codes = codes.reshape(tn, k // g, g).astype(jnp.int32).astype(jnp.float32)
     w = codes * s_ref[:].astype(jnp.float32)[..., None] + b_ref[:].astype(
         jnp.float32
     )[..., None]

@@ -20,18 +20,21 @@ from jax.sharding import Mesh
 def make_mesh(
     tensor_parallel: int = 1,
     data_parallel: Optional[int] = None,
+    pipeline_parallel: int = 1,
     devices: Optional[Sequence] = None,
-    axis_names=("data", "model"),
 ) -> Mesh:
-    """Build a (data, model) mesh; model axis innermost so TP collectives
-    ride the fastest ICI links."""
+    """Build a (data, pipe, model) mesh; model axis innermost so TP
+    collectives ride the fastest ICI links, pipeline stages next."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data_parallel is None:
-        data_parallel = n // tensor_parallel
-    if data_parallel * tensor_parallel != n:
+        data_parallel = n // (tensor_parallel * pipeline_parallel)
+    if data_parallel * tensor_parallel * pipeline_parallel != n:
         raise ValueError(
-            f"{n} devices cannot form mesh {data_parallel}x{tensor_parallel}"
+            f"{n} devices cannot form mesh "
+            f"{data_parallel}x{pipeline_parallel}x{tensor_parallel}"
         )
-    arr = np.asarray(devices).reshape(data_parallel, tensor_parallel)
-    return Mesh(arr, axis_names)
+    arr = np.asarray(devices).reshape(
+        data_parallel, pipeline_parallel, tensor_parallel
+    )
+    return Mesh(arr, ("data", "pipe", "model"))

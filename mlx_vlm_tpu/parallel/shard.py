@@ -1,53 +1,68 @@
-"""Tensor-parallel partition rules (megatron-style) as sharding annotations.
+"""Tensor/pipeline-parallel partition rules as sharding annotations.
 
-Role parity: reference per-model `shard(group)` methods that rewrite Linear
-layers into `shard_linear(..., "all-to-sharded"/"sharded-to-all")`
-(models/qwen2/language.py:160-187 and 18 other sites).  On TPU we do not
-rewrite modules: parameters get `NamedSharding`s from path-regex rules and
-XLA/GSPMD inserts the all-reduces inside the jitted step
-(SURVEY.md §2.10).
+Role parity: reference per-model `shard(group)` methods (19 sites, e.g.
+models/qwen2/language.py:160-187) and `PipelineMixin.pipeline(group)`
+(models/pipeline.py:1-24) which assigns contiguous layer ranges per rank.
 
-Rule orientation for stacked decoder weights [L, out, in]:
-- column-parallel (q/k/v/gate/up): shard `out`  -> P(None, "model", None)
-- row-parallel   (o_proj/down):    shard `in`   -> P(None, None, "model")
-- embeddings / lm_head: shard vocab dim
+TPU design (SURVEY.md §2.10): parameters get `NamedSharding`s from
+path-regex rules and XLA/GSPMD inserts collectives inside the jitted step.
+Because decoder layers are STACKED on a leading axis for lax.scan, pipeline
+parallelism is itself just a sharding: the layer axis maps to the "pipe"
+mesh axis (each stage holds L/P layers; XLA moves the carried activations
+between stages across scan steps).  Megatron TP rides the "model" axis:
+
+- column-parallel (q/k/v/gate/up): out dim -> "model"
+- row-parallel (o_proj/down):      in dim  -> "model"
+- embeddings / lm_head: vocab dim -> "model"
+- MoE expert stacks: expert axis -> "expert" (expert parallelism) when the
+  mesh has one, else replicated
 """
 
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.quant import QuantizedTensor
 
-# rules map path-regex -> PartitionSpec for the *weight* leaf. Stacked decoder
-# layers have a leading L axis.
-PARTITION_RULES_QWEN2 = [
-    (r"language_model\.model\.embed_tokens\.weight", P("model", None)),
-    (r"language_model\.model\.layers\.self_attn\.[qkv]_proj\.weight", P(None, "model", None)),
-    (r"language_model\.model\.layers\.self_attn\.[qkv]_proj\.bias", P(None, "model")),
-    (r"language_model\.model\.layers\.self_attn\.o_proj\.weight", P(None, None, "model")),
-    (r"language_model\.model\.layers\.mlp\.(gate|up)_proj\.weight", P(None, "model", None)),
-    (r"language_model\.model\.layers\.mlp\.down_proj\.weight", P(None, None, "model")),
-    (r"language_model\.lm_head\.weight", P("model", None)),
-    # vision tower stays replicated (reference shards LM only, utils.py:848)
-]
+
+def _llama_like_rules(prefix: str = "language_model", pipe: Optional[str] = None):
+    L = pipe  # None -> replicated layer axis
+    return [
+        (rf"{prefix}\.model\.embed_tokens\.weight", P("model", None)),
+        (rf"{prefix}\.model\.layers\.self_attn\.[qkv]_proj\.weight", P(L, "model", None)),
+        (rf"{prefix}\.model\.layers\.self_attn\.[qkv]_proj\.bias", P(L, "model")),
+        (rf"{prefix}\.model\.layers\.self_attn\.[qkv]_norm\.weight", P(L, None)),
+        (rf"{prefix}\.model\.layers\.self_attn\.o_proj\.weight", P(L, None, "model")),
+        (rf"{prefix}\.model\.layers\.mlp\.(gate|up)_proj\.weight", P(L, "model", None)),
+        (rf"{prefix}\.model\.layers\.mlp\.down_proj\.weight", P(L, None, "model")),
+        (rf"{prefix}\.model\.layers\.mlp\.experts\.(gate|up)_proj\.weight",
+         P(L, "expert", "model", None)),
+        (rf"{prefix}\.model\.layers\.mlp\.experts\.down_proj\.weight",
+         P(L, "expert", None, "model")),
+        (rf"{prefix}\.model\.layers\.mlp\.gate\.weight", P(L, None, None)),
+        (rf"{prefix}\.model\.layers\.[a-z_]*layernorm\.weight", P(L, None)),
+        (rf"{prefix}\.lm_head\.weight", P("model", None)),
+        # vision towers stay replicated (reference shards the LM only,
+        # utils.py:848)
+    ]
 
 
+def partition_rules(model_type: str, pipeline: bool = False):
+    pipe = "pipe" if pipeline else None
+    rules = _llama_like_rules("language_model", pipe)
+    return rules
+
+
+# backwards-compat name
 def partition_rules_qwen2():
-    return PARTITION_RULES_QWEN2
+    return partition_rules("qwen2_vl")
 
 
-def _flatten(tree: dict, prefix=""):
-    for k, v in tree.items():
-        path = f"{prefix}.{k}" if prefix else k
-        if isinstance(v, dict):
-            yield from _flatten(v, path)
-        else:
-            yield path, v
+PARTITION_RULES_QWEN2 = partition_rules("qwen2_vl")
 
 
 def _spec_for(path: str, rules) -> Optional[P]:
@@ -57,21 +72,32 @@ def _spec_for(path: str, rules) -> Optional[P]:
     return None
 
 
+def _prune_spec(spec: P, mesh: Mesh, ndim: int) -> P:
+    """Drop axes the mesh doesn't have / trailing over-specification."""
+    names = set(mesh.axis_names)
+    parts = [
+        (p if (p is None or p in names) else None) for p in tuple(spec)[:ndim]
+    ]
+    while len(parts) < ndim:
+        parts.append(None)
+    # an axis of size 1 in the mesh is harmless; leave it
+    return P(*parts)
+
+
 def apply_shardings(params: dict, mesh: Mesh, rules) -> dict:
-    """device_put every leaf with its rule's NamedSharding (replicated if no
-    rule matches)."""
+    """device_put every leaf with its rule's NamedSharding (replicated when
+    no rule matches)."""
 
     def place(path, leaf):
-        spec = _spec_for(path, rules) or P()
+        ndim = leaf.ndim
+        spec = _spec_for(path, rules)
+        spec = _prune_spec(spec, mesh, ndim) if spec is not None else P()
         sh = NamedSharding(mesh, spec)
         if isinstance(leaf, QuantizedTensor):
-            # shard packed q + scales/biases congruently on the out axis;
-            # group (last) axis sharding is not supported yet
-            qs = NamedSharding(mesh, spec)
             return QuantizedTensor(
-                q=jax.device_put(leaf.q, qs),
-                scales=jax.device_put(leaf.scales, qs),
-                biases=jax.device_put(leaf.biases, qs),
+                q=jax.device_put(leaf.q, NamedSharding(mesh, spec)),
+                scales=jax.device_put(leaf.scales, NamedSharding(mesh, spec)),
+                biases=jax.device_put(leaf.biases, NamedSharding(mesh, spec)),
                 bits=leaf.bits,
                 group_size=leaf.group_size,
                 out_dtype=leaf.out_dtype,
@@ -88,18 +114,14 @@ def apply_shardings(params: dict, mesh: Mesh, rules) -> dict:
     return walk(params)
 
 
-RULES_BY_MODEL_TYPE: Dict[str, list] = {
-    "qwen2_vl": PARTITION_RULES_QWEN2,
-    "qwen2_5_vl": PARTITION_RULES_QWEN2,
-}
+def shard_model(model, mesh: Mesh, pipeline: Optional[bool] = None):
+    """Apply the model family's TP(+PP) rules in place; returns the model.
 
-
-def shard_model(model, mesh: Mesh):
-    """Apply the model family's TP rules in place; returns the model."""
-    model_type = model.config.model_type
-    rules = RULES_BY_MODEL_TYPE.get(model_type)
-    if rules is None:
-        raise ValueError(f"no partition rules for model type {model_type}")
+    Reference parity: `sharded_load` utils.py:815 (shard + pipeline then
+    materialize)."""
+    if pipeline is None:
+        pipeline = "pipe" in mesh.axis_names and mesh.shape.get("pipe", 1) > 1
+    rules = partition_rules(model.config.model_type, pipeline)
     model.params = apply_shardings(model.params, mesh, rules)
     model.mesh = mesh
     return model
