@@ -27,16 +27,17 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, bits, group_size):
     """One output tile: o[M, TN] = x[M, K] @ dequant(q[TN, Kp]).T"""
     q = q_ref[:]  # [TN, K*bits/8] uint8
     if bits == 4:
-        lo = q & 0x0F
-        hi = q >> 4
-        # interleave low/high nibbles back to K order (codes stay unsigned)
+        # widen before the interleave: Mosaic only supports minor-dim
+        # insertion/reshape on 32-bit types
+        q32 = q.astype(jnp.int32)
+        lo = q32 & 0x0F
+        hi = q32 >> 4
         codes = jnp.stack([lo, hi], axis=-1).reshape(q.shape[0], q.shape[1] * 2)
     else:
-        codes = q
+        codes = q.astype(jnp.int32)
     tn, k = codes.shape
     g = group_size
-    # Mosaic has no direct u8->f32 cast; hop through int32
-    codes = codes.reshape(tn, k // g, g).astype(jnp.int32).astype(jnp.float32)
+    codes = codes.reshape(tn, k // g, g).astype(jnp.float32)
     w = codes * s_ref[:].astype(jnp.float32)[..., None] + b_ref[:].astype(
         jnp.float32
     )[..., None]

@@ -27,12 +27,37 @@ def _decode_image(url: str):
     return url  # http/file path — resolved by load_image later
 
 
+def _tools_system_suffix(tools: List[dict]) -> str:
+    """Hermes-style tool prompt (reference tool_choice shim openai.py:193)."""
+    defs = "\n".join(
+        json.dumps(t.get("function", t)) for t in tools
+    )
+    return (
+        "\n\n# Tools\n\nYou may call one or more functions. "
+        "Available tools (JSON schema):\n" + defs +
+        "\n\nTo call a tool, reply with:\n"
+        '<tool_call>\n{"name": <function-name>, "arguments": <args-json>}\n'
+        "</tool_call>"
+    )
+
+
 def normalize_chat_request(body: dict, model, processor) -> GenerationArguments:
     from .schemas import OpenAIChatRequest
 
     req = OpenAIChatRequest(**body)
     images: List[Any] = []
     messages = []
+    tools = body.get("tools")
+    if tools:
+        sys_suffix = _tools_system_suffix(tools)
+        msgs = [m.model_dump() for m in req.messages]
+        if msgs and msgs[0]["role"] == "system" and isinstance(msgs[0]["content"], str):
+            msgs[0]["content"] += sys_suffix
+        else:
+            msgs.insert(0, {"role": "system", "content": "You are a helpful assistant." + sys_suffix})
+        from .schemas import OpenAIMessage
+
+        req.messages = [OpenAIMessage(**m) for m in msgs]
     for m in req.messages:
         content = m.content
         if isinstance(content, list):
@@ -140,6 +165,29 @@ def chat_completion(handler, body: dict, generator, model_name: str):
     if error:
         handler.send_json({"error": {"message": error, "type": "server_error"}}, 500)
         return None
+    text = "".join(pieces)
+    message = {"role": "assistant", "content": text}
+    if body.get("tools"):
+        from ..tool_parsers import get_tool_parser
+
+        clean, calls = get_tool_parser("hermes").parse(text)
+        if calls:
+            message = {
+                "role": "assistant",
+                "content": clean or None,
+                "tool_calls": [
+                    {
+                        "id": f"call_{uuid.uuid4().hex[:12]}",
+                        "type": "function",
+                        "function": {
+                            "name": c["name"],
+                            "arguments": json.dumps(c["arguments"]),
+                        },
+                    }
+                    for c in calls
+                ],
+            }
+            finish = "tool_calls"
     meta = generator.metrics.snapshot()["recent"]
     env = meta[-1] if meta else {}
     handler.send_json({
@@ -149,7 +197,7 @@ def chat_completion(handler, body: dict, generator, model_name: str):
         "model": model_name,
         "choices": [{
             "index": 0,
-            "message": {"role": "assistant", "content": "".join(pieces)},
+            "message": message,
             "finish_reason": finish,
         }],
         "usage": {
