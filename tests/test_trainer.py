@@ -113,3 +113,39 @@ class TestLoRA:
         vlm = make_tiny_qwen2_vl(seed=2, dtype=jnp.float32)
         lora = init_lora(vlm.params, rank=2)
         assert any("language_model" in k for k in lora)
+
+
+class TestORPO:
+    def test_preference_training_improves_margin(self, model):
+        from mlx_vlm_tpu.trainer.orpo import make_orpo_train_step, orpo_loss
+
+        rng = np.random.default_rng(0)
+        B, S = 2, 10
+
+        def mk(seed):
+            ids = np.random.default_rng(seed).integers(0, 200, (B, S)).astype(np.int32)
+            labels = ids.astype(np.int64).copy()
+            labels[:, :3] = -100
+            pos = np.broadcast_to(np.arange(S, dtype=np.int32), (3, B, S)).copy()
+            return ids, labels, pos
+
+        c_ids, c_lab, c_pos = mk(1)
+        r_ids, r_lab, r_pos = mk(2)
+        batch = {
+            "chosen_input_ids": jnp.asarray(c_ids),
+            "chosen_labels": jnp.asarray(c_lab),
+            "chosen_position_ids": jnp.asarray(c_pos),
+            "rejected_input_ids": jnp.asarray(r_ids),
+            "rejected_labels": jnp.asarray(r_lab),
+            "rejected_position_ids": jnp.asarray(r_pos),
+        }
+        tx = optax.adam(5e-3)
+        step = jax.jit(make_orpo_train_step(model, tx))
+        params = model.params
+        opt_state = tx.init(params)
+        margins = []
+        for _ in range(6):
+            params, opt_state, loss, metrics = step(params, opt_state, batch)
+            margins.append(float(metrics["margin"]))
+            assert np.isfinite(float(loss))
+        assert margins[-1] > margins[0], margins
