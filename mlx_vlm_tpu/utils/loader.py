@@ -35,6 +35,8 @@ MODEL_REMAPPING = {
     "llava-qwen2": "llava_bunny",
     "bunny-llama": "llava_bunny",
     "qwen2_5_vl": "qwen2_5_vl",
+    "smolvlm": "idefics3",
+    "llava_next": "llava",  # CLIP tower + llama decoder path
 }
 
 
