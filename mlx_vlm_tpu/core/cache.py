@@ -34,6 +34,33 @@ __all__ = [
     "RotatingKVCache",
 ]
 
+import os
+
+
+def _flash_tile(S: int) -> int:
+    for t in (128, 64, 32, 16, 8):
+        if S % t == 0:
+            return t
+    return 0
+
+
+def _flash_eligible(q, k_buf) -> bool:
+    """Static routing decision: prefill-sized chunks, TPU backend, VMEM fit."""
+    if os.environ.get("MLX_VLM_TPU_FLASH", "1") not in ("1", "true"):
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    B, H, S, D = q.shape
+    C = k_buf.shape[2]
+    if S < 64 or _flash_tile(S) == 0:
+        return False
+    # K+V (bf16) + score tile (f32) must fit comfortably in VMEM
+    vmem = 2 * C * D * 2 + _flash_tile(S) * C * 4 + 2 * _flash_tile(S) * D * 4
+    return vmem < 10 * 1024 * 1024
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -76,13 +103,30 @@ class KVCache:
             k=k, v=v, offset=self.offset + new_tokens, left_pad=self.left_pad
         )
 
-    def attend(self, cxs, q, k, v, scale, mask):
-        """Write new k/v into this layer's buffers and run masked SDPA."""
+    def attend(self, cxs, q, k, v, scale, mask, flash_ok: bool = True,
+               window=None):
+        """Write new k/v into this layer's buffers and attend.
+
+        Prefill chunks (S large enough) route through the Pallas fused
+        kernel when eligible; decode and odd shapes use the XLA SDPA with
+        the provided mask."""
         from ..ops.attention import sdpa
 
         k_buf, v_buf = cxs
         k_buf, v_buf = update_layer_auto(k_buf, v_buf, k, v, self.offset)
-        out = sdpa(q, k_buf, v_buf, scale, mask)
+        if flash_ok and _flash_eligible(q, k_buf):
+            from ..ops.flash_attention import flash_attention
+
+            B = q.shape[0]
+            off = self.offset
+            if off.ndim == 0:
+                off = jnp.broadcast_to(off[None], (B,))
+            out = flash_attention(
+                q, k_buf, v_buf, off, self.left_pad, scale,
+                q_tile=_flash_tile(q.shape[2]), window=window,
+            )
+        else:
+            out = sdpa(q, k_buf, v_buf, scale, mask)
         return out, (k_buf, v_buf)
 
 

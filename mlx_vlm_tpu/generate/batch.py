@@ -52,6 +52,10 @@ class BatchRequest:
     rope_delta: int = 0
     sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
     eos_ids: Tuple[int, ...] = ()
+    # APC warm admission (reference mixed warm/cold prefill, ar.py:2287)
+    prompt_cache: Any = None  # prefilled row cache with offset=prefix_len
+    prefix_len: int = 0
+    prompt_cache_callback: Optional[Callable] = None  # harvest hook
 
 
 @dataclasses.dataclass
@@ -183,28 +187,39 @@ class BatchGenerator:
         if S + req.max_tokens + self.block + 1 > self.capacity:
             req.max_tokens = max(0, self.capacity - S - self.block - 1)
 
-        # --- single-row chunked prefill (reuses the streaming engine program)
+        # --- single-row chunked prefill over the uncached suffix (reuses the
+        # streaming engine program; APC warm rows start at prefix_len)
         pos = req.position_ids
         if pos is None:
             p = np.broadcast_to(np.arange(S, dtype=np.int32), (1, S))
             pos = np.broadcast_to(p[None], (3, 1, S))
-        step = min(self.prefill_step, round_up(S, 256))
-        S_pad = round_up(S, step)
-        if S_pad != S:
-            embeds = jnp.pad(embeds, ((0, 0), (0, S_pad - S), (0, 0)))
-        pos_pad = np.zeros((3, 1, S_pad), np.int32)
-        pos_pad[:, :, :S] = pos
         from .ar import make_cache
 
-        row_capacity = round_up(S_pad, 256)
-        row_cache = make_cache(
-            self.model, 1, row_capacity, self.dtype, self.kv_bits,
-            self.kv_group_size,
-        )
+        prefix = req.prefix_len if req.prompt_cache is not None else 0
+        suffix = S - prefix
+        step = min(self.prefill_step, round_up(suffix, 256))
+        S_pad = round_up(suffix, step)
+        if req.prompt_cache is not None:
+            row_cache = req.prompt_cache
+            row_capacity = row_cache.capacity
+            while prefix + S_pad > row_capacity and step > 64:
+                step = max(64, step // 2)
+                S_pad = round_up(suffix, step)
+        else:
+            row_capacity = round_up(S_pad, 256)
+            row_cache = make_cache(
+                self.model, 1, row_capacity, self.dtype, self.kv_bits,
+                self.kv_group_size,
+            )
+        embeds_sfx = embeds[:, prefix:]
+        if S_pad != suffix:
+            embeds_sfx = jnp.pad(embeds_sfx, ((0, 0), (0, S_pad - suffix), (0, 0)))
+        pos_pad = np.zeros((3, 1, S_pad), np.int32)
+        pos_pad[:, :, :suffix] = np.asarray(pos, np.int32)[:, :, prefix:]
         logits = None
-        last = S - 1
+        last = suffix - 1
         for c0 in range(0, S_pad, step):
-            chunk = jax.lax.dynamic_slice_in_dim(embeds, c0, step, axis=1)
+            chunk = jax.lax.dynamic_slice_in_dim(embeds_sfx, c0, step, axis=1)
             pchunk = jnp.asarray(pos_pad[:, :, c0 : c0 + step])
             in_chunk = c0 <= last < c0 + step
             lgts, row_cache = self.engine._prefill(
@@ -213,6 +228,11 @@ class BatchGenerator:
             )
             if in_chunk:
                 logits = lgts
+        row_cache = dataclasses.replace(
+            row_cache, offset=jnp.asarray(S, jnp.int32)
+        )
+        if req.prompt_cache_callback is not None:
+            req.prompt_cache_callback(row_cache)
 
         # first token with this row's sampling params
         sp1 = {

@@ -99,7 +99,11 @@ class LanguageModel:
             if cache is None:
                 attn = sdpa(q, k, v, self.scale, mask)
             else:
-                attn, cxs = cache.attend(cxs, q, k, v, self.scale, mask)
+                # flash path disabled: the local/global mask is selected per
+                # layer by a traced flag, which the kernel can't see
+                attn, cxs = cache.attend(
+                    cxs, q, k, v, self.scale, mask, flash_ok=False
+                )
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, -1)
             attn = linear(lp["self_attn"]["o_proj"], attn)
             # sandwich norms (reference language.py:128-140)

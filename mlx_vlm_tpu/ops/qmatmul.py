@@ -3,10 +3,17 @@
 Role parity: reference delegates to `mx.quantized_matmul` (mlx internals) and
 ships custom Metal qmv/qmm kernels for 1-bit (quantization/one_bit.py:212).
 
-TPU design: W stays packed in HBM (uint8, 2x int4 or 1x int8 per byte) and is
+TPU design: W stays packed in HBM (uint8: 2x int4 or 1x int8 per byte) and is
 dequantized tile-by-tile in VMEM right before feeding the MXU — HBM traffic
-is 4x (int4) lower than bf16 weights, which is the decode-throughput win for
-4-bit checkpoints.  Grid tiles the output dim; K is streamed in VMEM blocks.
+is ~4x (int4) lower than bf16 weights, which is the decode-throughput win
+for 4-bit checkpoints.
+
+Mosaic constraint: lane-interleaving reshapes are unsupported, so the int4
+path never reorders nibbles.  The caller splits x into even/odd columns
+(x[..., 0::2], x[..., 1::2] — cheap XLA gathers) and the kernel computes
+   y = x_even @ dq(lo).T + x_odd @ dq(hi).T
+where lo/hi are the low/high nibbles, each dequantized in grouped 3-D form
+(only minor-dim split/merge reshapes).
 """
 
 from __future__ import annotations
@@ -23,25 +30,39 @@ from ..core.quant import QuantizedTensor
 DEFAULT_TILE_N = 256
 
 
-def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, bits, group_size):
-    """One output tile: o[M, TN] = x[M, K] @ dequant(q[TN, Kp]).T"""
-    q = q_ref[:]  # [TN, K*bits/8] uint8
-    if bits == 4:
-        # widen before the interleave: Mosaic only supports minor-dim
-        # insertion/reshape on 32-bit types
-        q32 = q.astype(jnp.int32)
-        lo = q32 & 0x0F
-        hi = q32 >> 4
-        codes = jnp.stack([lo, hi], axis=-1).reshape(q.shape[0], q.shape[1] * 2)
-    else:
-        codes = q.astype(jnp.int32)
-    tn, k = codes.shape
-    g = group_size
-    codes = codes.reshape(tn, k // g, g).astype(jnp.float32)
-    w = codes * s_ref[:].astype(jnp.float32)[..., None] + b_ref[:].astype(
-        jnp.float32
-    )[..., None]
-    w = w.reshape(tn, k)
+def _dq(codes_f32, s, b, group_elems):
+    """[TN, Kc] codes + [TN, G] scale/bias -> dequantized [TN, Kc]."""
+    tn, kc = codes_f32.shape
+    G = kc // group_elems
+    g3 = codes_f32.reshape(tn, G, group_elems)
+    w = g3 * s[:, :, None] + b[:, :, None]
+    return w.reshape(tn, kc)
+
+
+def _qmm4_kernel(xe_ref, xo_ref, q_ref, s_ref, b_ref, o_ref, *, group_size):
+    q = q_ref[:].astype(jnp.int32)  # [TN, K/2] packed bytes
+    lo = (q & 0x0F).astype(jnp.float32)
+    hi = (q >> 4).astype(jnp.float32)
+    hg = group_size // 2
+    s = s_ref[:].astype(jnp.float32)
+    b = b_ref[:].astype(jnp.float32)
+    w_lo = _dq(lo, s, b, hg)
+    w_hi = _dq(hi, s, b, hg)
+    xe = xe_ref[:].astype(jnp.float32)
+    xo = xo_ref[:].astype(jnp.float32)
+    acc = jax.lax.dot_general(
+        xe, w_lo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        xo, w_hi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def _qmm8_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group_size):
+    codes = q_ref[:].astype(jnp.int32).astype(jnp.float32)
+    w = _dq(codes, s_ref[:].astype(jnp.float32), b_ref[:].astype(jnp.float32),
+            group_size)
     x = x_ref[:].astype(jnp.float32)
     o_ref[:] = jax.lax.dot_general(
         x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -53,28 +74,49 @@ def _qmm_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, bits, group_size):
 )
 def _qmm_2d(x, q, scales, biases, *, bits, group_size, tile_n, interpret):
     M, K = x.shape
-    N = scales.shape[0]
+    N = q.shape[0]
     packed = q.shape[1]
     groups = scales.shape[1]
     grid = (pl.cdiv(N, tile_n),)
-    kernel = functools.partial(_qmm_kernel, bits=bits, group_size=group_size)
-    return pl.pallas_call(
-        kernel,
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, packed), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, groups), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, groups), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((M, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((M, tile_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K * 4 + N * packed + 4 * N * groups + M * N * 4,
             transcendentals=0,
         ),
+    )
+    w_specs = [
+        pl.BlockSpec((tile_n, packed), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, groups), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, groups), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    if bits == 4:
+        xe = x[:, 0::2]
+        xo = x[:, 1::2]
+        kernel = functools.partial(_qmm4_kernel, group_size=group_size)
+        half = K // 2
+        return pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec((M, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                *w_specs,
+            ],
+            **common,
+        )(xe, xo, q, scales, biases)
+    kernel = functools.partial(_qmm8_kernel, group_size=group_size)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        **common,
     )(x, q, scales, biases)
 
 
@@ -85,17 +127,15 @@ def quantized_matmul_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """x [..., K] @ dequant(t [N, K]).T -> [..., N]."""
-    *lead, K = x.shape
-    N = t.scales.shape[-2] if t.q.ndim == 2 else None
     if t.q.ndim != 2:
         raise ValueError("pallas qmm expects a 2-D (unstacked) weight")
+    *lead, K = x.shape
     N = t.q.shape[0]
     M = 1
     for d in lead:
         M *= d
     x2 = x.reshape(M, K)
     tn = min(tile_n, N)
-    # pad N to tile multiple
     out = _qmm_2d(
         x2, t.q, t.scales, t.biases,
         bits=t.bits, group_size=t.group_size, tile_n=tn, interpret=interpret,

@@ -102,7 +102,7 @@ def make_handler(state: ServerState):
                 })
             elif self.path == "/v1/cache/stats":
                 apc = getattr(state.generator, "apc", None)
-                self.send_json(apc.stats() if apc else {"enabled": False})
+                self.send_json(apc.snapshot() if apc else {"enabled": False})
             else:
                 self.send_json({"error": {"message": "not found"}}, 404)
 
@@ -163,6 +163,14 @@ def create_server(
     api_key: Optional[str] = None,
     **engine_kwargs,
 ) -> ThreadingHTTPServer:
+    if "apc" not in engine_kwargs:
+        from .. import apc as apc_mod
+
+        engine_kwargs["apc"] = apc_mod.from_env()
+    if "vision_cache" not in engine_kwargs:
+        from ..vision_cache import VisionFeatureCache
+
+        engine_kwargs["vision_cache"] = VisionFeatureCache()
     generator = ResponseGenerator(
         model, processor, num_slots=num_slots, capacity=capacity, **engine_kwargs
     )

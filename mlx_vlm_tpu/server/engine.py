@@ -100,12 +100,16 @@ class ResponseGenerator:
         block_size: int = 8,
         max_context: Optional[int] = None,
         token_queue_timeout: float = 600.0,
+        apc=None,
+        vision_cache=None,
     ):
         from ..generate.batch import BatchGenerator
         from ..generate.dispatch import _get_eos_ids
 
         self.model = model
         self.processor = processor
+        self.apc = apc
+        self.vision_cache = vision_cache
         self.eos_ids = tuple(_get_eos_ids(model, processor))
         self.max_context = max_context or capacity
         self.capacity = capacity
@@ -188,10 +192,25 @@ class ResponseGenerator:
         grid = inputs.get("image_grid_thw")
         if pixel_values is not None:
             aux = self.model.vision_aux_inputs(np.asarray(grid))
-            embeds = jax.jit(self.model.get_input_embeddings)(
-                self.model.params, jnp.asarray(ids), jnp.asarray(pixel_values),
-                **{k: jnp.asarray(v) for k, v in aux.items()},
-            )
+            aux_dev = {k: jnp.asarray(v) for k, v in aux.items()}
+            feats = None
+            if self.vision_cache is not None and hasattr(self.model, "vision_features"):
+                ckey = self.vision_cache.key(pixel_values, grid)
+                feats = self.vision_cache.get(ckey)
+                if feats is None:
+                    feats = jax.jit(self.model.vision_features)(
+                        self.model.params, jnp.asarray(pixel_values), **aux_dev
+                    )
+                    self.vision_cache.put(ckey, feats)
+            if feats is not None:
+                embeds = jax.jit(self.model.get_input_embeddings)(
+                    self.model.params, jnp.asarray(ids), image_features=feats
+                )
+            else:
+                embeds = jax.jit(self.model.get_input_embeddings)(
+                    self.model.params, jnp.asarray(ids), jnp.asarray(pixel_values),
+                    **aux_dev,
+                )
         else:
             embeds = jax.jit(self.model.get_input_embeddings)(
                 self.model.params, jnp.asarray(ids)
@@ -199,6 +218,33 @@ class ResponseGenerator:
         pos, deltas = self.model.prepare_position_ids(
             ids, grid if pixel_values is not None else None
         )
+
+        # --- APC: reuse the longest cached media-safe prefix
+        prompt_cache = None
+        prefix_len = 0
+        harvest = None
+        if self.apc is not None:
+            from ..apc import semantic_extra_hash
+            from ..generate.common import round_up as _ru
+
+            tokens = ids[0].tolist()
+            extra = semantic_extra_hash(
+                model_key=str(
+                    getattr(self.model, "config_dict", {}).get("model_type", "")
+                ),
+                images=[np.asarray(pixel_values)]
+                if pixel_values is not None
+                else None,
+            )
+            prefix_len, blocks = self.apc.lookup(tokens, extra)
+            cap = _ru(ids.shape[1] + 65, 256)
+            prompt_cache = self.apc.make_warm_cache(
+                blocks, self.model, cap, embeds.dtype
+            )
+
+            def harvest(cache, _t=tokens, _e=extra, _s=int(ids.shape[1])):
+                self.apc.commit(_t, cache, _e, upto=_s)
+
         self._meta[args.request_id] = {
             "prompt_tokens": int(ids.shape[1]),
             "t_submit": time.time(),
@@ -219,6 +265,9 @@ class ResponseGenerator:
                 min_p=args.min_p, top_k=args.top_k,
             ),
             eos_ids=self.eos_ids,
+            prompt_cache=prompt_cache,
+            prefix_len=prefix_len,
+            prompt_cache_callback=harvest,
         )
 
     def _make_detok(self):

@@ -115,6 +115,45 @@ class TestWarmCacheCorrectness:
         ]
         assert warm == cold, f"warm {warm} != cold {cold}"
 
+    def test_batch_warm_admission_matches_cold(self, model):
+        """BatchGenerator APC warm rows must decode identically to cold."""
+        from mlx_vlm_tpu.generate.batch import BatchGenerator, BatchRequest
+
+        apc = APCManager(num_blocks=64, block_size=4)
+        S = 13
+        ids = (np.arange(S, dtype=np.int32) * 3 % 200)[None]
+        tokens = ids[0].tolist()
+        embeds = _embeds(model, ids)
+
+        def run(warm):
+            gen = BatchGenerator(model, num_slots=2, capacity=256,
+                                 block_size=2, dtype=jnp.float32)
+            kwargs = {}
+            if warm:
+                prefix, blocks = apc.lookup(tokens)
+                assert prefix == 12
+                kwargs["prompt_cache"] = apc.make_warm_cache(
+                    blocks, model, 256, jnp.float32
+                )
+                kwargs["prefix_len"] = prefix
+            else:
+                kwargs["prompt_cache_callback"] = (
+                    lambda c: apc.commit(tokens, c, upto=S)
+                )
+            gen.insert(BatchRequest(uid=0, inputs_embeds=embeds, max_tokens=6,
+                                    **kwargs))
+            out = []
+            for _ in range(50):
+                if not (gen.num_active or gen.queue):
+                    break
+                for uid, toks in gen.next().items():
+                    out.extend(t for t, _ in toks)
+            return out
+
+        cold = run(False)
+        warm = run(True)
+        assert warm == cold
+
     def test_stream_generate_with_apc(self, model):
         """Second identical call must hit the APC and produce the same text."""
         from mlx_vlm_tpu.apc import APCManager
