@@ -1,0 +1,139 @@
+"""Block-diffusion text generation (iterative demasking).
+
+Role parity: reference mlx_vlm/generate/diffusion.py —
+stream_diffusion_generate:539 (canvas decode with confidence-threshold and
+count-scheduled transfer), is_diffusion_model:170.
+
+TPU design: one jitted bidirectional forward over the static canvas per
+refinement step; the transfer choice (which masked positions to commit) is
+computed on device and the canvas is functionally updated — block by block,
+left to right, `steps_per_block` refinements each.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Generator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .common import GenerationResult, device_peak_memory_gb
+
+
+def is_diffusion_model(model) -> bool:
+    """Reference diffusion.py:170."""
+    cfg = getattr(model, "config_dict", None) or {}
+    if cfg.get("diffusion"):
+        return True
+    mt = cfg.get("model_type", getattr(model.config, "model_type", ""))
+    return mt in ("llada", "llada2_moe", "diffusion_gemma", "nemotron_labs_diffusion")
+
+
+def _make_step_fn(model, mask_token_id: int):
+    @jax.jit
+    def step(params, canvas, committed, n_transfer):
+        """One refinement: predict all positions, commit the n_transfer most
+        confident still-masked ones."""
+        logits = model.forward_full(params, canvas).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        pred = jnp.argmax(logits, axis=-1).astype(canvas.dtype)  # [B,S]
+        conf = jnp.max(probs, axis=-1)  # [B,S]
+        masked = ~committed  # [B,S] bool — positions still open in the block
+        conf = jnp.where(masked, conf, -jnp.inf)
+        # commit the top-n_transfer confident masked positions
+        order = jnp.argsort(-conf, axis=-1)
+        ranks = jnp.argsort(order, axis=-1)
+        take = (ranks < n_transfer) & masked
+        canvas = jnp.where(take, pred, canvas)
+        committed = committed | take
+        return canvas, committed
+
+    return step
+
+
+def stream_diffusion_generate(
+    model,
+    processor,
+    prompt,
+    max_tokens: int = 128,
+    block_size: int = 32,
+    steps_per_block: Optional[int] = None,
+    mask_token_id: Optional[int] = None,
+    **kwargs,
+) -> Generator[GenerationResult, None, None]:
+    """Reference diffusion.py:539 — greedy (confidence-ranked) demasking."""
+    from ..utils.processing import prepare_inputs
+    from ..utils.tokenizer import StreamingDetokenizer
+
+    cfg = getattr(model, "config_dict", {}) or {}
+    mask_id = mask_token_id or cfg.get("mask_token_id") or getattr(
+        model.config, "mask_token_id", None
+    )
+    if mask_id is None:
+        raise ValueError("diffusion generation needs mask_token_id")
+
+    inputs = prepare_inputs(processor, prompt)
+    ids = np.asarray(inputs["input_ids"])
+    B, S = ids.shape
+    assert B == 1
+    steps_per_block = steps_per_block or max(1, block_size // 2)
+
+    total = S + max_tokens
+    canvas = np.full((B, total), mask_id, ids.dtype)
+    canvas[:, :S] = ids
+    canvas = jnp.asarray(canvas)
+    step_fn = _make_step_fn(model, mask_id)
+
+    tic = time.perf_counter()
+    tok = getattr(processor, "tokenizer", processor)
+    detok = StreamingDetokenizer(tok)
+    emitted = 0
+    n_blocks = (max_tokens + block_size - 1) // block_size
+    for b in range(n_blocks):
+        lo = S + b * block_size
+        hi = min(lo + block_size, total)
+        blk = hi - lo
+        # committed = everything outside the open block
+        committed = np.ones((B, total), bool)
+        committed[:, lo:hi] = False
+        committed_dev = jnp.asarray(committed)
+        per_step = max(1, blk // steps_per_block)
+        remaining = blk
+        while remaining > 0:
+            n = min(per_step, remaining)
+            canvas, committed_dev = step_fn(
+                model.params, canvas, committed_dev, jnp.asarray(n, jnp.int32)
+            )
+            remaining -= n
+        # emit the finished block
+        block_tokens = np.asarray(canvas[0, lo:hi])
+        for t in block_tokens:
+            detok.add_token(int(t))
+            emitted += 1
+            now = time.perf_counter()
+            yield GenerationResult(
+                text=detok.last_segment(),
+                token=int(t),
+                logprobs=None,
+                prompt_tokens=S,
+                generation_tokens=emitted,
+                prompt_tps=S / max(now - tic, 1e-9),
+                generation_tps=emitted / max(now - tic, 1e-9),
+                peak_memory=device_peak_memory_gb(),
+                finish_reason="length" if emitted >= max_tokens else None,
+            )
+
+
+def diffusion_generate(model, processor, prompt, **kwargs) -> GenerationResult:
+    pieces = []
+    last = None
+    for res in stream_diffusion_generate(model, processor, prompt, **kwargs):
+        pieces.append(res.text)
+        last = res
+    if last is not None:
+        last.text = "".join(pieces)
+    return last

@@ -1,0 +1,3 @@
+from .llada import Model, ModelConfig, STACK_PATTERNS
+
+__all__ = ["Model", "ModelConfig", "STACK_PATTERNS"]

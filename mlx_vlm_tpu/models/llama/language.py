@@ -34,7 +34,7 @@ class LanguageModel:
             args.max_position_embeddings,
         )
 
-    def __call__(self, params, inputs_embeds, cache, position_ids):
+    def __call__(self, params, inputs_embeds, cache, position_ids, causal=True):
         B, S, _ = inputs_embeds.shape
         cos, sin = self.rope.cos_sin(position_ids)
         h = inputs_embeds
@@ -42,7 +42,11 @@ class LanguageModel:
 
         if cache is None:
             zero = jnp.zeros((), jnp.int32)
-            mask = causal_cache_mask(zero, jnp.zeros((B,), jnp.int32), S, S)
+            if causal:
+                mask = causal_cache_mask(zero, jnp.zeros((B,), jnp.int32), S, S)
+            else:
+                # bidirectional full-sequence attention (diffusion LMs)
+                mask = jnp.ones((B, 1, S, S), bool)
 
             def layer_nc(h, lp):
                 x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)

@@ -1,0 +1,68 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlx_vlm_tpu.generate.diffusion import (
+    diffusion_generate,
+    is_diffusion_model,
+    stream_diffusion_generate,
+)
+from mlx_vlm_tpu.utils.loader import load_model_from_weights
+from mlx_vlm_tpu.utils.testing import llama_hf_weights, tiny_llama_config
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_llama_config(model_type="llada", vocab_size=256)
+    cfg["mask_token_id"] = 255
+    cfg["diffusion"] = True
+    return load_model_from_weights(cfg, llama_hf_weights(cfg, 0), jnp.float32)
+
+
+class _Tok:
+    eos_token_id = 254
+
+    def decode(self, ids, **kw):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+    def __call__(self, text, **kw):
+        ids = [(ord(c) * 3) % 250 for c in str(text)][:16]
+        return {"input_ids": np.asarray([ids]),
+                "attention_mask": np.ones((1, len(ids)), np.int64)}
+
+
+class _Proc:
+    tokenizer = _Tok()
+
+    def __call__(self, text=None, **kw):
+        return self.tokenizer(text[0] if isinstance(text, list) else text)
+
+
+class TestDiffusion:
+    def test_detection(self, model):
+        assert is_diffusion_model(model)
+
+    def test_fills_all_positions(self, model):
+        results = list(
+            stream_diffusion_generate(
+                model, _Proc(), "hello there", max_tokens=12, block_size=4
+            )
+        )
+        toks = [r.token for r in results]
+        assert len(toks) == 12
+        assert all(t != 255 for t in toks), "mask tokens must all be replaced"
+        assert results[-1].finish_reason == "length"
+
+    def test_deterministic(self, model):
+        t1 = [r.token for r in stream_diffusion_generate(
+            model, _Proc(), "abc", max_tokens=8, block_size=4)]
+        t2 = [r.token for r in stream_diffusion_generate(
+            model, _Proc(), "abc", max_tokens=8, block_size=4)]
+        assert t1 == t2
+
+    def test_blocking_api(self, model):
+        res = diffusion_generate(model, _Proc(), "xyz", max_tokens=6,
+                                 block_size=3)
+        assert res.generation_tokens == 6
