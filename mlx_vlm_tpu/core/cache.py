@@ -46,7 +46,8 @@ def _flash_tile(S: int) -> int:
 
 def _flash_eligible(q, k_buf) -> bool:
     """Static routing decision: prefill-sized chunks, TPU backend, VMEM fit."""
-    if os.environ.get("MLX_VLM_TPU_FLASH", "1") not in ("1", "true"):
+    # opt-in until validated on the target Mosaic version (axon v5e)
+    if os.environ.get("MLX_VLM_TPU_FLASH", "0") not in ("1", "true"):
         return False
     try:
         if jax.default_backend() != "tpu":

@@ -69,6 +69,16 @@ def stream_generate(
     `apc` is an mlx_vlm_tpu.apc.APCManager for automatic prefix caching;
     `vision_cache` an mlx_vlm_tpu.vision_cache.VisionFeatureCache.
     """
+    from .diffusion import is_diffusion_model, stream_diffusion_generate
+
+    if is_diffusion_model(model):
+        # diffusion-LM dispatch (reference dispatch.py:~780 routes to the
+        # canvas decoder before the AR path)
+        yield from stream_diffusion_generate(
+            model, processor, prompt, max_tokens=max_tokens, **kwargs
+        )
+        return
+
     inputs = prepare_inputs(processor, prompt, images=image, videos=video)
     input_ids = inputs["input_ids"]
     pixel_values = inputs.get("pixel_values")

@@ -86,6 +86,16 @@ def make_handler(state: ServerState):
             return key == state.api_key
 
         # ------------------------------------------------------------ routes
+        def do_DELETE(self):  # noqa: N802
+            if self.path.startswith("/v1/responses/"):
+                from . import responses as responses_routes
+
+                responses_routes.delete_response(
+                    self, self.path.rstrip("/").split("/")[-1]
+                )
+            else:
+                self.send_json({"error": {"message": "not found"}}, 404)
+
         def do_GET(self):  # noqa: N802
             if self.path == "/health":
                 self.send_json({"status": "ok", "model": state.model_name})
@@ -103,6 +113,14 @@ def make_handler(state: ServerState):
             elif self.path == "/v1/cache/stats":
                 apc = getattr(state.generator, "apc", None)
                 self.send_json(apc.snapshot() if apc else {"enabled": False})
+            elif self.path.startswith("/v1/responses/"):
+                from . import responses as responses_routes
+
+                parts = self.path.rstrip("/").split("/")
+                if parts[-1] == "input_items":
+                    responses_routes.list_input_items(self, parts[-2])
+                else:
+                    responses_routes.retrieve_response(self, parts[-1])
             else:
                 self.send_json({"error": {"message": "not found"}}, 404)
 
@@ -115,7 +133,13 @@ def make_handler(state: ServerState):
                 )
                 return
             try:
-                if self.path == "/v1/chat/completions":
+                if self.path == "/v1/responses":
+                    from . import responses as responses_routes
+
+                    responses_routes.create_response(
+                        self, body, state.generator, state.model_name
+                    )
+                elif self.path == "/v1/chat/completions":
                     openai_routes.chat_completion(
                         self, body, state.generator, state.model_name
                     )

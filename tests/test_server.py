@@ -233,6 +233,55 @@ class TestAnthropic:
         assert status == 200 and body["input_tokens"] > 0
 
 
+class TestResponsesAPI:
+    def test_create_and_retrieve(self, server):
+        status, body = _post(server, "/v1/responses", {
+            "input": "Say something",
+            "max_output_tokens": 5,
+        })
+        assert status == 200 and body["object"] == "response"
+        assert body["status"] == "completed"
+        assert body["output"][0]["content"][0]["type"] == "output_text"
+        rid = body["id"]
+        status2, body2 = _get(server, f"/v1/responses/{rid}")
+        assert body2["id"] == rid
+
+    def test_input_items_and_chaining(self, server):
+        _, first = _post(server, "/v1/responses", {
+            "input": "First turn", "max_output_tokens": 4,
+        })
+        status, items = _get(server, f"/v1/responses/{first['id']}/input_items")
+        assert items["data"][0]["content"] == "First turn"
+        status, second = _post(server, "/v1/responses", {
+            "input": "Second turn",
+            "previous_response_id": first["id"],
+            "max_output_tokens": 4,
+        })
+        assert status == 200
+        assert second["previous_response_id"] == first["id"]
+
+    def test_stream_events(self, server):
+        req = urllib.request.Request(
+            server + "/v1/responses",
+            data=json.dumps({"input": "stream", "max_output_tokens": 4,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        names = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for line in r:
+                line = line.decode().strip()
+                if line.startswith("event: "):
+                    names.append(line[7:])
+        assert names[0] == "response.created"
+        assert names[-1] == "response.completed"
+
+    def test_retrieve_missing(self, server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server, "/v1/responses/resp_nope")
+        assert e.value.code == 404
+
+
 class TestMetrics:
     def test_metrics_populated(self, server):
         _post(server, "/v1/chat/completions", {
