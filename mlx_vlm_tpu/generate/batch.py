@@ -362,7 +362,7 @@ def batch_generate(
     continuous-batching engine; outputs are restored to input order.
     """
     from ..utils.processing import prepare_inputs
-    from ..utils.tokenizer import StreamingDetokenizer
+    from ..utils.tokenizer import make_detokenizer
     from .dispatch import _get_eos_ids
 
     t_start = time.perf_counter()
@@ -424,7 +424,7 @@ def batch_generate(
         ids = token_lists[uid]
         total_gen += len(ids)
         ids = [t for t in ids if t not in eos]
-        detok = StreamingDetokenizer(tok)
+        detok = make_detokenizer(tok)
         for t in ids:
             detok.add_token(t)
             detok.last_segment()

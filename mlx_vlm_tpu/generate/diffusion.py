@@ -67,7 +67,7 @@ def stream_diffusion_generate(
 ) -> Generator[GenerationResult, None, None]:
     """Reference diffusion.py:539 — greedy (confidence-ranked) demasking."""
     from ..utils.processing import prepare_inputs
-    from ..utils.tokenizer import StreamingDetokenizer
+    from ..utils.tokenizer import make_detokenizer
 
     cfg = getattr(model, "config_dict", {}) or {}
     mask_id = mask_token_id or cfg.get("mask_token_id") or getattr(
@@ -90,7 +90,7 @@ def stream_diffusion_generate(
 
     tic = time.perf_counter()
     tok = getattr(processor, "tokenizer", processor)
-    detok = StreamingDetokenizer(tok)
+    detok = make_detokenizer(tok)
     emitted = 0
     n_blocks = (max_tokens + block_size - 1) // block_size
     for b in range(n_blocks):

@@ -151,9 +151,9 @@ def stream_generate(
 
     eos_ids = _get_eos_ids(model, processor)
     tok = getattr(processor, "tokenizer", processor)
-    from ..utils.tokenizer import StreamingDetokenizer
+    from ..utils.tokenizer import make_detokenizer
 
-    detok = StreamingDetokenizer(tok)
+    detok = make_detokenizer(tok)
 
     prompt_tokens = int(np.asarray(input_ids).shape[1])
     prompt_time = None

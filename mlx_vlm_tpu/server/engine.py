@@ -271,10 +271,10 @@ class ResponseGenerator:
         )
 
     def _make_detok(self):
-        from ..utils.tokenizer import StreamingDetokenizer
+        from ..utils.tokenizer import make_detokenizer
 
         tok = getattr(self.processor, "tokenizer", self.processor)
-        return StreamingDetokenizer(tok)
+        return make_detokenizer(tok)
 
     def _run(self):
         while not self._stop.is_set():
