@@ -31,12 +31,23 @@ DEFAULT_TILE_N = 256
 
 
 def _dq(codes_f32, s, b, group_elems):
-    """[TN, Kc] codes + [TN, G] scale/bias -> dequantized [TN, Kc]."""
+    """[TN, Kc] codes + [TN, G] scale/bias -> dequantized [TN, Kc].
+
+    Mosaic can't split the 128-lane minor dim (reshape to [TN, G, g]), so the
+    per-group scale/bias are lane-expanded with a one-hot expansion matmul
+    built from iota (runs on the MXU, no layout casts)."""
     tn, kc = codes_f32.shape
-    G = kc // group_elems
-    g3 = codes_f32.reshape(tn, G, group_elems)
-    w = g3 * s[:, :, None] + b[:, :, None]
-    return w.reshape(tn, kc)
+    G = s.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (G, kc), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (G, kc), 1)
+    expand = (col // group_elems == row).astype(jnp.float32)  # [G, Kc]
+    s_full = jax.lax.dot_general(
+        s, expand, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    b_full = jax.lax.dot_general(
+        b, expand, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return codes_f32 * s_full + b_full
 
 
 def _qmm4_kernel(xe_ref, xo_ref, q_ref, s_ref, b_ref, o_ref, *, group_size):
