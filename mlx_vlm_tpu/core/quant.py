@@ -129,9 +129,24 @@ def dequantize(t: QuantizedTensor, dtype=None) -> jax.Array:
 def quantized_matmul(x: jax.Array, t: QuantizedTensor, transpose: bool = True) -> jax.Array:
     """x @ dequant(t).T (transpose=True, HF Linear layout) or x @ dequant(t).
 
-    XLA fallback; the Pallas kernel in ops/qmatmul.py overrides this for the
-    serving hot path.
+    Default path dequantizes via XLA; set MLX_VLM_TPU_QMM=1 on a TPU backend
+    to route 2-D weights through the fused Pallas kernel (ops/qmatmul.py),
+    which reads the packed codes directly from HBM.
     """
+    import os
+
+    if (
+        transpose
+        and t.q.ndim == 2
+        and os.environ.get("MLX_VLM_TPU_QMM", "0") in ("1", "true")
+    ):
+        try:
+            if jax.default_backend() == "tpu":
+                from ..ops.qmatmul import quantized_matmul_pallas
+
+                return quantized_matmul_pallas(x, t)
+        except Exception:  # pragma: no cover - backend probing
+            pass
     w = dequantize(t, dtype=x.dtype)
     if transpose:
         return jax.lax.dot_general(

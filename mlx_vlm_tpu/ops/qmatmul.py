@@ -51,7 +51,8 @@ def _dq(codes_f32, s, b, group_elems):
 
 
 def _qmm4_kernel(xe_ref, xo_ref, q_ref, s_ref, b_ref, o_ref, *, group_size):
-    q = q_ref[:].astype(jnp.int32)  # [TN, K/2] packed bytes
+    kt = pl.program_id(1)
+    q = q_ref[:].astype(jnp.int32)  # [TN, TK/2] packed bytes
     lo = (q & 0x0F).astype(jnp.float32)
     hi = (q >> 4).astype(jnp.float32)
     hg = group_size // 2
@@ -67,17 +68,33 @@ def _qmm4_kernel(xe_ref, xo_ref, q_ref, s_ref, b_ref, o_ref, *, group_size):
     acc += jax.lax.dot_general(
         xo, w_hi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    o_ref[:] = acc.astype(o_ref.dtype)
+    # K is tiled on the innermost grid dim; the output block is revisited
+    # and accumulated across K tiles
+    @pl.when(kt == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += acc.astype(o_ref.dtype)
 
 
 def _qmm8_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group_size):
+    kt = pl.program_id(1)
     codes = q_ref[:].astype(jnp.int32).astype(jnp.float32)
     w = _dq(codes, s_ref[:].astype(jnp.float32), b_ref[:].astype(jnp.float32),
             group_size)
     x = x_ref[:].astype(jnp.float32)
-    o_ref[:] = jax.lax.dot_general(
+    acc = jax.lax.dot_general(
         x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    )
+
+    @pl.when(kt == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += acc.astype(o_ref.dtype)
+
+
+MAX_TILE_K = 2048  # per-tile K budget keeps dequant scratch inside VMEM
 
 
 @functools.partial(
@@ -86,36 +103,45 @@ def _qmm8_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group_size):
 def _qmm_2d(x, q, scales, biases, *, bits, group_size, tile_n, interpret):
     M, K = x.shape
     N = q.shape[0]
-    packed = q.shape[1]
-    groups = scales.shape[1]
-    grid = (pl.cdiv(N, tile_n),)
+    per_byte = 8 // bits
+    tile_k = min(K, MAX_TILE_K)
+    while K % tile_k:
+        tile_k //= 2
+    grid = (pl.cdiv(N, tile_n), K // tile_k)  # K innermost -> accumulation
+    packed_tk = tile_k // per_byte
+    groups_tk = tile_k // group_size
     common = dict(
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         grid=grid,
-        out_specs=pl.BlockSpec((M, tile_n), lambda i: (0, i),
+        out_specs=pl.BlockSpec((M, tile_n), lambda i, kt: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=M * K * 4 + N * packed + 4 * N * groups + M * N * 4,
+            bytes_accessed=M * K * 4 + N * K // per_byte + M * N * 4,
             transcendentals=0,
         ),
     )
     w_specs = [
-        pl.BlockSpec((tile_n, packed), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_n, groups), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_n, groups), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, packed_tk), lambda i, kt: (i, kt),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, groups_tk), lambda i, kt: (i, kt),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, groups_tk), lambda i, kt: (i, kt),
+                     memory_space=pltpu.VMEM),
     ]
     if bits == 4:
         xe = x[:, 0::2]
         xo = x[:, 1::2]
         kernel = functools.partial(_qmm4_kernel, group_size=group_size)
-        half = K // 2
+        half_tk = tile_k // 2
         return pl.pallas_call(
             kernel,
             in_specs=[
-                pl.BlockSpec((M, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((M, half), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, half_tk), lambda i, kt: (0, kt),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, half_tk), lambda i, kt: (0, kt),
+                             memory_space=pltpu.VMEM),
                 *w_specs,
             ],
             **common,
@@ -124,7 +150,8 @@ def _qmm_2d(x, q, scales, biases, *, bits, group_size, tile_n, interpret):
     return pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec((M, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, tile_k), lambda i, kt: (0, kt),
+                         memory_space=pltpu.VMEM),
             *w_specs,
         ],
         **common,
