@@ -65,8 +65,21 @@ def get_model_path(path_or_hf_repo: str, revision: Optional[str] = None) -> Path
 
 
 def load_config(model_path: Path) -> dict:
+    """config.json + generation_config.json merge (reference utils.py:868:
+    eos_token_id and sampling defaults live in generation_config)."""
     with open(model_path / "config.json") as f:
-        return json.load(f)
+        config = json.load(f)
+    gen_cfg_path = model_path / "generation_config.json"
+    if gen_cfg_path.exists():
+        try:
+            with open(gen_cfg_path) as f:
+                gen = json.load(f)
+            for k in ("eos_token_id", "bos_token_id", "pad_token_id"):
+                if k in gen and k not in config:
+                    config[k] = gen[k]
+        except (json.JSONDecodeError, OSError):
+            pass
+    return config
 
 
 def get_model_and_args(config: dict):
