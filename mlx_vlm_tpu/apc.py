@@ -109,6 +109,116 @@ class APCStats:
         return dataclasses.asdict(self)
 
 
+class DiskBlockStore:
+    """SSD tier for KV blocks — survives restart (reference apc.py:837).
+
+    One safetensors file per block (k/v tensors + token/parent metadata),
+    byte-budgeted LRU eviction by mtime, background writer thread so harvest
+    never blocks the decode loop (reference background writer apc.py:2450).
+    """
+
+    def __init__(self, path: str, max_bytes: int = 8 * 1024**3):
+        import queue
+
+        os.makedirs(path, exist_ok=True)
+        self.path = path
+        self.max_bytes = max_bytes
+        self._q: "queue.Queue" = queue.Queue()
+        self.writes = 0
+        self.loads = 0
+        self._writer = threading.Thread(target=self._write_loop, daemon=True)
+        self._writer.start()
+
+    def _file(self, h: str) -> str:
+        return os.path.join(self.path, f"block_{h}.safetensors")
+
+    def put(self, block: APCBlock):
+        self._q.put(block)
+
+    def _write_loop(self):
+        while True:
+            block = self._q.get()
+            if block is None:
+                return
+            try:
+                self._write(block)
+            except Exception:  # noqa: BLE001 - best-effort tier
+                pass
+
+    def _write(self, block: APCBlock):
+        import json as _json
+
+        from safetensors.numpy import save_file
+
+        meta = {
+            "parent": block.parent or "",
+            "tokens": _json.dumps(list(block.tokens)),
+        }
+        save_file({"k": block.k, "v": block.v}, self._file(block.hash),
+                  metadata=meta)
+        self.writes += 1
+        self._evict()
+
+    def _evict(self):
+        files = [
+            (os.path.getmtime(f), os.path.getsize(f), f)
+            for f in (os.path.join(self.path, n) for n in os.listdir(self.path))
+            if f.endswith(".safetensors")
+        ]
+        total = sum(sz for _, sz, _ in files)
+        for _, sz, f in sorted(files):
+            if total <= self.max_bytes:
+                break
+            try:
+                os.remove(f)
+                total -= sz
+            except OSError:
+                pass
+
+    def get(self, h: str) -> Optional[APCBlock]:
+        import json as _json
+
+        from safetensors import safe_open
+
+        f = self._file(h)
+        if not os.path.exists(f):
+            return None
+        try:
+            with safe_open(f, framework="numpy") as sf:
+                meta = sf.metadata() or {}
+                blk = APCBlock(
+                    hash=h,
+                    parent=meta.get("parent") or None,
+                    tokens=tuple(_json.loads(meta.get("tokens", "[]"))),
+                    k=sf.get_tensor("k"),
+                    v=sf.get_tensor("v"),
+                    last_used=time.time(),
+                )
+            os.utime(f)  # LRU touch
+            self.loads += 1
+            return blk
+        except Exception:  # noqa: BLE001
+            return None
+
+    def flush(self, timeout: float = 10.0):
+        """Wait for queued writes (tests / shutdown)."""
+        deadline = time.time() + timeout
+        while not self._q.empty() and time.time() < deadline:
+            time.sleep(0.01)
+        time.sleep(0.05)
+
+    def stats(self) -> dict:
+        files = os.listdir(self.path)
+        return {
+            "disk_blocks": len(files),
+            "disk_bytes": sum(
+                os.path.getsize(os.path.join(self.path, f)) for f in files
+            ),
+            "disk_writes": self.writes,
+            "disk_loads": self.loads,
+        }
+
+
 class APCManager:
     """Fixed-size block pool with chained hashes and LRU eviction."""
 
@@ -117,11 +227,13 @@ class APCManager:
         num_blocks: int = DEFAULT_NUM_BLOCKS,
         block_size: int = DEFAULT_BLOCK_SIZE,
         media_token_ids: Sequence[int] = (),
+        disk_store: Optional[DiskBlockStore] = None,
     ):
         self.num_blocks = num_blocks
         self.block_size = block_size
         self.media_token_ids = tuple(media_token_ids)
         self.blocks: Dict[str, APCBlock] = {}
+        self.disk = disk_store
         self.lock = threading.RLock()
         self.stats = APCStats()
 
@@ -140,6 +252,11 @@ class APCManager:
                 chunk = tuple(tokens[b * bs : (b + 1) * bs])
                 h = _hash(parent, chunk, extra)
                 blk = self.blocks.get(h)
+                if blk is None and self.disk is not None:
+                    blk = self.disk.get(h)  # promote from the SSD tier
+                    if blk is not None:
+                        self._evict_if_full()
+                        self.blocks[h] = blk
                 if blk is None:
                     break
                 matched.append(blk)
@@ -209,7 +326,7 @@ class APCManager:
                 if h not in self.blocks:
                     self._evict_if_full()
                     s = (b * bs) - lo
-                    self.blocks[h] = APCBlock(
+                    blk = APCBlock(
                         hash=h,
                         parent=parent,
                         tokens=chunk,
@@ -217,6 +334,9 @@ class APCManager:
                         v=v_host[:, :, s : s + bs, :].copy(),
                         last_used=time.time(),
                     )
+                    self.blocks[h] = blk
+                    if self.disk is not None:
+                        self.disk.put(blk)
                     stored += 1
             self.stats.stores += stored
         return stored
@@ -264,21 +384,31 @@ class APCManager:
 
     def snapshot(self) -> dict:
         with self.lock:
-            return {
+            out = {
                 "enabled": True,
                 "num_blocks": self.num_blocks,
                 "block_size": self.block_size,
                 "used_blocks": len(self.blocks),
                 **self.stats.as_dict(),
             }
+            if self.disk is not None:
+                out.update(self.disk.stats())
+            return out
 
 
 def from_env(media_token_ids: Sequence[int] = ()) -> Optional[APCManager]:
     """APC_ENABLED / APC_NUM_BLOCKS / APC_BLOCK_SIZE (reference apc.py:4405)."""
     if os.environ.get("APC_ENABLED", "0") not in ("1", "true", "True"):
         return None
+    disk = None
+    if os.environ.get("APC_DISK_PATH"):
+        disk = DiskBlockStore(
+            os.environ["APC_DISK_PATH"],
+            max_bytes=int(os.environ.get("APC_DISK_MAX_BYTES", 8 * 1024**3)),
+        )
     return APCManager(
         num_blocks=int(os.environ.get("APC_NUM_BLOCKS", DEFAULT_NUM_BLOCKS)),
         block_size=int(os.environ.get("APC_BLOCK_SIZE", DEFAULT_BLOCK_SIZE)),
         media_token_ids=media_token_ids,
+        disk_store=disk,
     )

@@ -81,6 +81,50 @@ class TestBlockPool:
         assert snap["lookups"] == 1 and snap["enabled"]
 
 
+class TestDiskTier:
+    def test_restart_survival(self, model, tmp_path):
+        """Blocks written by one manager must be found by a fresh one."""
+        import dataclasses
+
+        from mlx_vlm_tpu.apc import DiskBlockStore
+
+        tokens = list(range(12))
+        cache = make_cache(model, 1, 32, jnp.float32)
+        cache = dataclasses.replace(
+            cache,
+            k=cache.k.at[:, 0, :, :12, :].set(2.25),
+            offset=jnp.asarray(12, jnp.int32),
+        )
+        disk1 = DiskBlockStore(str(tmp_path / "apc"), max_bytes=10**9)
+        apc1 = APCManager(num_blocks=64, block_size=4, disk_store=disk1)
+        apc1.commit(tokens, cache)
+        disk1.flush()
+        assert disk1.stats()["disk_blocks"] == 3
+
+        # "restart": new manager, empty RAM pool, same directory
+        disk2 = DiskBlockStore(str(tmp_path / "apc"), max_bytes=10**9)
+        apc2 = APCManager(num_blocks=64, block_size=4, disk_store=disk2)
+        prefix, blocks = apc2.lookup(tokens)
+        assert prefix == 8  # 2 blocks (3rd leaves <1 token margin rule)
+        assert np.asarray(blocks[0].k).max() == 2.25
+        assert disk2.loads >= 2
+
+    def test_byte_budget_eviction(self, model, tmp_path):
+        import dataclasses
+
+        from mlx_vlm_tpu.apc import DiskBlockStore
+
+        cache = make_cache(model, 1, 64, jnp.float32)
+        cache = dataclasses.replace(cache, offset=jnp.asarray(64, jnp.int32))
+        # each block file is ~L*H*bs*D floats; set budget to ~2 blocks
+        one = 2 * 2 * 4 * 16 * 4 * 2  # L*H*bs*D * 4B * (k+v)
+        disk = DiskBlockStore(str(tmp_path / "apc2"), max_bytes=int(one * 2.5))
+        apc = APCManager(num_blocks=256, block_size=4, disk_store=disk)
+        apc.commit(list(range(64)), cache)
+        disk.flush()
+        assert disk.stats()["disk_bytes"] <= one * 2.5 + 1024
+
+
 class TestWarmCacheCorrectness:
     def test_warm_prefill_matches_cold(self, model):
         """Generation from an APC-warmed cache must equal cold generation."""
