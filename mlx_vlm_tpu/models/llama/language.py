@@ -81,11 +81,15 @@ class LanguageModel:
         q = linear(p["q_proj"], x).reshape(B, S, self.n_heads, self.head_dim)
         k = linear(p["k_proj"], x).reshape(B, S, self.n_kv_heads, self.head_dim)
         v = linear(p["v_proj"], x).reshape(B, S, self.n_kv_heads, self.head_dim)
-        return (
-            q.transpose(0, 2, 1, 3),
-            k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-        )
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        # qwen3-style per-head-dim q/k norms when the checkpoint carries them
+        if "q_norm" in p:
+            q = rms_norm(p["q_norm"], q, self.args.rms_norm_eps)
+        if "k_norm" in p:
+            k = rms_norm(p["k_norm"], k, self.args.rms_norm_eps)
+        return q, k, v
 
     def _attention(self, p, x, cos, sin, mask, cache, cxs):
         B, S, _ = x.shape

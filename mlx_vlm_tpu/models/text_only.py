@@ -13,11 +13,13 @@ from .llama import Model as _LlamaModel
 from .llama.config import TextConfig as _LlamaConfig
 
 # model_type -> (Model, ModelConfig). Llama-architecture covers llama,
-# mistral, qwen2 (bias weights picked up from the checkpoint directly).
+# mistral, qwen2 (qkv-bias weights picked up from the checkpoint directly)
+# and qwen3 (per-head q/k norms picked up the same way).
 _TEXT_ARCHS = {
     "llama": (_LlamaModel, _LlamaConfig),
     "mistral": (_LlamaModel, _LlamaConfig),
     "qwen2": (_LlamaModel, _LlamaConfig),
+    "qwen3": (_LlamaModel, _LlamaConfig),
 }
 
 

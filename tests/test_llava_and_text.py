@@ -45,6 +45,31 @@ class TestTextOnlyFallback:
             np.asarray(full), np.stack(outs, 1), atol=2e-4, rtol=1e-3
         )
 
+    def test_qwen3_qk_norms(self):
+        """qwen3 checkpoints carry q_norm/k_norm over head_dim."""
+        cfg = tiny_llama_config(model_type="qwen3", head_dim=16)
+        w = llama_hf_weights(cfg, 5)
+        for i in range(cfg["num_hidden_layers"]):
+            w[f"model.layers.{i}.self_attn.q_norm.weight"] = (
+                np.full(16, 2.0, np.float32)
+            )
+            w[f"model.layers.{i}.self_attn.k_norm.weight"] = np.ones(16, np.float32)
+        model = load_model_from_weights(cfg, w, jnp.float32)
+        ids = (np.arange(6, dtype=np.int32) % 200)[None]
+        embeds = jax.jit(model.get_input_embeddings)(model.params, jnp.asarray(ids))
+        toks = [int(t[0]) for t, _ in generate_step(embeds, model, max_tokens=3)]
+        assert len(toks) == 3
+        # norms actually applied: removing them changes logits
+        w2 = {k: v for k, v in w.items() if "q_norm" not in k and "k_norm" not in k}
+        model2 = load_model_from_weights(cfg, w2, jnp.float32)
+        e2 = jax.jit(model2.get_input_embeddings)(model2.params, jnp.asarray(ids))
+        pos = np.broadcast_to(np.arange(6, dtype=np.int32), (3, 1, 6))
+        c1 = model.language_model.init_cache(1, 16, jnp.float32)
+        c2 = model2.language_model.init_cache(1, 16, jnp.float32)
+        l1, _ = model(model.params, embeds, c1, jnp.asarray(pos))
+        l2, _ = model2(model2.params, e2, c2, jnp.asarray(pos))
+        assert not np.allclose(np.asarray(l1), np.asarray(l2))
+
     def test_llama3_rope_scaling(self):
         cfg = tiny_llama_config(
             rope_scaling={
