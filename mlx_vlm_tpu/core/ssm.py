@@ -1,0 +1,116 @@
+"""Selective state-space (Mamba-style) scan ops.
+
+Role parity: reference mlx_vlm/models/ssm.py — make_ssm_kernel:14 (prefill
+scan) and ssm_update_kernel:67 (single decode step), used by the SSM/hybrid
+families (nemotron_h, lfm2, baichuan_m1, qwen3_next ...).
+
+TPU design: the recurrence h_t = exp(Δ_t A) h_{t-1} + Δ_t B_t x_t is a
+first-order linear scan, so prefill runs as `jax.lax.associative_scan`
+(log-depth, MXU/VPU friendly, no sequential loop) and decode is one fused
+elementwise step.  Recurrent state lives in an ArraysCache-style slot
+(core/cache.py conventions: functional, fixed shapes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _assoc_op(a, b):
+    """Compose two (decay, increment) pairs of the linear recurrence."""
+    (da, xa), (db, xb) = a, b
+    return da * db, xb + db * xa
+
+
+def selective_scan(
+    x: jax.Array,  # [B, S, D]   inputs
+    delta: jax.Array,  # [B, S, D]   softplus-ed step sizes
+    A: jax.Array,  # [D, N]      state matrix (negative; log-space per mamba)
+    B: jax.Array,  # [B, S, N]   input projection
+    C: jax.Array,  # [B, S, N]   output projection
+    D: Optional[jax.Array] = None,  # [D] skip connection
+    h0: Optional[jax.Array] = None,  # [B, D, N] initial state
+) -> Tuple[jax.Array, jax.Array]:
+    """Parallel selective scan -> (y [B,S,D], h_last [B,D,N]).
+
+    Discretization (mamba): dA = exp(Δ ⊗ A), dB = Δ ⊗ B; state
+    h_t = dA_t * h_{t-1} + dB_t * x_t; output y_t = (C_t · h_t) + D * x_t.
+    """
+    Bsz, S, Dm = x.shape
+    N = A.shape[1]
+    dA = jnp.exp(
+        delta[..., None] * A[None, None]
+    )  # [B, S, D, N]
+    dBx = delta[..., None] * B[:, :, None, :] * x[..., None]  # [B, S, D, N]
+    if h0 is not None:
+        # fold the carried state into the first step's increment
+        dBx = dBx.at[:, 0].add(dA[:, 0] * h0)
+    decays, states = jax.lax.associative_scan(_assoc_op, (dA, dBx), axis=1)
+    y = jnp.einsum("bsn,bsdn->bsd", C, states)
+    if D is not None:
+        y = y + D[None, None, :] * x
+    return y.astype(x.dtype), states[:, -1]
+
+
+def ssm_update(
+    x: jax.Array,  # [B, D]
+    delta: jax.Array,  # [B, D]
+    A: jax.Array,  # [D, N]
+    B: jax.Array,  # [B, N]
+    C: jax.Array,  # [B, N]
+    h: jax.Array,  # [B, D, N] previous state
+    D: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """One decode step (reference ssm_update_kernel:67) -> (y [B,D], h')."""
+    dA = jnp.exp(delta[..., None] * A[None])  # [B, D, N]
+    h = dA * h + delta[..., None] * B[:, None, :] * x[..., None]
+    y = jnp.einsum("bn,bdn->bd", C, h)
+    if D is not None:
+        y = y + D[None, :] * x
+    return y.astype(x.dtype), h
+
+
+def gated_delta_update(
+    k: jax.Array,  # [B, H, Dk]
+    v: jax.Array,  # [B, H, Dv]
+    q: jax.Array,  # [B, H, Dk]
+    g: jax.Array,  # [B, H] decay gate in (0, 1)
+    beta: jax.Array,  # [B, H] write strength
+    state: jax.Array,  # [B, H, Dk, Dv] associative memory
+) -> Tuple[jax.Array, jax.Array]:
+    """Gated delta-rule recurrent step (reference models/gated_delta.py:13,
+    Qwen3-Next/3.5 linear-attention layers).
+
+    state' = g * state + beta * k^T (v - k·state)
+    y      = q · state'
+    """
+    pred = jnp.einsum("bhk,bhkv->bhv", k, state)
+    delta = (v - pred) * beta[..., None]
+    state = g[..., None, None] * state + jnp.einsum("bhk,bhv->bhkv", k, delta)
+    y = jnp.einsum("bhk,bhkv->bhv", q, state)
+    return y, state
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["slots", "offset"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class ArraysCache:
+    """Opaque recurrent-state slots (reference cache.py:557 ArraysCache):
+    carries SSM / delta-rule states through the decode loop."""
+
+    slots: tuple
+    offset: jax.Array
+
+    def scan_arrays(self):
+        return self.slots
+
+    def with_arrays(self, ys, new_tokens: int):
+        return ArraysCache(slots=tuple(ys), offset=self.offset + new_tokens)
