@@ -73,6 +73,31 @@ class LanguageModel:
         h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
         return h, cache.with_arrays(cys, S)
 
+    def forward_captured(self, params, inputs_embeds, cache, position_ids):
+        """Cached forward that also returns every layer's output hidden
+        states [L, B, S, D] — feeds EAGLE-3-style drafters (the reference
+        captures 3 target layers, speculative/eagle3.py:334)."""
+        B, S, _ = inputs_embeds.shape
+        cos, sin = self.rope.cos_sin(position_ids)
+        mask = causal_cache_mask(cache.offset, cache.left_pad, S, cache.capacity)
+        h = inputs_embeds
+        mp = params["model"]
+
+        def layer(h, xs):
+            lp, cxs = xs
+            x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
+            attn, cxs = self._attention(lp["self_attn"], x, cos, sin, mask, cache, cxs)
+            h = h + attn
+            x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
+            h = h + self._mlp(lp["mlp"], x)
+            return h, (cxs, h)
+
+        h, (cys, hiddens) = jax.lax.scan(
+            layer, h, (mp["layers"], cache.scan_arrays())
+        )
+        h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
+        return h, cache.with_arrays(cys, S), hiddens
+
     def _mlp(self, p, x):
         return swiglu_mlp(p, x)
 

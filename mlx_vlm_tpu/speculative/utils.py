@@ -35,6 +35,110 @@ def run_speculative_rounds(*args, **kwargs):
     return speculative_generate_step(*args, **kwargs)
 
 
+def eagle3_generate_step(
+    inputs_embeds: jax.Array,  # [1, S, D]
+    model,
+    drafter,  # drafters.eagle3.Eagle3Drafter
+    drafter_params: dict,
+    *,
+    max_tokens: int = 256,
+    num_draft: int = 4,
+    stats=None,
+):
+    """EAGLE-3-style speculative decoding (reference eagle3.py:344).
+
+    The target runs `forward_captured` so every verify forward also yields
+    the layer stack; the drafter consumes the fused capture at the last
+    committed position and autoregresses its own single layer.  Greedy and
+    lossless (the verify walk only commits target-greedy tokens).  v1 keeps
+    the drafter cache cold at prompt start (no drafter prompt prefill) —
+    acceptance ramps over the first rounds.
+    """
+    from ..generate.common import round_up
+
+    stats = stats if stats is not None else SpecStats()
+    params = model.params
+    lm = model.language_model
+    B, S, _ = inputs_embeds.shape
+    assert B == 1
+    k = num_draft
+    capacity = round_up(S + max_tokens + k + 2, CACHE_BUCKET)
+    cache = make_cache(model, B, capacity, inputs_embeds.dtype)
+    d_cache = drafter.init_cache(B, capacity, inputs_embeds.dtype)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def prefill_captured(p, cache, embeds, pos):
+        lp = p["language_model"]
+        hidden, cache, hiddens = lm.forward_captured(lp, embeds, cache, pos)
+        logits = lm.logits(lp, hidden)[:, -1].astype(jnp.float32)
+        return logits, cache, hiddens
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def verify_captured(p, cache, prev_tok, draft_toks):
+        lp = p["language_model"]
+        seq = jnp.concatenate([prev_tok[:, None], draft_toks], axis=1)
+        embeds = lm.embed(lp, seq)
+        pos = cache.offset + jnp.arange(k + 1)[None, None, :]
+        pos = jnp.broadcast_to(pos, (3, B, k + 1)).astype(jnp.int32)
+        hidden, cache, hiddens = lm.forward_captured(lp, embeds, cache, pos)
+        logits = lm.logits(lp, hidden).astype(jnp.float32)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        match = greedy[:, :k] == draft_toks
+        n_acc = jnp.argmin(
+            jnp.concatenate([match, jnp.zeros((B, 1), bool)], 1).astype(jnp.int32),
+            axis=1,
+        )
+        n_acc = jnp.minimum(n_acc, k - 1)
+        idx = jnp.arange(k + 1)[None, :]
+        out = jnp.where(
+            idx < n_acc[:, None], jnp.pad(draft_toks, ((0, 0), (0, 1))), 0
+        )
+        bonus = jnp.take_along_axis(greedy, n_acc[:, None], axis=1)[:, 0]
+        out = jnp.where(idx == n_acc[:, None], bonus[:, None], out)
+        # feature for the next round: fused capture at the last accepted pos
+        feats = drafter.fuse_features(drafter_params, hiddens)  # [B, k+1, D]
+        feat = jnp.take_along_axis(
+            feats, n_acc[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        cache = dataclasses.replace(
+            cache, offset=cache.offset - (k + 1) + jnp.max(n_acc) + 1
+        )
+        return out, n_acc, feat, cache
+
+    pos = np.broadcast_to(np.arange(S, dtype=np.int32), (3, B, S)).copy()
+    logits, cache, hiddens = prefill_captured(
+        params, cache, jnp.asarray(inputs_embeds), jnp.asarray(pos)
+    )
+    feat = drafter.fuse_features(drafter_params, hiddens)[:, -1]  # [B, D]
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    yield np.asarray(tok), np.zeros((B,), np.float32)
+    n = 1
+    draft = drafter.draft_fn(k)
+    d_off = 0  # host mirror of the drafter cursor (avoids aliasing the
+    # donated cache.offset buffer as a second argument)
+    while n < max_tokens:
+        start = jnp.asarray(d_off, jnp.int32)
+        d_toks, d_cache = draft(drafter_params, d_cache, tok, feat, start)
+        out, n_acc, feat, cache = verify_captured(params, cache, tok, d_toks)
+        out_h = np.asarray(out)
+        n_acc_h = int(np.asarray(n_acc)[0])
+        stats.rounds += 1
+        stats.drafted += k
+        stats.accepted += n_acc_h
+        committed = out_h[0, : n_acc_h + 1]
+        # drafter rollback: keep only the accepted prefix of its K writes
+        d_off += n_acc_h + 1
+        d_cache = dataclasses.replace(
+            d_cache, offset=jnp.asarray(d_off, jnp.int32)
+        )
+        for t in committed:
+            if n >= max_tokens:
+                break
+            yield np.asarray([t]), np.zeros((B,), np.float32)
+            n += 1
+        tok = jnp.asarray([int(committed[-1])], jnp.int32)
+
+
 def load_drafter(path_or_repo: str, dtype=jnp.bfloat16, kind: str = "vanilla"):
     """Load a draft model (reference drafters/__init__.py:load_drafter).
 

@@ -75,6 +75,46 @@ class TestSpeculative:
             out, _ = _spec_greedy(target, drafter_diff, ids, 10, k=k)
             assert out == ref, f"k={k}: {out} != {ref}"
 
+    def test_eagle3_lossless(self, target):
+        """EAGLE-style drafter (random weights): output must equal plain
+        target greedy regardless of drafter quality."""
+        from mlx_vlm_tpu.speculative.drafters.eagle3 import (
+            Eagle3Config,
+            Eagle3Drafter,
+            init_eagle3_params,
+        )
+        from mlx_vlm_tpu.speculative.utils import SpecStats, eagle3_generate_step
+
+        tc = target.config
+        cfg = Eagle3Config(
+            hidden_size=tc.hidden_size,
+            intermediate_size=tc.intermediate_size,
+            num_attention_heads=tc.num_attention_heads,
+            num_key_value_heads=tc.num_key_value_heads,
+            vocab_size=tc.vocab_size,
+            capture_layers=(0, 1, 2),
+        )
+        drafter = Eagle3Drafter(cfg)
+        dparams = init_eagle3_params(cfg, seed=3)
+        ids = (np.arange(9, dtype=np.int32) * 5 % 200)[None]
+        ref = _plain_greedy(target, ids, 12)
+        stats = SpecStats()
+        out = [
+            int(t[0])
+            for t, _ in eagle3_generate_step(
+                _embeds(target, ids), target, drafter, dparams,
+                max_tokens=12, num_draft=3, stats=stats,
+            )
+        ]
+        assert out == ref, f"{out} != {ref}"
+        assert stats.rounds >= 1
+
+    def test_drafter_kind_resolution(self):
+        from mlx_vlm_tpu.speculative.drafters import resolve_drafter_kind
+
+        assert resolve_drafter_kind("eagle3") == "eagle3"
+        assert resolve_drafter_kind("llama") == "vanilla"
+
     def test_compat_validation(self, target):
         from mlx_vlm_tpu.speculative.utils import validate_drafter_compatibility
 
