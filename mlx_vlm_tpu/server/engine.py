@@ -274,7 +274,7 @@ class ResponseGenerator:
         from ..utils.tokenizer import make_detokenizer
 
         tok = getattr(self.processor, "tokenizer", self.processor)
-        return make_detokenizer(tok)
+        return make_detokenizer(tok, skip_special_tokens=True)
 
     def _run(self):
         while not self._stop.is_set():

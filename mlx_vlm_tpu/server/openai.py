@@ -152,6 +152,7 @@ def chat_completion(handler, body: dict, generator, model_name: str):
     finish = "stop"
     n_gen = 0
     error = None
+    token_logprobs = []
     for tok in it:
         if tok.error:
             error = tok.error
@@ -159,6 +160,11 @@ def chat_completion(handler, body: dict, generator, model_name: str):
         pieces.append(tok.text)
         if tok.token is not None:
             n_gen += 1
+            if body.get("logprobs"):
+                token_logprobs.append(
+                    {"token": tok.text, "logprob": tok.logprob,
+                     "bytes": list(tok.text.encode()) if tok.text else None}
+                )
         if tok.finish_reason:
             finish = tok.finish_reason
             break
@@ -190,16 +196,15 @@ def chat_completion(handler, body: dict, generator, model_name: str):
             finish = "tool_calls"
     meta = generator.metrics.snapshot()["recent"]
     env = meta[-1] if meta else {}
+    choice = {"index": 0, "message": message, "finish_reason": finish}
+    if body.get("logprobs"):
+        choice["logprobs"] = {"content": token_logprobs}
     handler.send_json({
         "id": cid,
         "object": "chat.completion",
         "created": created,
         "model": model_name,
-        "choices": [{
-            "index": 0,
-            "message": message,
-            "finish_reason": finish,
-        }],
+        "choices": [choice],
         "usage": {
             "prompt_tokens": env.get("prompt_tokens", 0),
             "completion_tokens": n_gen,

@@ -79,12 +79,17 @@ class BPEStreamingDetokenizer:
     """Incremental byte-level BPE decode — O(token length) per token
     (reference tokenizer_utils.py:200)."""
 
-    def __init__(self, tokenizer):
+    def __init__(self, tokenizer, skip_special_tokens: bool = False):
         self.tokenizer = tokenizer
         self._byte_map = _byte_level_table()
         self._pending = bytearray()
         self._segment = ""
         self.text = ""
+        self._skip_ids = (
+            set(getattr(tokenizer, "all_special_ids", []) or [])
+            if skip_special_tokens
+            else set()
+        )
 
     def reset(self):
         self._pending = bytearray()
@@ -92,7 +97,10 @@ class BPEStreamingDetokenizer:
         self.text = ""
 
     def add_token(self, token: int):
-        s = self.tokenizer.convert_ids_to_tokens(int(token))
+        token = int(token)
+        if token in self._skip_ids:
+            return
+        s = self.tokenizer.convert_ids_to_tokens(token)
         if s is None:
             return
         for ch in s:
@@ -172,7 +180,7 @@ class SPMStreamingDetokenizer:
         return s
 
 
-def make_detokenizer(tokenizer):
+def make_detokenizer(tokenizer, skip_special_tokens: bool = False):
     """Pick the streaming detokenizer by decoder introspection
     (reference tokenizer_utils.py:424-451)."""
     try:
@@ -183,7 +191,7 @@ def make_detokenizer(tokenizer):
             spec = json.loads(backend.to_str())
             dec = (spec.get("decoder") or {}).get("type", "")
             if dec == "ByteLevel":
-                return BPEStreamingDetokenizer(tokenizer)
+                return BPEStreamingDetokenizer(tokenizer, skip_special_tokens)
             if dec == "Sequence":
                 types = [
                     d.get("type")

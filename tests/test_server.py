@@ -169,6 +169,16 @@ class TestOpenAI:
         body = json.loads(e.value.read())
         assert "context budget" in body["error"]["message"]
 
+    def test_logprobs(self, server):
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "logprobs please"}],
+            "max_tokens": 4,
+            "logprobs": True,
+        })
+        lps = body["choices"][0]["logprobs"]["content"]
+        assert len(lps) >= 1
+        assert all(l["logprob"] <= 0.0 for l in lps)
+
     def test_bad_json(self, server):
         req = urllib.request.Request(
             server + "/v1/chat/completions", data=b"{not json",
