@@ -67,14 +67,15 @@ class QuantizedTensor:
 
 
 def _check_bits(bits: int):
-    if bits not in (4, 8):
-        raise ValueError(f"Only 4- and 8-bit quantization supported, got {bits}")
+    if bits not in (1, 2, 4, 8):
+        raise ValueError(f"Only 1/2/4/8-bit quantization supported, got {bits}")
 
 
 def quantize(w: jax.Array, bits: int = 4, group_size: int = 64) -> QuantizedTensor:
     """Affine-quantize `w` along its last axis (mlx-compatible semantics).
 
     For each group: q = round((w - min) / scale), w ≈ scale * q + min.
+    bits=1 gives the OneBitLinear layout (reference quantization/one_bit.py).
     """
     _check_bits(bits)
     *lead, n = w.shape
@@ -89,10 +90,12 @@ def quantize(w: jax.Array, bits: int = 4, group_size: int = 64) -> QuantizedTens
     scale = jnp.where(scale == 0.0, 1.0, scale)
     q = jnp.clip(jnp.round((wf - wmin[..., None]) / scale[..., None]), 0, qmax)
     q = q.astype(jnp.uint8).reshape(*lead, n)
-    if bits == 4:
-        lo = q[..., 0::2]
-        hi = q[..., 1::2]
-        q = (lo | (hi << 4)).astype(jnp.uint8)
+    per_byte = 8 // bits
+    if per_byte > 1:
+        packed = jnp.zeros((*lead, n // per_byte), jnp.uint8)
+        for j in range(per_byte):
+            packed = packed | (q[..., j::per_byte] << (bits * j))
+        q = packed
     return QuantizedTensor(
         q=q,
         scales=scale.astype(out_dtype),
@@ -107,11 +110,11 @@ def _unpack(q: jax.Array, bits: int) -> jax.Array:
     """uint8 packed -> uint8 elements in [0, 2^bits)."""
     if bits == 8:
         return q
-    lo = q & 0x0F
-    hi = q >> 4
-    # interleave: even indices = lo, odd = hi
-    out = jnp.stack([lo, hi], axis=-1)
-    return out.reshape(*q.shape[:-1], q.shape[-1] * 2)
+    per_byte = 8 // bits
+    mask = (1 << bits) - 1
+    parts = [(q >> (bits * j)) & mask for j in range(per_byte)]
+    out = jnp.stack(parts, axis=-1)
+    return out.reshape(*q.shape[:-1], q.shape[-1] * per_byte)
 
 
 def dequantize(t: QuantizedTensor, dtype=None) -> jax.Array:

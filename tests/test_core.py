@@ -18,17 +18,31 @@ from mlx_vlm_tpu.core.sampling import make_logits_processors, make_sampler
 
 
 class TestQuant:
-    @pytest.mark.parametrize("bits", [4, 8])
+    @pytest.mark.parametrize("bits", [1, 2, 4, 8])
     def test_roundtrip(self, bits):
         rng = np.random.default_rng(0)
         w = jnp.asarray(rng.standard_normal((32, 128)).astype(np.float32))
         t = quantize(w, bits=bits, group_size=32)
         wd = dequantize(t)
         err = jnp.abs(wd - w).max()
-        # max group range ~6 sigma / (2^bits - 1) / 2
+        # max group range ~8 sigma / (2^bits - 1)
         bound = 8.0 / (2**bits - 1)
         assert err < bound, f"{err} vs {bound}"
         assert t.shape == w.shape
+        assert t.q.shape[-1] == w.shape[-1] * bits // 8
+
+    def test_one_bit_linear(self):
+        """1-bit weights flow through linear() (OneBitLinear parity,
+        reference quantization/one_bit.py:362)."""
+        from mlx_vlm_tpu.core.layers import linear
+
+        rng = np.random.default_rng(3)
+        w = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32))
+        t = quantize(w, bits=1, group_size=32)
+        y = linear({"weight": t}, x)
+        y_ref = x @ dequantize(t).T
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
 
     def test_quantized_matmul(self):
         rng = np.random.default_rng(1)
