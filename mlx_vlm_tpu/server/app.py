@@ -97,7 +97,16 @@ def make_handler(state: ServerState):
                 self.send_json({"error": {"message": "not found"}}, 404)
 
         def do_GET(self):  # noqa: N802
-            if self.path == "/health":
+            if self.path in ("/", "/chat"):
+                from .webui import PAGE
+
+                payload = PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            elif self.path == "/health":
                 self.send_json({"status": "ok", "model": state.model_name})
             elif self.path == "/metrics":
                 self.send_json(state.generator.metrics.snapshot())

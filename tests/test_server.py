@@ -87,6 +87,12 @@ def _png_b64():
 
 
 class TestBasicEndpoints:
+    def test_web_ui(self, server):
+        with urllib.request.urlopen(server + "/", timeout=30) as r:
+            body = r.read().decode()
+        assert r.headers["Content-Type"].startswith("text/html")
+        assert "/v1/chat/completions" in body
+
     def test_health(self, server):
         status, body = _get(server, "/health")
         assert status == 200 and body["status"] == "ok"
