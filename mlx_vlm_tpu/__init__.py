@@ -7,6 +7,7 @@ load, generate, stream_generate, batch_generate, convert, apply_chat_template.
 """
 
 from .generate import GenerationResult, generate, generate_step, stream_generate
+from .generate.batch import batch_generate
 from .prompt_utils import apply_chat_template
 from .utils.loader import load, load_config, load_model
 from .utils.processing import prepare_inputs
@@ -19,6 +20,7 @@ __all__ = [
     "generate",
     "stream_generate",
     "generate_step",
+    "batch_generate",
     "GenerationResult",
     "apply_chat_template",
     "prepare_inputs",

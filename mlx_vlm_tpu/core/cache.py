@@ -250,18 +250,20 @@ def update_layer_auto(k_cache, v_cache, k_new, v_new, offset):
 
 def insert_row(
     batch,
-    row,  # prefilled single-row cache of the SAME cache class
+    row,  # prefilled source cache of the SAME cache class (1+ rows)
     slot: jax.Array,  # int32 scalar
     prompt_len: jax.Array,  # int32 scalar (valid tokens in `row`)
+    src_row: int = 0,
 ):
-    """Copy a prefilled row cache into batch slot `slot` (reference
+    """Copy one prefilled row into batch slot `slot` (reference
     BatchGenerator.insert ar.py:2494).  Works for any cache class exposing
-    scan_arrays()/with_arrays() with [L,B,H,C,...] buffers."""
+    scan_arrays()/with_arrays() with [L,B,H,C,...] buffers; `src_row`
+    selects the row of a multi-row (batched-prefill) source."""
     zero = jnp.zeros((), jnp.int32)
     outs = []
     for b_buf, r_buf in zip(batch.scan_arrays(), row.scan_arrays()):
         cp = min(r_buf.shape[3], b_buf.shape[3])
-        src = r_buf[:, :, :, :cp]
+        src = r_buf[:, src_row : src_row + 1, :, :cp]
         outs.append(
             jax.lax.dynamic_update_slice(
                 b_buf, src.astype(b_buf.dtype), (zero, slot, zero, zero, zero)

@@ -61,6 +61,20 @@ class DecodeEngine:
             return logits.astype(jnp.float32), cache
 
         self._prefill = prefill
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def prefill_rows(params, cache, embeds, position_ids, last_idx):
+            """Batched multi-prompt prefill: per-row last-token logits
+            (reference PromptProcessingBatch, ar.py:1530). last_idx: [B]."""
+            lm_params = params["language_model"]
+            hidden, cache = self.lm(lm_params, embeds, cache, position_ids)
+            h_last = jnp.take_along_axis(
+                hidden, last_idx[:, None, None].astype(jnp.int32), axis=1
+            )  # [B, 1, D]
+            logits = self.lm.logits(lm_params, h_last)[:, 0]
+            return logits.astype(jnp.float32), cache
+
+        self._prefill_rows = prefill_rows
         self._steps = {}
 
     def decode_step_fn(

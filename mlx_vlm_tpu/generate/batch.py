@@ -161,15 +161,18 @@ class BatchGenerator:
         self._block_fn = block
         return block
 
-    def _get_insert_fn(self, cp: int) -> Callable:
-        fn = self._insert_fns.get(cp)
+    def _get_insert_fn(self, cp: int, src_row: int = 0) -> Callable:
+        key = (cp, src_row)
+        fn = self._insert_fns.get(key)
         if fn is None:
 
             @partial(jax.jit, donate_argnums=(0,))
             def insert(batch_cache, row_cache, slot, prompt_len):
-                return cache_lib.insert_row(batch_cache, row_cache, slot, prompt_len)
+                return cache_lib.insert_row(
+                    batch_cache, row_cache, slot, prompt_len, src_row=src_row
+                )
 
-            fn = self._insert_fns[cp] = insert
+            fn = self._insert_fns[key] = insert
         return fn
 
     # ------------------------------------------------------------ lifecycle
@@ -249,9 +252,14 @@ class BatchGenerator:
             self.cache, row_cache,
             jnp.asarray(slot_idx, jnp.int32), jnp.asarray(S, jnp.int32),
         )
-        self.toks = self.toks.at[slot_idx].set(first_tok[0])
+        self._register(slot_idx, req, int(np.asarray(first_tok)[0]), S)
+        return True
+
+    def _register(self, slot_idx: int, req: BatchRequest, first_tok: int, S: int):
+        """Shared post-prefill bookkeeping for a newly admitted row."""
+        self.toks = self.toks.at[slot_idx].set(first_tok)
         self.history = self.history.at[slot_idx].set(-1)
-        self.history = self.history.at[slot_idx, -1].set(first_tok[0])
+        self.history = self.history.at[slot_idx, -1].set(first_tok)
         sp = req.sampling
         self.temp[slot_idx] = sp.temp
         self.top_p[slot_idx] = sp.top_p
@@ -260,11 +268,85 @@ class BatchGenerator:
         self.deltas[slot_idx] = req.rope_delta
         self.active[slot_idx] = True
         self._offsets[slot_idx] = S
-        slot = _Slot(req=req, prompt_len=S, generated=1)
-        self.slots[slot_idx] = slot
+        self.slots[slot_idx] = _Slot(req=req, prompt_len=S, generated=1)
         # the first token counts as generated output
         self._first_tokens = getattr(self, "_first_tokens", {})
-        self._first_tokens[req.uid] = int(np.asarray(first_tok)[0])
+        self._first_tokens[req.uid] = first_tok
+
+    def _admit_batch(self) -> bool:
+        """Batched multi-prompt admission (reference PromptProcessingBatch
+        ar.py:1530): right-pad cold prompts to a shared length and prefill
+        them in ONE program, then insert row by row."""
+        free = [i for i, s in enumerate(self.slots) if s is None]
+        cold = [r for r in self.queue if r.prompt_cache is None]
+        if len(free) < 2 or len(cold) < 2:
+            return False
+        from .ar import make_cache
+
+        reqs = cold[: min(len(free), 8)]
+        lens = [jnp.asarray(r.inputs_embeds).shape[1] for r in reqs]
+        S_max = max(lens)
+        S_pad = round_up(S_max, 64)
+        if S_pad > self.prefill_step:
+            return False  # long prompts keep the chunked single-row path
+        n = len(reqs)
+        n_pad = 1 << (n - 1).bit_length()  # pow2 bucket limits recompiles
+        D = jnp.asarray(reqs[0].inputs_embeds).shape[2]
+        embeds = np.zeros((n_pad, S_pad, D), np.float32)
+        pos = np.zeros((3, n_pad, S_pad), np.int32)
+        for i, r in enumerate(reqs):
+            e = np.asarray(r.inputs_embeds, np.float32)
+            embeds[i, : lens[i]] = e[0]
+            p = r.position_ids
+            if p is None:
+                p = np.broadcast_to(
+                    np.arange(lens[i], dtype=np.int32), (3, 1, lens[i])
+                )
+            pos[:, i, : lens[i]] = np.asarray(p, np.int32)[:, 0]
+        cap = round_up(S_pad, 256)
+        cache = make_cache(
+            self.model, n_pad, cap, self.dtype, self.kv_bits, self.kv_group_size
+        )
+        last_idx = np.zeros(n_pad, np.int32)
+        last_idx[:n] = np.asarray(lens) - 1
+        logits, cache = self.engine._prefill_rows(
+            self.model.params, cache, jnp.asarray(embeds, self.dtype),
+            jnp.asarray(pos), jnp.asarray(last_idx),
+        )
+        sp = {
+            "temp": jnp.asarray(
+                [r.sampling.temp for r in reqs] + [0.0] * (n_pad - n), jnp.float32
+            ),
+            "top_p": jnp.asarray(
+                [r.sampling.top_p for r in reqs] + [0.0] * (n_pad - n), jnp.float32
+            ),
+            "min_p": jnp.asarray(
+                [r.sampling.min_p for r in reqs] + [0.0] * (n_pad - n), jnp.float32
+            ),
+            "top_k": jnp.asarray(
+                [r.sampling.top_k for r in reqs] + [-1] * (n_pad - n), jnp.int32
+            ),
+        }
+        self.key, sub = jax.random.split(self.key)
+        first_toks = np.asarray(self._sampler(logits, sp, sub))
+        for i, r in enumerate(reqs):
+            self.queue.remove(r)
+            slot_idx = [j for j, s in enumerate(self.slots) if s is None][0]
+            S = lens[i]
+            if S + r.max_tokens + self.block + 1 > self.capacity:
+                r.max_tokens = max(0, self.capacity - S - self.block - 1)
+            if r.prompt_cache_callback is not None:
+                # single-row view for the APC harvest hook
+                arrs = tuple(a[:, i : i + 1] for a in cache.scan_arrays())
+                view = cache.with_arrays(arrs, 0)
+                view = dataclasses.replace(view, offset=jnp.asarray(S, jnp.int32))
+                r.prompt_cache_callback(view)
+            ins = self._get_insert_fn(cap, src_row=i)
+            self.cache = ins(
+                self.cache, cache, jnp.asarray(slot_idx, jnp.int32),
+                jnp.asarray(S, jnp.int32),
+            )
+            self._register(slot_idx, r, int(first_toks[i]), S)
         return True
 
     def remove(self, uid):
@@ -282,10 +364,12 @@ class BatchGenerator:
         """One scheduling cycle -> {uid: [(token, logprob), ...]} newly
         produced (includes the prompt's first sampled token on admission)."""
         out: Dict[Any, List[Tuple[int, float]]] = {}
-        # admit as many as fit (prefill phase)
-        admitted = False
+        # admit as many as fit (prefill phase): cold prompts in one batched
+        # program when >=2 are waiting, the rest one at a time
+        while self._admit_batch():
+            pass
         while self._admit_one():
-            admitted = True
+            pass
         first = getattr(self, "_first_tokens", {})
         for uid, t in first.items():
             out.setdefault(uid, []).append((t, 0.0))
