@@ -339,7 +339,6 @@ def speculative_generate_step(
     verify = spec.verify_fn()
     # `cur` = sequence position of the last emitted token (target cache's
     # write cursor; the last token's own KV is written by the next round)
-    cur = S  # t1 sits at position S... cursor semantics: offset == cur - ?
     while n < max_tokens:
         d_toks, d_cache = draft(drafter.params, d_cache, tok)
         out, n_acc, cache = verify(params, cache, tok, d_toks, rope_deltas)
