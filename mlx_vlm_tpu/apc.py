@@ -378,9 +378,52 @@ class APCManager:
             cache, k=k, v=v, offset=jnp.asarray(prefix, jnp.int32)
         )
 
+    # ------------------------------------------------------------ exact mode
+    # Whole prompt-cache snapshots for cache types that can't be split into
+    # per-token blocks (SSM / recurrent / MLA latents) — reference apc.py
+    # `model_apc_mode`:4098, lookup_exact_cache:2976 / store_exact_cache.
+
+    def store_exact(self, tokens: Sequence[int], cache, extra: str = "") -> bool:
+        key = _hash(None, tuple(tokens), "exact:" + extra)
+        snap = jax.device_get(cache)
+        with self.lock:
+            store = getattr(self, "_exact", None)
+            if store is None:
+                store = self._exact = {}
+            store[key] = (len(tokens), snap)
+            self.stats.stores += 1
+            # bound the snapshot count with simple FIFO eviction
+            while len(store) > max(8, self.num_blocks // 256):
+                store.pop(next(iter(store)))
+                self.stats.evictions += 1
+        return True
+
+    def lookup_exact(self, tokens: Sequence[int], extra: str = ""):
+        """Longest stored snapshot matching a strict prefix of `tokens`.
+        Returns (prefix_len, device cache) or (0, None)."""
+        tokens = list(tokens)
+        with self.lock:
+            self.stats.lookups += 1
+            store = getattr(self, "_exact", None)
+            if not store:
+                return 0, None
+            best = (0, None)
+            for key, (n, snap) in store.items():
+                if n < len(tokens) and n > best[0]:
+                    if _hash(None, tuple(tokens[:n]), "exact:" + extra) == key:
+                        best = (n, snap)
+            if best[1] is None:
+                return 0, None
+            self.stats.hits += 1
+            self.stats.hit_tokens += best[0]
+            cache = jax.tree_util.tree_map(jnp.asarray, best[1])
+            return best[0], cache
+
     def reset(self):
         with self.lock:
             self.blocks.clear()
+            if getattr(self, "_exact", None):
+                self._exact.clear()
 
     def snapshot(self) -> dict:
         with self.lock:

@@ -94,7 +94,17 @@ def _qmm8_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group_size):
     o_ref[:] += acc.astype(o_ref.dtype)
 
 
-MAX_TILE_K = 2048  # per-tile K budget keeps dequant scratch inside VMEM
+VMEM_BUDGET = 11 * 1024 * 1024
+
+
+def pick_tile_n(K: int, bits: int, requested: int) -> int:
+    """Largest N tile whose dequant scratch fits VMEM.  K is never tiled:
+    Mosaic requires lane-dim blocks of 128 or the full array, and the
+    per-group scales have only K/group lanes."""
+    for tn in (requested, 512, 256, 128, 64, 32):
+        if tn <= requested and 14 * tn * K <= VMEM_BUDGET:
+            return tn
+    return 32
 
 
 @functools.partial(
@@ -104,10 +114,8 @@ def _qmm_2d(x, q, scales, biases, *, bits, group_size, tile_n, interpret):
     M, K = x.shape
     N = q.shape[0]
     per_byte = 8 // bits
-    tile_k = min(K, MAX_TILE_K)
-    while K % tile_k:
-        tile_k //= 2
-    grid = (pl.cdiv(N, tile_n), K // tile_k)  # K innermost -> accumulation
+    tile_k = K  # full-K blocks (see pick_tile_n)
+    grid = (pl.cdiv(N, tile_n), K // tile_k)
     packed_tk = tile_k // per_byte
     groups_tk = tile_k // group_size
     common = dict(
@@ -173,7 +181,7 @@ def quantized_matmul_pallas(
     for d in lead:
         M *= d
     x2 = x.reshape(M, K)
-    tn = min(tile_n, N)
+    tn = min(pick_tile_n(K, t.bits, tile_n), N)
     out = _qmm_2d(
         x2, t.q, t.scales, t.biases,
         bits=t.bits, group_size=t.group_size, tile_n=tn, interpret=interpret,

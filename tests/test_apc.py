@@ -125,6 +125,51 @@ class TestDiskTier:
         assert disk.stats()["disk_bytes"] <= one * 2.5 + 1024
 
 
+class TestExactMode:
+    def test_mla_snapshot_restore(self):
+        """Exact snapshots restore MLA latent caches (block mode rejects
+        them); warm generation matches cold."""
+        from tests.test_deepseek_v2 import tiny_dsv2_config, tiny_dsv2_weights
+        from mlx_vlm_tpu.utils.loader import load_model_from_weights
+
+        cfg = tiny_dsv2_config()
+        dsm = load_model_from_weights(cfg, tiny_dsv2_weights(cfg), jnp.float32)
+        apc = APCManager(num_blocks=64, block_size=4)
+        S = 12
+        ids = (np.arange(S, dtype=np.int32) * 3 % 200)[None]
+        tokens = ids[0].tolist()
+        embeds = jax.jit(dsm.get_input_embeddings)(dsm.params, jnp.asarray(ids))
+
+        # block-mode commit must cleanly reject the MLA cache type
+        cache = dsm.language_model.init_cache(1, 64, jnp.float32)
+        assert apc.commit(tokens, cache) == 0
+        assert apc.stats.rejects.get("cache_type", 0) == 1
+
+        prefix = 8
+        cold = [
+            int(t[0])
+            for t, _ in generate_step(
+                embeds, dsm, max_tokens=5,
+                prompt_cache_callback=lambda c: apc.store_exact(
+                    tokens[:prefix],
+                    __import__("dataclasses").replace(
+                        c, offset=jnp.asarray(prefix, jnp.int32)
+                    ),
+                ),
+            )
+        ]
+        n, warm_cache = apc.lookup_exact(tokens)
+        assert n == prefix and warm_cache is not None
+        warm = [
+            int(t[0])
+            for t, _ in generate_step(
+                embeds, dsm, max_tokens=5,
+                prompt_cache=warm_cache, prefix_len=n,
+            )
+        ]
+        assert warm == cold, f"{warm} != {cold}"
+
+
 class TestWarmCacheCorrectness:
     def test_warm_prefill_matches_cold(self, model):
         """Generation from an APC-warmed cache must equal cold generation."""
