@@ -94,17 +94,19 @@ def _qmm8_kernel(x_ref, q_ref, s_ref, b_ref, o_ref, *, group_size):
     o_ref[:] += acc.astype(o_ref.dtype)
 
 
-VMEM_BUDGET = 11 * 1024 * 1024
+VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def pick_tile_n(K: int, bits: int, requested: int) -> int:
-    """Largest N tile whose dequant scratch fits VMEM.  K is never tiled:
+    """Largest N tile whose dequant scratch fits VMEM (empirically ~7.5
+    bytes per (tile_n x K) element on v5e Mosaic).  K is never tiled:
     Mosaic requires lane-dim blocks of 128 or the full array, and the
-    per-group scales have only K/group lanes."""
-    for tn in (requested, 512, 256, 128, 64, 32):
-        if tn <= requested and 14 * tn * K <= VMEM_BUDGET:
+    per-group scales have only K/group lanes.  128 floor = minimum lane
+    tile."""
+    for tn in (requested, 512, 256, 128):
+        if tn <= requested and 7.5 * tn * K <= VMEM_BUDGET:
             return tn
-    return 32
+    return 128
 
 
 @functools.partial(
