@@ -105,7 +105,7 @@ class KVCache:
         )
 
     def attend(self, cxs, q, k, v, scale, mask, flash_ok: bool = True,
-               window=None):
+               window=None, logit_softcap=None):
         """Write new k/v into this layer's buffers and attend.
 
         Prefill chunks (S large enough) route through the Pallas fused
@@ -115,7 +115,7 @@ class KVCache:
 
         k_buf, v_buf = cxs
         k_buf, v_buf = update_layer_auto(k_buf, v_buf, k, v, self.offset)
-        if flash_ok and _flash_eligible(q, k_buf):
+        if flash_ok and logit_softcap is None and _flash_eligible(q, k_buf):
             from ..ops.flash_attention import flash_attention
 
             B = q.shape[0]
@@ -127,7 +127,7 @@ class KVCache:
                 q_tile=_flash_tile(q.shape[2]), window=window,
             )
         else:
-            out = sdpa(q, k_buf, v_buf, scale, mask)
+            out = sdpa(q, k_buf, v_buf, scale, mask, logit_softcap=logit_softcap)
         return out, (k_buf, v_buf)
 
 

@@ -384,6 +384,112 @@ def make_tiny_llava(seed: int = 0, dtype=jnp.float32, config: Optional[dict] = N
     return load_model_from_weights(cfg, llava_hf_weights(cfg, seed), dtype)
 
 
+def tiny_paligemma_config(gemma2: bool = False, **overrides) -> dict:
+    text = {
+        "model_type": "gemma2" if gemma2 else "gemma",
+        "hidden_size": 48,
+        "num_hidden_layers": 4,
+        "intermediate_size": 96,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "vocab_size": 256,
+        "rms_norm_eps": 1e-6,
+    }
+    if gemma2:
+        text.update(
+            head_dim=16,
+            query_pre_attn_scalar=16.0,
+            attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0,
+            sliding_window=4,
+        )
+    cfg = {
+        "model_type": "paligemma",
+        "image_token_index": 64,
+        "hidden_size": 48,
+        "pad_token_id": 0,
+        "projection_dim": 48,
+        "text_config": text,
+        "vision_config": {
+            "model_type": "siglip_vision_model",
+            "num_hidden_layers": 2,
+            "hidden_size": 32,
+            "intermediate_size": 64,
+            "num_attention_heads": 4,
+            "image_size": 28,  # 2x2 patches
+            "patch_size": 14,
+            "num_channels": 3,
+            "projection_dim": 48,
+        },
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def paligemma_hf_weights(config: dict, seed: int = 0, scale: float = 0.05) -> dict:
+    rng = np.random.default_rng(seed)
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    tc, vc = config["text_config"], config["vision_config"]
+    gemma2 = tc["model_type"] == "gemma2"
+    D = tc["hidden_size"]
+    nh, nkv = tc["num_attention_heads"], tc["num_key_value_heads"]
+    hd = tc.get("head_dim", D // nh) if gemma2 else D // nh
+    I = tc["intermediate_size"]
+    w = {
+        "language_model.model.embed_tokens.weight": rand(tc["vocab_size"], D),
+        "language_model.model.norm.weight": np.zeros(D, np.float32),
+    }
+    for i in range(tc["num_hidden_layers"]):
+        p = f"language_model.model.layers.{i}."
+        norms = ["input_layernorm", "post_attention_layernorm"]
+        if gemma2:
+            norms += ["pre_feedforward_layernorm", "post_feedforward_layernorm"]
+        for nm in norms:
+            w[p + nm + ".weight"] = np.zeros(D, np.float32)
+        w[p + "self_attn.q_proj.weight"] = rand(nh * hd, D)
+        w[p + "self_attn.k_proj.weight"] = rand(nkv * hd, D)
+        w[p + "self_attn.v_proj.weight"] = rand(nkv * hd, D)
+        w[p + "self_attn.o_proj.weight"] = rand(D, nh * hd)
+        w[p + "mlp.gate_proj.weight"] = rand(I, D)
+        w[p + "mlp.up_proj.weight"] = rand(I, D)
+        w[p + "mlp.down_proj.weight"] = rand(D, I)
+    E = vc["hidden_size"]
+    P = vc["patch_size"]
+    C = vc.get("num_channels", 3)
+    Iv = vc["intermediate_size"]
+    n_pos = (vc["image_size"] // P) ** 2
+    p = "vision_tower.vision_model."
+    w[p + "embeddings.patch_embedding.weight"] = rand(E, C, P, P)
+    w[p + "embeddings.patch_embedding.bias"] = rand(E)
+    w[p + "embeddings.position_embedding.weight"] = rand(n_pos, E)
+    w[p + "post_layernorm.weight"] = np.ones(E, np.float32)
+    w[p + "post_layernorm.bias"] = np.zeros(E, np.float32)
+    for i in range(vc["num_hidden_layers"]):
+        q = p + f"encoder.layers.{i}."
+        for nm in ("layer_norm1", "layer_norm2"):
+            w[q + nm + ".weight"] = np.ones(E, np.float32)
+            w[q + nm + ".bias"] = np.zeros(E, np.float32)
+        for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            w[q + f"self_attn.{nm}.weight"] = rand(E, E)
+            w[q + f"self_attn.{nm}.bias"] = rand(E)
+        w[q + "mlp.fc1.weight"] = rand(Iv, E)
+        w[q + "mlp.fc1.bias"] = rand(Iv)
+        w[q + "mlp.fc2.weight"] = rand(E, Iv)
+        w[q + "mlp.fc2.bias"] = rand(E)
+    w["multi_modal_projector.linear.weight"] = rand(D, E)
+    w["multi_modal_projector.linear.bias"] = rand(D)
+    return w
+
+
+def make_tiny_paligemma(seed: int = 0, dtype=jnp.float32,
+                        config: Optional[dict] = None, gemma2: bool = False):
+    cfg = config or tiny_paligemma_config(gemma2=gemma2)
+    return load_model_from_weights(cfg, paligemma_hf_weights(cfg, seed), dtype)
+
+
 def tiny_gemma3_config(**overrides) -> dict:
     cfg = {
         "model_type": "gemma3",

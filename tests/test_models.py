@@ -25,6 +25,8 @@ def _builders():
         "qwen2_vl": lambda dt: T.make_tiny_qwen2_vl(0, dt),
         "qwen2_5_vl": lambda dt: T.make_tiny_qwen2_5_vl(0, dt),
         "gemma3": lambda dt: T.make_tiny_gemma3(0, dt),
+        "paligemma": lambda dt: T.make_tiny_paligemma(0, dt),
+        "paligemma2": lambda dt: T.make_tiny_paligemma(0, dt, gemma2=True),
         "llava": lambda dt: T.make_tiny_llava(0, dt),
         "llama": lambda dt: load_model_from_weights(
             T.tiny_llama_config(), T.llama_hf_weights(T.tiny_llama_config(), 0), dt
