@@ -135,13 +135,12 @@ def mrope_section_map(sections: Sequence[int], style: str = "chunked") -> np.nda
             [np.full(s, i, dtype=np.int32) for i, s in enumerate(sections)]
         )
     elif style == "interleaved":
-        out = np.empty(n, dtype=np.int32)
-        idx = 0
-        for i in range(max(sections)):
-            for sec, s in enumerate(sections):
-                if i < s:
-                    out[idx] = sec
-                    idx += 1
+        # reference rope_utils.py:_interleaved_position_selector — freq index
+        # i%3==1 -> h (up to 3*sections[1]), i%3==2 -> w (up to 3*sections[2]),
+        # everything else -> t
+        out = np.zeros(n, dtype=np.int32)
+        for dim, offset in enumerate((1, 2), start=1):
+            out[offset:min(sections[dim] * 3, n):3] = dim
     else:
         raise ValueError(f"unknown mrope style {style}")
     return out
@@ -178,11 +177,12 @@ class Rope:
         base: float = 10000.0,
         scaling: Optional[dict] = None,
         max_position_embeddings: int = 131072,
+        mrope_style: str = "chunked",
     ):
         self.dim = dim
         self.attention_scaling = 1.0
         self.mrope_sections = None
-        self.mrope_style = "chunked"
+        self.mrope_style = mrope_style
         inv = default_inv_freq(dim, base)
         if scaling:
             typ = scaling.get("type") or scaling.get("rope_type") or "default"
@@ -219,6 +219,7 @@ def make_rope(
     base: float,
     scaling: Optional[dict] = None,
     max_position_embeddings: int = 131072,
+    mrope_style: str = "chunked",
 ) -> Rope:
     """Dispatcher — reference rope_utils.py:269 (initialize_rope)."""
-    return Rope(dim, base, scaling, max_position_embeddings)
+    return Rope(dim, base, scaling, max_position_embeddings, mrope_style)

@@ -154,84 +154,101 @@ class LanguageModel:
         video_grid_thw: Optional[np.ndarray] = None,
         attention_mask: Optional[np.ndarray] = None,
     ):
-        """3-D (t/h/w) position ids for M-RoPE — host-side, once per prompt.
-
-        Numpy re-derivation of reference language.py:216-402: text tokens get
-        sequential positions on all three streams; each vision span gets a
-        (t, h, w) grid offset from the running position; positions after a
-        span continue from its max + 1.  Returns (position_ids [3,B,S],
-        rope_deltas [B,1]).
-        """
         cfg = self.config
-        input_ids = np.asarray(input_ids)
-        B, S = input_ids.shape
-        if image_grid_thw is None and video_grid_thw is None:
-            if attention_mask is not None:
-                am = np.asarray(attention_mask)
-                pos = np.cumsum(am, axis=-1) - 1
-                pos = np.where(am == 0, 1, pos)
-                deltas = pos.max(axis=-1, keepdims=True) + 1 - S
+        return mrope_position_ids(
+            input_ids, image_grid_thw, video_grid_thw, attention_mask,
+            merge=cfg.vision_config.spatial_merge_size,
+            image_token_id=cfg.image_token_id,
+            video_token_id=cfg.video_token_id,
+        )
+
+
+def mrope_position_ids(
+    input_ids: np.ndarray,  # [B, S]
+    image_grid_thw: Optional[np.ndarray] = None,
+    video_grid_thw: Optional[np.ndarray] = None,
+    attention_mask: Optional[np.ndarray] = None,
+    *,
+    merge: int,
+    image_token_id: int,
+    video_token_id: int,
+):
+    """3-D (t/h/w) position ids for M-RoPE — host-side, once per prompt.
+
+    Numpy re-derivation of reference qwen2_vl language.py:216-402 (same
+    semantics as qwen3_vl language.py:282-468): text tokens get sequential
+    positions on all three streams; each vision span gets a (t, h, w) grid
+    offset from the running position; positions after a span continue from
+    its max + 1.  Returns (position_ids [3,B,S], rope_deltas [B,1]).
+    """
+    input_ids = np.asarray(input_ids)
+    B, S = input_ids.shape
+    if image_grid_thw is None and video_grid_thw is None:
+        if attention_mask is not None:
+            am = np.asarray(attention_mask)
+            pos = np.cumsum(am, axis=-1) - 1
+            pos = np.where(am == 0, 1, pos)
+            deltas = pos.max(axis=-1, keepdims=True) + 1 - S
+        else:
+            pos = np.broadcast_to(np.arange(S), (B, S)).copy()
+            deltas = np.zeros((B, 1), np.int64)
+        return (
+            np.broadcast_to(pos[None], (3, B, S)).astype(np.int32).copy(),
+            deltas.astype(np.int32),
+        )
+
+    img_tok, vid_tok = image_token_id, video_token_id
+    if attention_mask is None:
+        attention_mask = np.ones_like(input_ids)
+    attention_mask = np.asarray(attention_mask)
+    position_ids = np.ones((3, B, S), np.int32)
+    deltas = np.zeros((B, 1), np.int32)
+    img_idx = vid_idx = 0
+    igrid = None if image_grid_thw is None else np.asarray(image_grid_thw)
+    vgrid = None if video_grid_thw is None else np.asarray(video_grid_thw)
+
+    for b in range(B):
+        keep = attention_mask[b].astype(bool)
+        toks = input_ids[b][keep]
+        n = len(toks)
+        pos_chunks = []
+        st = 0
+        cur = 0  # next position value
+        while st < n:
+            # find next vision token at/after st
+            vis_pos = np.nonzero((toks[st:] == img_tok) | (toks[st:] == vid_tok))[0]
+            if len(vis_pos) == 0:
+                text_len = n - st
+                pos_chunks.append(
+                    np.broadcast_to(np.arange(text_len) + cur, (3, text_len))
+                )
+                cur += text_len
+                st = n
+                break
+            ed = st + int(vis_pos[0])
+            if toks[ed] == img_tok:
+                t, h, w = igrid[img_idx]
+                img_idx += 1
             else:
-                pos = np.broadcast_to(np.arange(S), (B, S)).copy()
-                deltas = np.zeros((B, 1), np.int64)
-            return (
-                np.broadcast_to(pos[None], (3, B, S)).astype(np.int32).copy(),
-                deltas.astype(np.int32),
-            )
-
-        merge = cfg.vision_config.spatial_merge_size
-        img_tok, vid_tok = cfg.image_token_id, cfg.video_token_id
-        if attention_mask is None:
-            attention_mask = np.ones_like(input_ids)
-        attention_mask = np.asarray(attention_mask)
-        position_ids = np.ones((3, B, S), np.int32)
-        deltas = np.zeros((B, 1), np.int32)
-        img_idx = vid_idx = 0
-        igrid = None if image_grid_thw is None else np.asarray(image_grid_thw)
-        vgrid = None if video_grid_thw is None else np.asarray(video_grid_thw)
-
-        for b in range(B):
-            keep = attention_mask[b].astype(bool)
-            toks = input_ids[b][keep]
-            n = len(toks)
-            pos_chunks = []
-            st = 0
-            cur = 0  # next position value
-            while st < n:
-                # find next vision token at/after st
-                vis_pos = np.nonzero((toks[st:] == img_tok) | (toks[st:] == vid_tok))[0]
-                if len(vis_pos) == 0:
-                    text_len = n - st
-                    pos_chunks.append(
-                        np.broadcast_to(np.arange(text_len) + cur, (3, text_len))
-                    )
-                    cur += text_len
-                    st = n
-                    break
-                ed = st + int(vis_pos[0])
-                if toks[ed] == img_tok:
-                    t, h, w = igrid[img_idx]
-                    img_idx += 1
-                else:
-                    t, h, w = vgrid[vid_idx]
-                    vid_idx += 1
-                gt, gh, gw = int(t), int(h) // merge, int(w) // merge
-                text_len = ed - st
-                if text_len:
-                    pos_chunks.append(
-                        np.broadcast_to(np.arange(text_len) + cur, (3, text_len))
-                    )
-                    cur += text_len
-                t_idx = np.repeat(np.arange(gt), gh * gw)
-                h_idx = np.tile(np.repeat(np.arange(gh), gw), gt)
-                w_idx = np.tile(np.arange(gw), gt * gh)
-                pos_chunks.append(np.stack([t_idx, h_idx, w_idx]) + cur)
-                cur += max(gt, gh, gw)
-                st = ed + gt * gh * gw
-            if pos_chunks:
-                compact = np.concatenate(pos_chunks, axis=1)  # [3, n]
-                full = np.ones((3, S), np.int64)
-                full[:, keep] = compact
-                position_ids[:, b, :] = full
-                deltas[b, 0] = compact.max() + 1 - n
-        return position_ids, deltas
+                t, h, w = vgrid[vid_idx]
+                vid_idx += 1
+            gt, gh, gw = int(t), int(h) // merge, int(w) // merge
+            text_len = ed - st
+            if text_len:
+                pos_chunks.append(
+                    np.broadcast_to(np.arange(text_len) + cur, (3, text_len))
+                )
+                cur += text_len
+            t_idx = np.repeat(np.arange(gt), gh * gw)
+            h_idx = np.tile(np.repeat(np.arange(gh), gw), gt)
+            w_idx = np.tile(np.arange(gw), gt * gh)
+            pos_chunks.append(np.stack([t_idx, h_idx, w_idx]) + cur)
+            cur += max(gt, gh, gw)
+            st = ed + gt * gh * gw
+        if pos_chunks:
+            compact = np.concatenate(pos_chunks, axis=1)  # [3, n]
+            full = np.ones((3, S), np.int64)
+            full[:, keep] = compact
+            position_ids[:, b, :] = full
+            deltas[b, 0] = compact.max() + 1 - n
+    return position_ids, deltas

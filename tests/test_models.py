@@ -20,8 +20,10 @@ from mlx_vlm_tpu.utils.loader import load_model_from_weights
 def _builders():
     from tests.test_idefics3 import tiny_idefics3_config, tiny_idefics3_weights
     from tests.test_pixtral import tiny_pixtral_config, tiny_pixtral_weights
+    from tests.test_qwen3_vl import make_tiny_qwen3_vl
 
     return {
+        "qwen3_vl": lambda dt: make_tiny_qwen3_vl(0, dt),
         "qwen2_vl": lambda dt: T.make_tiny_qwen2_vl(0, dt),
         "qwen2_5_vl": lambda dt: T.make_tiny_qwen2_5_vl(0, dt),
         "gemma3": lambda dt: T.make_tiny_gemma3(0, dt),
