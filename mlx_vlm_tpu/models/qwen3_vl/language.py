@@ -82,7 +82,7 @@ class LanguageModel:
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, -1)
             h = h + linear(lp["self_attn"]["o_proj"], attn)
             x = rms_norm(lp["post_attention_layernorm"], h, eps)
-            h = h + swiglu_mlp(lp["mlp"], x)
+            h = h + self._mlp(lp["mlp"], x)
             if ds_l is not None:  # reference language.py:220-229
                 h = h + ds_l.astype(h.dtype)
             return h, cxs
@@ -123,6 +123,9 @@ class LanguageModel:
             )
         h = rms_norm(mp["norm"], h, eps)
         return h, cache.with_arrays(cys, S)
+
+    def _mlp(self, p, x):  # overridden by the MoE variant
+        return swiglu_mlp(p, x)
 
     def _qkv(self, p, x):
         B, S, _ = x.shape
