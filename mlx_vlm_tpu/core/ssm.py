@@ -82,18 +82,62 @@ def gated_delta_update(
     g: jax.Array,  # [B, H] decay gate in (0, 1)
     beta: jax.Array,  # [B, H] write strength
     state: jax.Array,  # [B, H, Dk, Dv] associative memory
+    valid: Optional[jax.Array] = None,  # [B] bool: update state this step?
 ) -> Tuple[jax.Array, jax.Array]:
     """Gated delta-rule recurrent step (reference models/gated_delta.py:13,
     Qwen3-Next/3.5 linear-attention layers).
 
-    state' = g * state + beta * k^T (v - k·state)
-    y      = q · state'
+    Matches the reference kernel ordering exactly: the decay applies BEFORE
+    the prediction read —
+        s1     = g * state
+        state' = s1 + beta * k^T (v - k·s1)
+        y      = q · state'
+    Masked steps (valid=False, left-pad rows) leave the state untouched and
+    emit y=0 (reference gated_delta.py kernel `mask` branch).
     """
-    pred = jnp.einsum("bhk,bhkv->bhv", k, state)
+    s1 = g[..., None, None] * state
+    pred = jnp.einsum("bhk,bhkv->bhv", k, s1)
     delta = (v - pred) * beta[..., None]
-    state = g[..., None, None] * state + jnp.einsum("bhk,bhv->bhkv", k, delta)
-    y = jnp.einsum("bhk,bhkv->bhv", q, state)
-    return y, state
+    new_state = s1 + jnp.einsum("bhk,bhv->bhkv", k, delta)
+    y = jnp.einsum("bhk,bhkv->bhv", q, new_state)
+    if valid is not None:
+        keep = valid[:, None, None, None]
+        new_state = jnp.where(keep, new_state, state)
+        y = jnp.where(valid[:, None, None], y, 0.0)
+    return y, new_state
+
+
+def gated_delta_scan(
+    q: jax.Array,  # [B, S, H, Dk]
+    k: jax.Array,  # [B, S, H, Dk]
+    v: jax.Array,  # [B, S, H, Dv]
+    g: jax.Array,  # [B, S, H]
+    beta: jax.Array,  # [B, S, H]
+    state: jax.Array,  # [B, H, Dk, Dv]
+    valid: Optional[jax.Array] = None,  # [B, S] bool
+) -> Tuple[jax.Array, jax.Array]:
+    """Sequential delta-rule over S steps -> (y [B,S,H,Dv], final state).
+
+    The delta rule reads the state nonlinearly (k·state) so it is not an
+    associative scan; prefill runs as lax.scan over time with fused
+    elementwise/MXU step bodies (reference loops over T inside its kernel,
+    gated_delta.py:62-96)."""
+
+    def step(s, xs):
+        if valid is None:
+            qt, kt, vt, gt, bt = xs
+            va = None
+        else:
+            qt, kt, vt, gt, bt, va = xs
+        y, s = gated_delta_update(kt, vt, qt, gt, bt, s, va)
+        return s, y
+
+    xs = tuple(jnp.moveaxis(t, 1, 0) for t in (q, k, v, g, beta))
+    if valid is not None:
+        xs = xs + (jnp.moveaxis(valid, 1, 0),)
+    state = state.astype(jnp.float32)
+    final, ys = jax.lax.scan(step, state, xs)
+    return jnp.moveaxis(ys, 0, 1).astype(v.dtype), final
 
 
 @partial(
