@@ -79,7 +79,9 @@ def stream_generate(
         )
         return
 
-    inputs = prepare_inputs(processor, prompt, images=image, videos=video)
+    inputs = prepare_inputs(
+        processor, prompt, images=image, videos=video, audios=audio
+    )
     input_ids = inputs["input_ids"]
     pixel_values = inputs.get("pixel_values")
     grid_thw = inputs.get("image_grid_thw")
@@ -87,10 +89,31 @@ def stream_generate(
         grid_thw = inputs.get("video_grid_thw")
     attention_mask = inputs.get("attention_mask")
 
+    # --- audio tower aux (omni-style models)
+    audio_aux_dev = {}
+    input_features = inputs.get("input_features")
+    if input_features is not None and hasattr(model, "audio_aux_inputs"):
+        feats_np = np.asarray(input_features)
+        fam = inputs.get("feature_attention_mask")
+        if fam is not None:
+            lens = np.asarray(fam).sum(axis=-1).astype(int).tolist()
+        elif feats_np.ndim == 3:
+            lens = [feats_np.shape[-1]] * feats_np.shape[0]
+        else:
+            lens = [feats_np.shape[-1]]
+        audio_aux_dev = {
+            k: jnp.asarray(v)
+            for k, v in model.audio_aux_inputs(feats_np, lens).items()
+        }
+
     tic = time.perf_counter()
     # --- embed (vision tower + merge) on device
     ids_dev = jnp.asarray(input_ids)
-    if pixel_values is not None:
+    if audio_aux_dev and pixel_values is None:
+        embeds = jax.jit(model.get_input_embeddings)(
+            model.params, ids_dev, **audio_aux_dev
+        )
+    elif pixel_values is not None:
         aux = model.vision_aux_inputs(np.asarray(grid_thw))
         aux_dev = {k: jnp.asarray(v) for k, v in aux.items()}
         feats = None
@@ -107,7 +130,8 @@ def stream_generate(
             )
         else:
             embeds = jax.jit(model.get_input_embeddings)(
-                model.params, ids_dev, jnp.asarray(pixel_values), **aux_dev
+                model.params, ids_dev, jnp.asarray(pixel_values),
+                **aux_dev, **audio_aux_dev,
             )
     else:
         embeds = jax.jit(model.get_input_embeddings)(model.params, ids_dev)

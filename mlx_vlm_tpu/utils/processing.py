@@ -286,11 +286,20 @@ def prepare_inputs(
         images = [images]
     if images is not None:
         images = [load_image(im) for im in images]
+    audios = kwargs.pop("audios", None)
+    if audios is not None:
+        if not isinstance(audios, (list, tuple)):
+            audios = [audios]
+        audios = [
+            a if isinstance(a, np.ndarray) else load_audio(a) for a in audios
+        ]
+        kwargs["audio"] = audios  # HF omni processors take `audio=`
     out = processor(
         text=prompts if isinstance(prompts, list) else [prompts],
         images=images,
         videos=videos,
         padding=True,
+        **kwargs,
     )
     result = {}
     for k, v in out.items():
