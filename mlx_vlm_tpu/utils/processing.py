@@ -214,18 +214,92 @@ class Qwen2VLImageProcessor:
         }
 
 
+def _mel_filterbank(n_mels: int, n_fft: int, sr: int) -> np.ndarray:
+    """Slaney-normalized triangular mel filterbank [n_mels, n_fft//2+1]
+    (matches HF WhisperFeatureExtractor's default bank)."""
+
+    def hz_to_mel(f):
+        f = np.asarray(f, np.float64)
+        mel = 3.0 * f / 200.0
+        log_region = f >= 1000.0
+        mel = np.where(
+            log_region, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) * (27.0 / np.log(6.4)), mel
+        )
+        return mel
+
+    def mel_to_hz(m):
+        m = np.asarray(m, np.float64)
+        f = 200.0 * m / 3.0
+        log_region = m >= 15.0
+        return np.where(log_region, 1000.0 * np.exp(np.log(6.4) / 27.0 * (m - 15.0)), f)
+
+    fft_freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    mel_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2), n_mels + 2))
+    fb = np.zeros((n_mels, len(fft_freqs)))
+    for i in range(n_mels):
+        lo, ce, hi = mel_pts[i], mel_pts[i + 1], mel_pts[i + 2]
+        up = (fft_freqs - lo) / max(ce - lo, 1e-10)
+        down = (hi - fft_freqs) / max(hi - ce, 1e-10)
+        fb[i] = np.maximum(0, np.minimum(up, down))
+        fb[i] *= 2.0 / (hi - lo)  # slaney area normalization
+    return fb.astype(np.float32)
+
+
+def log_mel_spectrogram(
+    audio: np.ndarray,
+    n_mels: int = 128,
+    n_fft: int = 400,
+    hop: int = 160,
+    sr: int = 16000,
+) -> np.ndarray:
+    """Whisper-style log-mel features [n_mels, T] from mono float audio.
+
+    Matches HF WhisperFeatureExtractor (hann window, reflect pad, power
+    spectrogram, log10 clamp to max-8, /4 + 1 normalization); the reference
+    relies on the HF feature extractor for this step (utils.py:1688)."""
+    audio = np.asarray(audio, np.float32)
+    pad = n_fft // 2
+    x = np.pad(audio, pad, mode="reflect")
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(n_fft + 1)[:-1][None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # [T, n_fft//2+1]
+    mel = _mel_filterbank(n_mels, n_fft, sr) @ spec.T  # [n_mels, T]
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(np.float32)[:, :-1]
+
+
 class Qwen2VLProcessor:
-    """Minimal text+image processor mirroring HF Qwen2VLProcessor behavior."""
+    """Minimal text+image(+audio) processor mirroring HF behavior."""
 
     image_pad = "<|image_pad|>"
     video_pad = "<|video_pad|>"
+    audio_pad = "<|audio_pad|>"
 
-    def __init__(self, tokenizer, image_processor: Qwen2VLImageProcessor):
+    def __init__(self, tokenizer, image_processor: Qwen2VLImageProcessor,
+                 num_mel_bins: int = 128):
         self.tokenizer = tokenizer
         self.image_processor = image_processor
+        self.num_mel_bins = num_mel_bins
 
-    def __call__(self, text=None, images=None, videos=None, padding=True, **kw):
+    def __call__(self, text=None, images=None, videos=None, padding=True,
+                 audio=None, **kw):
         out = {}
+        if audio is not None:
+            if not isinstance(audio, (list, tuple)):
+                audio = [audio]
+            mels = [log_mel_spectrogram(a, self.num_mel_bins) for a in audio]
+            T = max(m.shape[1] for m in mels)
+            out["input_features"] = np.stack(
+                [np.pad(m, ((0, 0), (0, T - m.shape[1]))) for m in mels]
+            )
+            out["feature_attention_mask"] = np.stack(
+                [
+                    np.pad(np.ones(m.shape[1], np.int64), (0, T - m.shape[1]))
+                    for m in mels
+                ]
+            )
         if images is not None:
             out.update(self.image_processor(images))
             merge2 = self.image_processor.merge_size**2

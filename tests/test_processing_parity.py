@@ -44,6 +44,40 @@ class TestQwen2VLProcessorParity:
             assert smart_resize(h, w) == hf_smart_resize(h, w)
 
 
+class TestLogMelParity:
+    def test_matches_whisper_feature_extractor(self):
+        from mlx_vlm_tpu.utils.processing import log_mel_spectrogram
+
+        try:
+            from transformers import WhisperFeatureExtractor
+        except Exception:
+            pytest.skip("transformers WhisperFeatureExtractor unavailable")
+        rng = np.random.default_rng(0)
+        wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        ours = log_mel_spectrogram(wav, 80)
+        fe = WhisperFeatureExtractor(feature_size=80)
+        theirs = fe(wav, sampling_rate=16000, return_tensors="np",
+                    padding=False)["input_features"][0]
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    def test_processor_emits_audio_features(self):
+        from mlx_vlm_tpu.utils.processing import (
+            Qwen2VLImageProcessor, Qwen2VLProcessor,
+        )
+
+        class _Tok:
+            def __call__(self, text, **kw):
+                return {"input_ids": np.asarray([[1, 2]]),
+                        "attention_mask": np.asarray([[1, 1]])}
+
+        p = Qwen2VLProcessor(_Tok(), Qwen2VLImageProcessor(), num_mel_bins=32)
+        out = p(text="hi", audio=np.zeros(3200, np.float32))
+        assert out["input_features"].shape[1] == 32
+        assert out["feature_attention_mask"].sum() == out[
+            "input_features"].shape[2]
+
+
 class TestAdversarialMaskShapes:
     """Reference test_quant_sdpa_mask* analogue: masks at odd shapes."""
 
