@@ -37,6 +37,9 @@ MODEL_REMAPPING = {
     "qwen2_5_vl": "qwen2_5_vl",
     "smolvlm": "idefics3",
     "llava_next": "llava",  # CLIP tower + llama decoder path
+    "qwen3_moe": "qwen2_moe",  # same MoE decoder; q/k norms picked up
+    "qwen3_5": "qwen3_vl",  # qwen3.5 uses the qwen3_vl deepstack arch
+    "qwen3_5_moe": "qwen3_vl_moe",
 }
 
 

@@ -85,6 +85,37 @@ class TestPaliGemma1:
         )
 
 
+class TestGemmaTextOnly:
+    def test_gemma2_text_checkpoint_causal(self):
+        """gemma2 text-only configs load via text_only and stay causal."""
+        from mlx_vlm_tpu.utils.loader import load_model_from_weights
+        from mlx_vlm_tpu.utils.testing import (
+            paligemma_hf_weights, tiny_paligemma_config,
+        )
+
+        cfg2 = tiny_paligemma_config(gemma2=True)
+        tw = {
+            k[len("language_model."):]: v
+            for k, v in paligemma_hf_weights(cfg2).items()
+            if k.startswith("language_model.")
+        }
+        tcfg = dict(cfg2["text_config"])
+        tcfg["model_type"] = "gemma2"
+        m = load_model_from_weights(tcfg, tw, jnp.float32)
+        la, _ = _run_prompt(m, np.asarray([[5, 7, 9, 11]], np.int32))
+        lb, _ = _run_prompt(m, np.asarray([[5, 7, 9, 99]], np.int32))
+        np.testing.assert_allclose(
+            np.asarray(la[0, 0]), np.asarray(lb[0, 0]), atol=1e-5
+        )
+        toks = [
+            int(t[0]) for t, _ in generate_step(
+                jax.jit(m.get_input_embeddings)(
+                    m.params, jnp.asarray((np.arange(5, dtype=np.int32))[None])
+                ), m, max_tokens=3)
+        ]
+        assert len(toks) == 3
+
+
 class TestPaliGemma2:
     def test_gemma2_decode(self, model2):
         ids = (np.arange(5, dtype=np.int32) % 200)[None]
