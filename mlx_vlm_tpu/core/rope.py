@@ -122,6 +122,29 @@ def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array):
     return q_out.astype(dtype), k_out.astype(dtype)
 
 
+def apply_rope_traditional(q: jax.Array, k: jax.Array, cos: jax.Array,
+                           sin: jax.Array):
+    """Apply traditional (interleaved-pair / "GPT-NeoX original") RoPE:
+    pair (x[2i], x[2i+1]) rotates by angle_i.
+
+    q,k: [B, H, S, D]; cos/sin: [B, S, D/2] (or broadcastable).
+    Used by llama4 (initialize_rope traditional=True) and its vision rope
+    (complex multiply, reference llama4/vision.py:100).
+    """
+    cos = cos[:, None, :, :]
+    sin = sin[:, None, :, :]
+    dtype = q.dtype
+
+    def rot(x):
+        x = x.astype(jnp.float32)
+        x1, x2 = x[..., 0::2], x[..., 1::2]
+        o1 = x1 * cos - x2 * sin
+        o2 = x1 * sin + x2 * cos
+        return jnp.stack([o1, o2], axis=-1).reshape(x.shape)
+
+    return rot(q).astype(dtype), rot(k).astype(dtype)
+
+
 def mrope_section_map(sections: Sequence[int], style: str = "chunked") -> np.ndarray:
     """Static map from freq index -> section id (t/h/w).
 
