@@ -39,6 +39,38 @@ def topk_router(
     return indices, weights
 
 
+def group_expert_select(
+    logits: jax.Array,  # [N, E] router logits
+    bias: jax.Array,  # [E] e_score_correction_bias
+    top_k: int,
+    n_group: int,
+    topk_group: int,
+    routed_scaling_factor: float,
+    norm_topk_prob: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """DeepSeek-V3 "noaux_tc" routing (reference deepseek_v3/language.py:141):
+    sigmoid scores + correction bias for SELECTION, original sigmoid scores
+    as WEIGHTS; only the topk_group groups (ranked by their top-2 score sum)
+    stay eligible."""
+    N, E = logits.shape
+    scores = jax.nn.sigmoid(logits.astype(jnp.float32))
+    sel = scores + bias.astype(jnp.float32)[None]
+    if n_group > 1:
+        g = sel.reshape(N, n_group, E // n_group)
+        top2, _ = jax.lax.top_k(g, 2)
+        group_scores = top2.sum(-1)  # [N, n_group]
+        _, keep_idx = jax.lax.top_k(group_scores, topk_group)
+        keep = jnp.zeros((N, n_group), bool)
+        keep = jnp.put_along_axis(keep, keep_idx, True, axis=-1,
+                                  inplace=False)
+        sel = jnp.where(keep[..., None], g, 0.0).reshape(N, E)
+    _, indices = jax.lax.top_k(sel, top_k)
+    weights = jnp.take_along_axis(scores, indices, axis=-1)
+    if top_k > 1 and norm_topk_prob:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return indices, weights * routed_scaling_factor
+
+
 def _expert_matmul(x, w):
     if isinstance(w, QuantizedTensor):
         return quantized_matmul(x, w, transpose=True)

@@ -58,6 +58,10 @@ class ModelConfig(BaseModelConfig):
     first_k_dense_replace: int = 1
     norm_topk_prob: bool = False
     routed_scaling_factor: float = 1.0
+    topk_method: str = "greedy"  # "noaux_tc" for deepseek_v3
+    scoring_func: str = "softmax"
+    n_group: int = 1
+    topk_group: int = 1
     kv_lora_rank: int = 512
     q_lora_rank: Optional[int] = 1536
     qk_rope_head_dim: int = 64
@@ -189,11 +193,23 @@ class LanguageModel:
             return swiglu_mlp(mlp, x)
         B, S, D = x.shape
         flat = x.reshape(B * S, D)
-        idx, wts = topk_router(
-            flat, mlp["gate"]["weight"], a.num_experts_per_tok,
-            a.norm_topk_prob,
-        )
-        wts = wts * a.routed_scaling_factor
+        if a.topk_method == "noaux_tc":
+            # deepseek_v3-style sigmoid + group-limited selection
+            from ...core.layers import linear as _linear
+            from ...core.moe import group_expert_select
+
+            idx, wts = group_expert_select(
+                _linear({"weight": mlp["gate"]["weight"]}, flat),
+                mlp["gate"]["e_score_correction_bias"],
+                a.num_experts_per_tok, a.n_group, a.topk_group,
+                a.routed_scaling_factor, a.norm_topk_prob,
+            )
+        else:
+            idx, wts = topk_router(
+                flat, mlp["gate"]["weight"], a.num_experts_per_tok,
+                a.norm_topk_prob,
+            )
+            wts = wts * a.routed_scaling_factor
         out = switch_glu(
             flat,
             mlp["experts"]["gate_proj"]["weight"],

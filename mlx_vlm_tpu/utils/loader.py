@@ -38,6 +38,7 @@ MODEL_REMAPPING = {
     "smolvlm": "idefics3",
     "llava_next": "llava",  # CLIP tower + llama decoder path
     "qwen3_moe": "qwen2_moe",  # same MoE decoder; q/k norms picked up
+    "deepseek_v3": "deepseek_v2",  # MLA + noaux_tc routing in one module
     "qwen3_5": "qwen3_vl",  # qwen3.5 uses the qwen3_vl deepstack arch
     "qwen3_5_moe": "qwen3_vl_moe",
 }

@@ -117,3 +117,45 @@ class TestDeepseekV2:
     def test_expert_stacking(self, model):
         moe = model.params["language_model"]["model"]["layers"]["1"]["mlp"]
         assert moe["experts"]["gate_proj"]["weight"].shape == (4, 32, 64)
+
+
+class TestDeepseekV3Routing:
+    def test_group_expert_select_matches_reference(self):
+        """noaux_tc: bias steers SELECTION, weights come from raw sigmoid."""
+        from mlx_vlm_tpu.core.moe import group_expert_select
+
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.standard_normal((6, 8)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(8), jnp.float32)
+        idx, wts = group_expert_select(logits, bias, 2, 4, 2, 1.5, True)
+        scores = 1 / (1 + np.exp(-np.asarray(logits)))
+        sel = scores + np.asarray(bias)
+        g = sel.reshape(6, 4, 2)
+        gs = np.sort(g, -1)[..., -2:].sum(-1)
+        mask = np.zeros((6, 4), bool)
+        for r in range(6):
+            mask[r, np.argsort(-gs[r])[:2]] = True
+        sel2 = np.where(mask[..., None], g, 0).reshape(6, 8)
+        ref_idx = np.sort(np.argsort(-sel2, -1)[:, :2], -1)
+        np.testing.assert_array_equal(np.sort(np.asarray(idx), -1), ref_idx)
+        ref_w = np.take_along_axis(scores, np.asarray(idx), -1)
+        ref_w = ref_w / ref_w.sum(-1, keepdims=True) * 1.5
+        np.testing.assert_allclose(np.asarray(wts), ref_w, atol=1e-6)
+
+    def test_v3_model_generates(self):
+        cfg = tiny_dsv2_config()
+        cfg["model_type"] = "deepseek_v3"
+        cfg["topk_method"] = "noaux_tc"
+        cfg["n_group"] = 2
+        cfg["topk_group"] = 1
+        cfg["norm_topk_prob"] = True
+        w = tiny_dsv2_weights(cfg)
+        for i in range(1, cfg["num_hidden_layers"]):
+            w[f"model.layers.{i}.mlp.gate.e_score_correction_bias"] = (
+                np.zeros(cfg["n_routed_experts"], np.float32)
+            )
+        m = load_model_from_weights(cfg, w, jnp.float32)
+        ids = (np.arange(7, dtype=np.int32) % 200)[None]
+        embeds = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
+        toks = [int(t[0]) for t, _ in generate_step(embeds, m, max_tokens=4)]
+        assert len(toks) == 4
