@@ -21,13 +21,20 @@ def _builders():
     from tests.test_idefics3 import tiny_idefics3_config, tiny_idefics3_weights
     from tests.test_pixtral import tiny_pixtral_config, tiny_pixtral_weights
     from tests.test_qwen3_vl import make_tiny_qwen3_vl
+    from tests.test_aya_vision import tiny_aya_config, tiny_aya_weights
     from tests.test_llama4 import make_tiny_llama4
     from tests.test_mistral3 import tiny_mistral3_config, tiny_mistral3_weights
+
+    def _aya(dt):
+        return load_model_from_weights(
+            tiny_aya_config(), tiny_aya_weights(tiny_aya_config()), dt
+        )
     from tests.test_internvl import tiny_internvl_config, tiny_internvl_weights
 
     return {
         "qwen3_vl": lambda dt: make_tiny_qwen3_vl(0, dt),
         "llama4": lambda dt: make_tiny_llama4(0, dt),
+        "aya_vision": lambda dt: _aya(dt),
         "mistral3": lambda dt: load_model_from_weights(
             tiny_mistral3_config(), tiny_mistral3_weights(tiny_mistral3_config()), dt
         ),
