@@ -39,6 +39,40 @@ def topk_router(
     return indices, weights
 
 
+def switch_mlp(
+    x: jax.Array,  # [N, D]
+    up_proj,  # [E, I, D]
+    down_proj,  # [E, D, I]
+    indices: jax.Array,  # [N, k]
+    weights: jax.Array,  # [N, k]
+    act=None,
+) -> jax.Array:
+    """Top-k expert 2-layer MLP (no gate branch) via masked scan over
+    experts — reference SwitchMLP with configurable activation (nemotron_h
+    relu^2 experts)."""
+    if act is None:
+        act = lambda v: jnp.square(jax.nn.relu(v))  # noqa: E731
+    N, D = x.shape
+    dtype = x.dtype
+
+    def body(acc, xs):
+        e_idx, wu, wd = xs
+        sel = (indices == e_idx).astype(jnp.float32) * weights.astype(jnp.float32)
+        w_tok = jnp.sum(sel, axis=-1)
+        out = _expert_matmul(act(_expert_matmul(x, wu)), wd)
+        return acc + w_tok[:, None].astype(dtype) * out, None
+
+    if isinstance(up_proj, QuantizedTensor):
+        E = up_proj.q.shape[0]
+        d_out = down_proj.q.shape[1]
+    else:
+        E, d_out = up_proj.shape[0], down_proj.shape[1]
+    e_ids = jnp.arange(E, dtype=indices.dtype)
+    acc0 = jnp.zeros((N, d_out), dtype)
+    acc, _ = jax.lax.scan(body, acc0, (e_ids, up_proj, down_proj))
+    return acc
+
+
 def group_expert_select(
     logits: jax.Array,  # [N, E] router logits
     bias: jax.Array,  # [E] e_score_correction_bias

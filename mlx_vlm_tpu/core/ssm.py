@@ -75,6 +75,48 @@ def ssm_update(
     return y.astype(x.dtype), h
 
 
+def mamba2_scan(
+    x: jax.Array,  # [B, S, H, P] per-head inputs
+    A_log: jax.Array,  # [H] log of per-head decay magnitude
+    B: jax.Array,  # [B, S, G, N] input projection (grouped)
+    C: jax.Array,  # [B, S, G, N] output projection (grouped)
+    D: jax.Array,  # [H] skip
+    dt: jax.Array,  # [B, S, H] raw step sizes
+    dt_bias: jax.Array,  # [H]
+    state: Optional[jax.Array] = None,  # [B, H, P, N]
+    time_step_limit=(0.001, 100.0),
+    valid: Optional[jax.Array] = None,  # [B, S] bool; pads freeze the state
+) -> Tuple[jax.Array, jax.Array]:
+    """Mamba-2 (SSD) multi-head scan -> (y [B,S,H,P], state [B,H,P,N]).
+
+    Reference models/ssm.py:198 (ssm_update / make_ssm_kernel).  The
+    recurrence is linear, so prefill runs as one log-depth
+    `associative_scan`; masked steps use dt=0 (decay 1, increment 0), which
+    freezes the state exactly.  Memory note: materializes [B,S,H,P,N]
+    increments — a chunked SSD formulation is the follow-up optimization for
+    long prefills."""
+    Bsz, S, H, P = x.shape
+    G, N = B.shape[-2], B.shape[-1]
+    rep = H // G
+    dt = jax.nn.softplus(dt.astype(jnp.float32) + dt_bias.astype(jnp.float32))
+    dt = jnp.clip(dt, time_step_limit[0], time_step_limit[1])
+    if valid is not None:
+        dt = jnp.where(valid[..., None], dt, 0.0)
+    a = -jnp.exp(A_log.astype(jnp.float32))  # [H]
+    dA = jnp.exp(dt * a[None, None])  # [B,S,H]
+    Bh = jnp.repeat(B.astype(jnp.float32), rep, axis=2)  # [B,S,H,N]
+    Ch = jnp.repeat(C.astype(jnp.float32), rep, axis=2)
+    xf = x.astype(jnp.float32)
+    dBx = (dt[..., None, None] * Bh[:, :, :, None, :] * xf[..., None])
+    if state is not None:
+        dBx = dBx.at[:, 0].add(dA[:, 0][..., None, None] * state.astype(jnp.float32))
+    decays = dA[..., None, None]  # [B,S,H,1,1] broadcasts inside the op
+    _, states = jax.lax.associative_scan(_assoc_op, (decays, dBx), axis=1)
+    y = jnp.einsum("bshn,bshpn->bshp", Ch, states)
+    y = y + D.astype(jnp.float32)[None, None, :, None] * xf
+    return y.astype(x.dtype), states[:, -1]
+
+
 def gated_delta_update(
     k: jax.Array,  # [B, H, Dk]
     v: jax.Array,  # [B, H, Dv]
