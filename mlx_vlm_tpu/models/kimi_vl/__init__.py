@@ -1,0 +1,3 @@
+from .kimi_vl import Model, ModelConfig, TextConfig, VisionConfig
+
+__all__ = ["Model", "ModelConfig", "TextConfig", "VisionConfig"]
