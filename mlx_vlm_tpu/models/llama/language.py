@@ -27,6 +27,9 @@ class LanguageModel:
         self.n_kv_heads = args.num_key_value_heads
         self.head_dim = args.head_dim or args.hidden_size // args.num_attention_heads
         self.scale = self.head_dim**-0.5
+        # residual-branch multiplier (1.0 for llama; minicpm scales by
+        # scale_depth / sqrt(num_layers))
+        self.residual_scale = 1.0
         self.rope = make_rope(
             self.head_dim,
             args.rope_theta,
@@ -50,9 +53,9 @@ class LanguageModel:
 
             def layer_nc(h, lp):
                 x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
-                h = h + self._attention_nc(lp["self_attn"], x, cos, sin, mask)
+                h = h + self.residual_scale * self._attention_nc(lp["self_attn"], x, cos, sin, mask)
                 x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
-                h = h + self._mlp(lp["mlp"], x)
+                h = h + self.residual_scale * self._mlp(lp["mlp"], x)
                 return h, None
 
             h, _ = jax.lax.scan(layer_nc, h, mp["layers"])
@@ -64,9 +67,9 @@ class LanguageModel:
             lp, cxs = xs
             x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
             attn, cxs = self._attention(lp["self_attn"], x, cos, sin, mask, cache, cxs)
-            h = h + attn
+            h = h + self.residual_scale * attn
             x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
-            h = h + self._mlp(lp["mlp"], x)
+            h = h + self.residual_scale * self._mlp(lp["mlp"], x)
             return h, cxs
 
         h, cys = jax.lax.scan(layer, h, (mp["layers"], cache.scan_arrays()))
@@ -87,9 +90,9 @@ class LanguageModel:
             lp, cxs = xs
             x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
             attn, cxs = self._attention(lp["self_attn"], x, cos, sin, mask, cache, cxs)
-            h = h + attn
+            h = h + self.residual_scale * attn
             x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
-            h = h + self._mlp(lp["mlp"], x)
+            h = h + self.residual_scale * self._mlp(lp["mlp"], x)
             return h, (cxs, h)
 
         h, (cys, hiddens) = jax.lax.scan(

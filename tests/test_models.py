@@ -29,12 +29,20 @@ def _builders():
         return load_model_from_weights(
             tiny_aya_config(), tiny_aya_weights(tiny_aya_config()), dt
         )
+
+    from tests.test_glm4v import tiny_glm4v_config, tiny_glm4v_weights
+
+    def _glm(dt):
+        return load_model_from_weights(
+            tiny_glm4v_config(), tiny_glm4v_weights(tiny_glm4v_config()), dt
+        )
     from tests.test_internvl import tiny_internvl_config, tiny_internvl_weights
 
     return {
         "qwen3_vl": lambda dt: make_tiny_qwen3_vl(0, dt),
         "llama4": lambda dt: make_tiny_llama4(0, dt),
         "aya_vision": lambda dt: _aya(dt),
+        "glm4v": lambda dt: _glm(dt),
         "mistral3": lambda dt: load_model_from_weights(
             tiny_mistral3_config(), tiny_mistral3_weights(tiny_mistral3_config()), dt
         ),
