@@ -215,6 +215,16 @@ class Rope:
                 inv, self.attention_scaling = yarn_inv_freq(dim, base, scaling)
             elif typ == "linear":
                 inv = inv / scaling.get("factor", 1.0)
+            elif typ in ("longrope", "su"):
+                # phi3-style per-dim factors + mscale (reference su_rope)
+                lf = np.asarray(scaling.get("long_factor", 1.0), np.float64)
+                inv = inv / lf
+                orig = scaling.get("original_max_position_embeddings", 4096)
+                s = max_position_embeddings / orig
+                if s > 1.0:
+                    self.attention_scaling = float(
+                        np.sqrt(1.0 + np.log(s) / np.log(orig))
+                    )
             elif typ in ("mrope", "default"):
                 if "mrope_section" in scaling:
                     self.mrope_sections = tuple(scaling["mrope_section"])

@@ -1,0 +1,3 @@
+from .phi3_v import Model, ModelConfig, TextConfig, VisionConfig
+
+__all__ = ["Model", "ModelConfig", "TextConfig", "VisionConfig"]
