@@ -1,0 +1,3 @@
+from .molmo import Model, ModelConfig, TextConfig, VisionConfig
+
+__all__ = ["Model", "ModelConfig", "TextConfig", "VisionConfig"]
