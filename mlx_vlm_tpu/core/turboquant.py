@@ -1,0 +1,210 @@
+"""TurboQuant-style rotated codebook KV quantization (arXiv:2504.19874).
+
+Role parity: reference mlx_vlm/turboquant.py (6.4k LoC; SURVEY §2.6) —
+Hadamard/RHT rotation, MSE-optimal codebooks, fractional K/V bit mixes,
+`TurboQuantKVCache` with quantized decode attention.
+
+TPU design:
+- The randomized Hadamard transform is a log-depth butterfly of reshapes
+  and adds — pure XLA, fuses into the surrounding quantize/dequantize.
+- Codebook encode is a distance-free `searchsorted` against precomputed
+  decision boundaries (Lloyd–Max Gaussian codebooks), not the reference's
+  26 Metal kernels; packing reuses core/quant.py's bit layout.
+- Decode attention dequantizes K/V tiles and feeds the shared SDPA — XLA
+  fuses dequantize+matmul, which on TPU recovers most of the fused-kernel
+  benefit (HBM traffic is already the packed size).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Lloyd–Max (MSE-optimal) quantizer levels for a unit Gaussian.
+_LLOYD_MAX = {
+    1: [-0.7979, 0.7979],
+    2: [-1.5104, -0.4528, 0.4528, 1.5104],
+    3: [-2.1519, -1.3439, -0.7560, -0.2451, 0.2451, 0.7560, 1.3439, 2.1519],
+    4: [-2.7326, -2.0690, -1.6181, -1.2562, -0.9423, -0.6568, -0.3880,
+        -0.1284, 0.1284, 0.3880, 0.6568, 0.9423, 1.2562, 1.6181, 2.0690,
+        2.7326],
+}
+
+
+def _codebook(bits: int) -> jnp.ndarray:
+    return jnp.asarray(_LLOYD_MAX[bits], jnp.float32)
+
+
+def _boundaries(bits: int) -> jnp.ndarray:
+    cb = np.asarray(_LLOYD_MAX[bits])
+    return jnp.asarray((cb[1:] + cb[:-1]) / 2.0, jnp.float32)
+
+
+def hadamard_transform(x: jax.Array) -> jax.Array:
+    """Normalized Walsh–Hadamard transform over the last axis (pow-2 dim).
+
+    Self-inverse: hadamard_transform(hadamard_transform(x)) == x."""
+    d = x.shape[-1]
+    if d & (d - 1):
+        raise ValueError(f"head_dim {d} must be a power of 2")
+    orig = x.shape
+    x = x.astype(jnp.float32).reshape(-1, d)
+    h = 1
+    while h < d:
+        x = x.reshape(-1, d // (2 * h), 2, h)
+        a = x[:, :, 0]
+        b = x[:, :, 1]
+        x = jnp.stack([a + b, a - b], axis=2)
+        h *= 2
+    return (x.reshape(orig) / jnp.sqrt(d)).astype(jnp.float32)
+
+
+def _signs(d: int, seed: int = 1234) -> jnp.ndarray:
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.choice([-1.0, 1.0], size=d), jnp.float32)
+
+
+def tq_encode(
+    x: jax.Array,  # [..., D]
+    bits: int,
+    signs: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Rotate + per-vector-scale + codebook-encode -> (codes u8 packed,
+    scale [...])."""
+    xr = hadamard_transform(x.astype(jnp.float32) * signs)
+    scale = jnp.sqrt(jnp.mean(jnp.square(xr), axis=-1, keepdims=True) + 1e-8)
+    xn = xr / scale
+    codes = jnp.searchsorted(_boundaries(bits), xn).astype(jnp.uint8)
+    per_byte = 8 // bits if bits in (1, 2, 4, 8) else 1
+    if per_byte > 1:
+        d = codes.shape[-1]
+        packed = jnp.zeros((*codes.shape[:-1], d // per_byte), jnp.uint8)
+        for j in range(per_byte):
+            packed = packed | (codes[..., j::per_byte] << (bits * j))
+        codes = packed
+    return codes, scale[..., 0]
+
+
+def tq_decode(
+    codes: jax.Array, scale: jax.Array, bits: int, signs: jax.Array,
+    dtype=jnp.float32,
+) -> jax.Array:
+    per_byte = 8 // bits if bits in (1, 2, 4, 8) else 1
+    if per_byte > 1:
+        mask = (1 << bits) - 1
+        parts = [(codes >> (bits * j)) & mask for j in range(per_byte)]
+        codes = jnp.stack(parts, axis=-1).reshape(
+            *codes.shape[:-1], codes.shape[-1] * per_byte
+        )
+    xn = jnp.take(_codebook(bits), codes.astype(jnp.int32))
+    xr = xn * scale[..., None]
+    return (hadamard_transform(xr) * signs).astype(dtype)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["kq", "kscale", "vq", "vscale", "offset", "left_pad"],
+    meta_fields=["k_bits", "v_bits", "head_dim"],
+)
+@dataclasses.dataclass
+class TurboQuantKVCache:
+    """Rotation+codebook quantized KV cache.
+
+    kq: uint8 [L, B, H, C, D*k_bits/8] packed codes; kscale [L, B, H, C].
+    Fractional --kv-bits (e.g. 3.5) maps to k_bits=3, v_bits=4 (the
+    reference's mix, turboquant.py:3511)."""
+
+    kq: jax.Array
+    kscale: jax.Array
+    vq: jax.Array
+    vscale: jax.Array
+    offset: jax.Array
+    left_pad: jax.Array
+    k_bits: int
+    v_bits: int
+    head_dim: int
+
+    @property
+    def capacity(self) -> int:
+        return self.kq.shape[3]
+
+    def scan_arrays(self):
+        return (self.kq, self.kscale, self.vq, self.vscale)
+
+    def with_arrays(self, ys, new_tokens: int):
+        kq, ks, vq, vs = ys
+        return dataclasses.replace(
+            self, kq=kq, kscale=ks, vq=vq, vscale=vs,
+            offset=self.offset + new_tokens,
+        )
+
+    def attend(self, cxs, q, k, v, scale, mask, flash_ok=True, window=None,
+               logit_softcap=None):
+        from ..ops.attention import sdpa
+
+        kq, ksc, vq, vsc = cxs
+        signs = _signs(self.head_dim)
+        nk, nks = tq_encode(k, self.k_bits, signs)
+        nv, nvs = tq_encode(v, self.v_bits, signs)
+        S = k.shape[2]
+        off = self.offset
+
+        def upd(buf, new):
+            if off.ndim == 0:
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, new.astype(buf.dtype), off, axis=2
+                )
+            B = buf.shape[0]
+            idx = (off[:, None] + jnp.arange(S)[None]) % buf.shape[2]
+            return buf.at[jnp.arange(B)[:, None, None],
+                          jnp.arange(buf.shape[1])[None, :, None],
+                          idx[:, None, :]].set(new.astype(buf.dtype))
+
+        kq = upd(kq, nk)
+        ksc = upd(ksc, nks)
+        vq = upd(vq, nv)
+        vsc = upd(vsc, nvs)
+        k_full = tq_decode(kq, ksc, self.k_bits, signs, q.dtype)
+        v_full = tq_decode(vq, vsc, self.v_bits, signs, q.dtype)
+        out = sdpa(q, k_full, v_full, scale, mask, logit_softcap=logit_softcap)
+        return out, (kq, ksc, vq, vsc)
+
+
+def init_turboquant_cache(
+    num_layers: int,
+    batch_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    capacity: int,
+    kv_bits: float = 4.0,
+    left_pad: Optional[jax.Array] = None,
+) -> TurboQuantKVCache:
+    """kv_bits may be fractional: 3.5 -> 3-bit keys, 4-bit values."""
+    k_bits = int(np.floor(kv_bits))
+    v_bits = int(np.ceil(kv_bits))
+    if k_bits not in _LLOYD_MAX or v_bits not in _LLOYD_MAX:
+        raise ValueError(f"unsupported kv_bits {kv_bits}")
+
+    def width(bits):
+        return head_dim * bits // 8 if bits in (1, 2, 4, 8) else head_dim
+
+    if left_pad is None:
+        left_pad = jnp.zeros((batch_size,), jnp.int32)
+    shape = (num_layers, batch_size, num_kv_heads, capacity)
+    return TurboQuantKVCache(
+        kq=jnp.zeros((*shape, width(k_bits)), jnp.uint8),
+        kscale=jnp.zeros(shape, jnp.float32),
+        vq=jnp.zeros((*shape, width(v_bits)), jnp.uint8),
+        vscale=jnp.zeros(shape, jnp.float32),
+        offset=jnp.zeros((), jnp.int32),
+        left_pad=left_pad,
+        k_bits=k_bits,
+        v_bits=v_bits,
+        head_dim=head_dim,
+    )

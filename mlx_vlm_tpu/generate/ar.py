@@ -18,6 +18,7 @@ TPU design:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Any, Callable, Generator, List, Optional, Tuple
@@ -181,6 +182,18 @@ def make_cache(
     from ..core import cache as cache_lib
 
     lm = model.language_model
+    if kv_bits and (
+        float(kv_bits) != int(kv_bits)
+        or os.environ.get("MLX_VLM_TPU_KV_SCHEME") == "turboquant"
+    ):
+        # fractional bits or explicit scheme -> rotation+codebook cache
+        # (reference turboquant_enabled, turboquant.py:3511)
+        from ..core.turboquant import init_turboquant_cache
+
+        return init_turboquant_cache(
+            lm.args.num_hidden_layers, batch_size, lm.n_kv_heads, lm.head_dim,
+            capacity, kv_bits=float(kv_bits),
+        )
     if kv_bits:
         return cache_lib.init_quantized_cache(
             lm.args.num_hidden_layers, batch_size, lm.n_kv_heads, lm.head_dim,
