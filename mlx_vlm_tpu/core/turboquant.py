@@ -46,13 +46,22 @@ def _boundaries(bits: int) -> jnp.ndarray:
     return jnp.asarray((cb[1:] + cb[:-1]) / 2.0, jnp.float32)
 
 
-def hadamard_transform(x: jax.Array) -> jax.Array:
-    """Normalized Walsh–Hadamard transform over the last axis (pow-2 dim).
+def _pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
+
+def hadamard_transform(x: jax.Array) -> jax.Array:
+    """Normalized Walsh–Hadamard transform over the last axis.
+
+    Non-power-of-2 dims are zero-padded to the next power of 2 by the
+    callers (tq_encode/tq_decode); here the dim must already be pow-2.
     Self-inverse: hadamard_transform(hadamard_transform(x)) == x."""
     d = x.shape[-1]
     if d & (d - 1):
-        raise ValueError(f"head_dim {d} must be a power of 2")
+        raise ValueError(f"dim {d} must be a power of 2")
     orig = x.shape
     x = x.astype(jnp.float32).reshape(-1, d)
     h = 1
@@ -76,8 +85,13 @@ def tq_encode(
     signs: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
     """Rotate + per-vector-scale + codebook-encode -> (codes u8 packed,
-    scale [...])."""
-    xr = hadamard_transform(x.astype(jnp.float32) * signs)
+    scale [...]).  Non-pow2 head dims are zero-padded before rotation."""
+    d = x.shape[-1]
+    p2 = _pow2(d)
+    xf = x.astype(jnp.float32)
+    if p2 != d:
+        xf = jnp.pad(xf, [(0, 0)] * (x.ndim - 1) + [(0, p2 - d)])
+    xr = hadamard_transform(xf * signs)
     scale = jnp.sqrt(jnp.mean(jnp.square(xr), axis=-1, keepdims=True) + 1e-8)
     xn = xr / scale
     codes = jnp.searchsorted(_boundaries(bits), xn).astype(jnp.uint8)
@@ -104,7 +118,14 @@ def tq_decode(
         )
     xn = jnp.take(_codebook(bits), codes.astype(jnp.int32))
     xr = xn * scale[..., None]
-    return (hadamard_transform(xr) * signs).astype(dtype)
+    out = hadamard_transform(xr) * signs
+    return out.astype(dtype)
+
+
+def tq_decode_headdim(codes, scale, bits, signs, head_dim, dtype=jnp.float32):
+    """tq_decode + slice back to the original (possibly non-pow2) head dim."""
+    out = tq_decode(codes, scale, bits, signs, dtype)
+    return out[..., :head_dim]
 
 
 @partial(
@@ -149,7 +170,7 @@ class TurboQuantKVCache:
         from ..ops.attention import sdpa
 
         kq, ksc, vq, vsc = cxs
-        signs = _signs(self.head_dim)
+        signs = _signs(_pow2(self.head_dim))
         nk, nks = tq_encode(k, self.k_bits, signs)
         nv, nvs = tq_encode(v, self.v_bits, signs)
         S = k.shape[2]
@@ -170,8 +191,10 @@ class TurboQuantKVCache:
         ksc = upd(ksc, nks)
         vq = upd(vq, nv)
         vsc = upd(vsc, nvs)
-        k_full = tq_decode(kq, ksc, self.k_bits, signs, q.dtype)
-        v_full = tq_decode(vq, vsc, self.v_bits, signs, q.dtype)
+        k_full = tq_decode_headdim(kq, ksc, self.k_bits, signs,
+                                   self.head_dim, q.dtype)
+        v_full = tq_decode_headdim(vq, vsc, self.v_bits, signs,
+                                   self.head_dim, q.dtype)
         out = sdpa(q, k_full, v_full, scale, mask, logit_softcap=logit_softcap)
         return out, (kq, ksc, vq, vsc)
 
@@ -191,8 +214,10 @@ def init_turboquant_cache(
     if k_bits not in _LLOYD_MAX or v_bits not in _LLOYD_MAX:
         raise ValueError(f"unsupported kv_bits {kv_bits}")
 
+    p2 = _pow2(head_dim)
+
     def width(bits):
-        return head_dim * bits // 8 if bits in (1, 2, 4, 8) else head_dim
+        return p2 * bits // 8 if bits in (1, 2, 4, 8) else p2
 
     if left_pad is None:
         left_pad = jnp.zeros((batch_size,), jnp.int32)
