@@ -406,16 +406,89 @@ def init_quantized_cache(
 class RotatingKVCache:
     """Sliding-window ring cache — reference cache.py:373 (RotatingKVCache).
 
-    Capacity = window; writes wrap at `offset % window`.  Masks must be built
-    with `ring_mask` so positions map modulo the window.
+    Buffer capacity = window + chunk margin: writes land at absolute position
+    mod capacity, so a token written during a multi-token call can only
+    displace a token already outside every current query's window (the
+    margin must be >= the largest prefill chunk).  Memory is O(window)
+    instead of O(total context) for sliding-window layers (gemma3 local
+    layers, mistral etc.).
+
+    Slot j after writing up to absolute position P holds
+        pos_j = j + C * floor((P - j) / C)
+    (negative for never-written slots); `ring_mask` keeps
+    left_pad <= pos_j <= qpos and pos_j > qpos - window.
     """
 
-    k: jax.Array
+    k: jax.Array  # [L, B, H, C, D]
     v: jax.Array
-    offset: jax.Array
-    left_pad: jax.Array
+    offset: jax.Array  # scalar int32: tokens written so far
+    left_pad: jax.Array  # [B]
     window: int
 
     @property
     def capacity(self) -> int:
         return self.k.shape[3]
+
+    def scan_arrays(self):
+        return (self.k, self.v)
+
+    def with_arrays(self, ys, new_tokens: int):
+        k, v = ys
+        return dataclasses.replace(
+            self, k=k, v=v, offset=self.offset + new_tokens
+        )
+
+    def ring_mask(self, q_len: int) -> jax.Array:
+        """bool [B, 1, q_len, capacity] for queries at offset..offset+q_len-1."""
+        C = self.capacity
+        S = q_len
+        o = self.offset
+        j = jnp.arange(C, dtype=jnp.int32)[None, None, None, :]
+        i = jnp.arange(S, dtype=jnp.int32)[None, None, :, None]
+        last = o + S - 1
+        pos_j = j + C * ((last - j) // C)  # newest abs pos in slot j
+        qpos = o + i
+        keep = (pos_j <= qpos) & (pos_j > qpos - self.window)
+        keep &= pos_j >= self.left_pad[:, None, None, None]
+        return keep
+
+    def attend(self, cxs, q, k, v, scale, mask=None, flash_ok=False,
+               window=None, logit_softcap=None):
+        """Ring-write new k/v and attend with the ring mask."""
+        from ..ops.attention import sdpa
+
+        k_buf, v_buf = cxs
+        C = self.capacity
+        S = k.shape[2]
+        idx = (self.offset + jnp.arange(S, dtype=jnp.int32)) % C
+        k_buf = k_buf.at[:, :, idx].set(k.astype(k_buf.dtype))
+        v_buf = v_buf.at[:, :, idx].set(v.astype(v_buf.dtype))
+        if mask is None:
+            mask = self.ring_mask(S)
+        out = sdpa(q, k_buf, v_buf, scale, mask, logit_softcap=logit_softcap)
+        return out, (k_buf, v_buf)
+
+
+def init_rotating_cache(
+    num_layers: int,
+    batch_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    window: int,
+    dtype=jnp.bfloat16,
+    chunk_margin: int = 512,
+    left_pad: Optional[jax.Array] = None,
+) -> RotatingKVCache:
+    """Ring cache with capacity window + chunk_margin (see class docstring);
+    chunk_margin must cover the largest single write (prefill step size)."""
+    cap = window + chunk_margin
+    if left_pad is None:
+        left_pad = jnp.zeros((batch_size,), jnp.int32)
+    shape = (num_layers, batch_size, num_kv_heads, cap, head_dim)
+    return RotatingKVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        offset=jnp.zeros((), jnp.int32),
+        left_pad=left_pad,
+        window=window,
+    )

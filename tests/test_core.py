@@ -177,3 +177,50 @@ class TestSampling:
         logits = jnp.zeros((1, 4))
         out = np.asarray(procs[0](jnp.zeros((1, 1), jnp.int32), logits))
         assert out[0, 2] == 5.0
+
+
+class TestRotatingKVCache:
+    def test_ring_matches_full_cache_sliding_attention(self):
+        """Ring cache attention == full cache with a window mask, even after
+        the ring wraps."""
+        import jax
+        import jax.numpy as jnp
+
+        from mlx_vlm_tpu.core.cache import init_cache, init_rotating_cache
+        from mlx_vlm_tpu.core.mask import causal_cache_mask
+        from mlx_vlm_tpu.ops.attention import sdpa
+
+        rng = np.random.default_rng(0)
+        B, H, D, W = 1, 2, 8, 4
+        total = 20  # >> ring capacity (4 + margin 8 = 12) -> wraps
+        ring = init_rotating_cache(1, B, H, D, W, jnp.float32, chunk_margin=8)
+        full = init_cache(1, B, H, D, 32, jnp.float32)
+        ring_cx = tuple(a[0] for a in ring.scan_arrays())
+        full_cx = (full.k[0], full.v[0])
+        outs_r, outs_f = [], []
+        import dataclasses as dc
+
+        for chunk in ([6, 5, 1, 1, 3, 4]):
+            q = jnp.asarray(rng.standard_normal((B, H, chunk, D)), jnp.float32)
+            k = jnp.asarray(rng.standard_normal((B, H, chunk, D)), jnp.float32)
+            v = jnp.asarray(rng.standard_normal((B, H, chunk, D)), jnp.float32)
+            o_r, ring_cx = ring.attend(ring_cx, q, k, v, D**-0.5)
+            mask = causal_cache_mask(full.offset, full.left_pad, chunk, 32,
+                                     window=W)
+            o_f, full_cx = full.attend(full_cx, q, k, v, D**-0.5, mask,
+                                       flash_ok=False)
+            outs_r.append(np.asarray(o_r))
+            outs_f.append(np.asarray(o_f))
+            ring = dc.replace(ring, offset=ring.offset + chunk)
+            full = dc.replace(full, offset=full.offset + chunk)
+        for a, b in zip(outs_r, outs_f):
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+
+    def test_memory_is_window_bound(self):
+        import jax.numpy as jnp
+
+        from mlx_vlm_tpu.core.cache import init_rotating_cache
+
+        c = init_rotating_cache(2, 1, 4, 16, 1024, jnp.bfloat16,
+                                chunk_margin=256)
+        assert c.capacity == 1280  # window + margin, independent of context
