@@ -1,0 +1,3 @@
+from .granite import LanguageModel, Model, ModelConfig, TextConfig
+
+__all__ = ["Model", "ModelConfig", "TextConfig", "LanguageModel"]

@@ -41,6 +41,8 @@ MODEL_REMAPPING = {
     "deepseek_v3": "deepseek_v2",  # MLA + noaux_tc routing in one module
     "qwen3_5": "qwen3_vl",  # qwen3.5 uses the qwen3_vl deepstack arch
     "qwen3_5_moe": "qwen3_vl_moe",
+    "phi3": "phi3_v",  # same decoder; vision path simply unused
+    "cohere": "cohere2",
 }
 
 
