@@ -36,6 +36,31 @@ def _builders():
         return load_model_from_weights(
             tiny_glm4v_config(), tiny_glm4v_weights(tiny_glm4v_config()), dt
         )
+
+    from tests.test_deepseek_vl2 import tiny_dsvl2_config, tiny_dsvl2_weights
+    from tests.test_kimi_vl import tiny_kimi_config, tiny_kimi_weights
+    from tests.test_molmo import tiny_molmo_config, tiny_molmo_weights
+    from tests.test_phi3_v import tiny_phi3v_config, tiny_phi3v_weights
+
+    def _phi(dt):
+        return load_model_from_weights(
+            tiny_phi3v_config(), tiny_phi3v_weights(tiny_phi3v_config()), dt
+        )
+
+    def _kimi(dt):
+        return load_model_from_weights(
+            tiny_kimi_config(), tiny_kimi_weights(tiny_kimi_config()), dt
+        )
+
+    def _dsvl(dt):
+        return load_model_from_weights(
+            tiny_dsvl2_config(), tiny_dsvl2_weights(tiny_dsvl2_config()), dt
+        )
+
+    def _molmo(dt):
+        return load_model_from_weights(
+            tiny_molmo_config(), tiny_molmo_weights(tiny_molmo_config()), dt
+        )
     from tests.test_internvl import tiny_internvl_config, tiny_internvl_weights
 
     return {
@@ -43,6 +68,10 @@ def _builders():
         "llama4": lambda dt: make_tiny_llama4(0, dt),
         "aya_vision": lambda dt: _aya(dt),
         "glm4v": lambda dt: _glm(dt),
+        "phi3_v": lambda dt: _phi(dt),
+        "kimi_vl": lambda dt: _kimi(dt),
+        "deepseek_vl_v2": lambda dt: _dsvl(dt),
+        "molmo": lambda dt: _molmo(dt),
         "mistral3": lambda dt: load_model_from_weights(
             tiny_mistral3_config(), tiny_mistral3_weights(tiny_mistral3_config()), dt
         ),
