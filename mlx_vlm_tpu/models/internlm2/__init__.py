@@ -1,0 +1,3 @@
+from .internlm2 import Model, ModelConfig, TextConfig
+
+__all__ = ["Model", "ModelConfig", "TextConfig"]

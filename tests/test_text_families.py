@@ -66,3 +66,42 @@ class TestPhi3Text:
         e = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
         toks = [int(t[0]) for t, _ in generate_step(e, m, max_tokens=3)]
         assert len(toks) == 3
+
+
+class TestInternLM2:
+    def test_wqkv_split_matches_separate(self):
+        """Fused grouped wqkv must split to the same model as separate
+        q/k/v weights."""
+        cfg = tiny_llama_config()
+        w = llama_hf_weights(cfg, 0)
+        nh, nkv = cfg["num_attention_heads"], cfg["num_key_value_heads"]
+        hd = cfg["hidden_size"] // nh
+        g = nh // nkv
+        iw = {
+            "model.tok_embeddings.weight": w["model.embed_tokens.weight"],
+            "model.norm.weight": w["model.norm.weight"],
+            "output.weight": w["lm_head.weight"],
+        }
+        for i in range(cfg["num_hidden_layers"]):
+            p = f"model.layers.{i}."
+            q = w[p + "self_attn.q_proj.weight"].reshape(nkv, g, hd, -1)
+            k = w[p + "self_attn.k_proj.weight"].reshape(nkv, 1, hd, -1)
+            v = w[p + "self_attn.v_proj.weight"].reshape(nkv, 1, hd, -1)
+            iw[p + "attention.wqkv.weight"] = np.concatenate(
+                [q, k, v], axis=1).reshape(-1, cfg["hidden_size"])
+            iw[p + "attention.wo.weight"] = w[p + "self_attn.o_proj.weight"]
+            iw[p + "attention_norm.weight"] = w[p + "input_layernorm.weight"]
+            iw[p + "ffn_norm.weight"] = w[p + "post_attention_layernorm.weight"]
+            iw[p + "feed_forward.w1.weight"] = w[p + "mlp.gate_proj.weight"]
+            iw[p + "feed_forward.w3.weight"] = w[p + "mlp.up_proj.weight"]
+            iw[p + "feed_forward.w2.weight"] = w[p + "mlp.down_proj.weight"]
+        icfg = dict(cfg)
+        icfg["model_type"] = "internlm2"
+        m = load_model_from_weights(icfg, iw, jnp.float32)
+        plain = load_model_from_weights(cfg, w, jnp.float32)
+        ids = (np.arange(6, dtype=np.int32) % 200)[None]
+        e = jax.jit(plain.get_input_embeddings)(plain.params, jnp.asarray(ids))
+        pos = np.broadcast_to(np.arange(6, dtype=np.int32), (3, 1, 6)).copy()
+        l1, _ = m(m.params, e, None, jnp.asarray(pos))
+        l2, _ = plain(plain.params, e, None, jnp.asarray(pos))
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
