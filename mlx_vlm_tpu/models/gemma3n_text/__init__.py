@@ -1,0 +1,3 @@
+from .gemma3n_text import LanguageModel, Model, ModelConfig, TextConfig
+
+__all__ = ["Model", "ModelConfig", "TextConfig", "LanguageModel"]
