@@ -61,6 +61,13 @@ def _builders():
         return load_model_from_weights(
             tiny_molmo_config(), tiny_molmo_weights(tiny_molmo_config()), dt
         )
+
+    from tests.test_gemma3n import tiny_g3n_config, tiny_g3n_weights
+
+    def _g3n(dt):
+        return load_model_from_weights(
+            tiny_g3n_config(), tiny_g3n_weights(tiny_g3n_config()), dt
+        )
     from tests.test_internvl import tiny_internvl_config, tiny_internvl_weights
 
     return {
@@ -72,6 +79,7 @@ def _builders():
         "kimi_vl": lambda dt: _kimi(dt),
         "deepseek_vl_v2": lambda dt: _dsvl(dt),
         "molmo": lambda dt: _molmo(dt),
+        "gemma3n_text": lambda dt: _g3n(dt),
         "mistral3": lambda dt: load_model_from_weights(
             tiny_mistral3_config(), tiny_mistral3_weights(tiny_mistral3_config()), dt
         ),
