@@ -122,3 +122,39 @@ class TestSpeculative:
         bad = load_model_from_weights(cfg, llama_hf_weights(cfg, 0), jnp.float32)
         with pytest.raises(ValueError):
             validate_drafter_compatibility(target, bad)
+
+
+class TestMTPDrafter:
+    def test_mtp_lossless(self, target):
+        """MTP drafter with shared embed/lm_head: output equals plain target
+        greedy regardless of drafter quality (greedy verify)."""
+        from mlx_vlm_tpu.speculative.drafters.mtp import (
+            MTPConfig, MTPDrafter, init_mtp_params,
+        )
+        from mlx_vlm_tpu.speculative.utils import SpecStats, eagle3_generate_step
+
+        tc = target.config
+        cfg = MTPConfig(
+            hidden_size=tc.hidden_size,
+            intermediate_size=tc.intermediate_size,
+            num_attention_heads=tc.num_attention_heads,
+            num_key_value_heads=tc.num_key_value_heads,
+            vocab_size=tc.vocab_size,
+        )
+        drafter = MTPDrafter(cfg)
+        shared = target.params["language_model"]["model"]["embed_tokens"][
+            "weight"]
+        dparams = init_mtp_params(cfg, seed=5, shared_embed=shared,
+                                  shared_lm_head=shared)
+        ids = (np.arange(9, dtype=np.int32) * 5 % 200)[None]
+        ref = _plain_greedy(target, ids, 12)
+        stats = SpecStats()
+        out = [
+            int(t[0])
+            for t, _ in eagle3_generate_step(
+                _embeds(target, ids), target, drafter, dparams,
+                max_tokens=12, num_draft=3, stats=stats,
+            )
+        ]
+        assert out == ref
+        assert stats.rounds > 0
