@@ -105,3 +105,26 @@ class TestInternLM2:
         l1, _ = m(m.params, e, None, jnp.asarray(pos))
         l2, _ = plain(plain.params, e, None, jnp.asarray(pos))
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+class TestOlmo2:
+    def test_generate(self):
+        cfg = tiny_llama_config()
+        cfg["model_type"] = "olmo2"
+        w = llama_hf_weights(cfg, 0)
+        nh = cfg["num_attention_heads"]
+        nkv = cfg["num_key_value_heads"]
+        hd = cfg["hidden_size"] // nh
+        for i in range(cfg["num_hidden_layers"]):
+            p = f"model.layers.{i}."
+            # olmo2 norms: full-width q/k norms, post-* branch norms
+            del w[p + "input_layernorm.weight"]
+            w[p + "self_attn.q_norm.weight"] = np.ones(nh * hd, np.float32)
+            w[p + "self_attn.k_norm.weight"] = np.ones(nkv * hd, np.float32)
+            w[p + "post_feedforward_layernorm.weight"] = np.ones(
+                cfg["hidden_size"], np.float32)
+        m = load_model_from_weights(cfg, w, jnp.float32)
+        ids = (np.arange(6, dtype=np.int32) % 200)[None]
+        e = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
+        toks = [int(t[0]) for t, _ in generate_step(e, m, max_tokens=3)]
+        assert len(toks) == 3 and type(m).__module__.endswith("olmo2")
