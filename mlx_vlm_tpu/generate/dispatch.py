@@ -184,23 +184,42 @@ def stream_generate(
     gen_start = None
     n = 0
     finish_reason = "length"
-    for token, logprobs in generate_step(
-        embeds,
-        model,
-        position_ids=position_ids,
-        rope_deltas=rope_deltas,
-        max_tokens=max_tokens,
-        sampler=sampler,
-        logits_processors=processors,
-        prefill_step_size=prefill_step_size,
-        block_size=block_size,
-        kv_bits=kv_bits,
-        kv_group_size=kv_group_size,
-        prompt_cache=prompt_cache,
-        prefix_len=prefix_len,
-        prompt_cache_callback=prompt_cache_callback,
-        seed=seed,
-    ):
+    draft_model = kwargs.get("draft_model")
+    if draft_model is not None:
+        # speculative decoding (reference --draft-model, dispatch.py:700):
+        # greedy-only, lossless vs plain target decoding
+        if temperature != 0.0:
+            raise ValueError("speculative decoding requires temperature=0")
+        from ..speculative.utils import speculative_generate_step
+
+        token_iter = speculative_generate_step(
+            embeds, model, draft_model,
+            input_ids=np.asarray(input_ids),
+            position_ids=position_ids,
+            rope_deltas=rope_deltas,
+            max_tokens=max_tokens,
+            num_draft=int(kwargs.get("num_draft_tokens", 4)),
+            prefill_step_size=prefill_step_size,
+        )
+    else:
+        token_iter = generate_step(
+            embeds,
+            model,
+            position_ids=position_ids,
+            rope_deltas=rope_deltas,
+            max_tokens=max_tokens,
+            sampler=sampler,
+            logits_processors=processors,
+            prefill_step_size=prefill_step_size,
+            block_size=block_size,
+            kv_bits=kv_bits,
+            kv_group_size=kv_group_size,
+            prompt_cache=prompt_cache,
+            prefix_len=prefix_len,
+            prompt_cache_callback=prompt_cache_callback,
+            seed=seed,
+        )
+    for token, logprobs in token_iter:
         now = time.perf_counter()
         if prompt_time is None:
             prompt_time = now - tic

@@ -215,6 +215,8 @@ class SpeculativeEngine:
             embeds = lm.embed(lp, seq)
             base = cache.offset + rope_delta.reshape(-1)[:B]
             pos = base[None, :, None] + jnp.arange(k + 1)[None, None, :]
+            # full [3, B, k+1] so M-RoPE models gather valid streams
+            pos = jnp.broadcast_to(pos, (3, B, k + 1))
             hidden, cache = lm(lp, embeds, cache, pos.astype(jnp.int32))
             logits = lm.logits(lp, hidden).astype(jnp.float32)  # [B,k+1,V]
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,k+1]

@@ -158,3 +158,58 @@ class TestMTPDrafter:
         ]
         assert out == ref
         assert stats.rounds > 0
+
+
+class TestDispatchWiring:
+    def test_stream_generate_draft_model_lossless(self):
+        """draft_model= through the public stream_generate matches plain
+        greedy — regression for the M-RoPE verify position bug (pos was
+        [1,B,k+1], NaN-filling qwen-style mrope gathers)."""
+        from mlx_vlm_tpu.generate.dispatch import stream_generate
+        from mlx_vlm_tpu.utils.testing import make_tiny_qwen2_vl
+
+        target = make_tiny_qwen2_vl(seed=0, dtype=jnp.float32)
+        draft = make_tiny_qwen2_vl(seed=9, dtype=jnp.float32)
+
+        class _Tok:
+            eos_token_id = 9999
+
+            def decode(self, ids, **kw):
+                return " ".join(str(i) for i in ids)
+
+            def __call__(self, text, **kw):
+                ids = [(ord(c) * 7) % 200 for c in str(text)][:12]
+                return {"input_ids": np.asarray([ids]),
+                        "attention_mask": np.ones((1, len(ids)), np.int64)}
+
+        class _Proc:
+            tokenizer = _Tok()
+
+            def __call__(self, text=None, **kw):
+                return self.tokenizer(text[0] if isinstance(text, list) else text)
+
+        proc = _Proc()
+        plain = "".join(r.text for r in stream_generate(
+            target, proc, "quick brown fox", max_tokens=8, temperature=0.0))
+        spec = "".join(r.text for r in stream_generate(
+            target, proc, "quick brown fox", max_tokens=8, temperature=0.0,
+            draft_model=draft, num_draft_tokens=3))
+        assert spec == plain
+
+        with pytest.raises(ValueError, match="temperature"):
+            list(stream_generate(target, proc, "x", max_tokens=2,
+                                 temperature=0.5, draft_model=draft))
+
+    def test_mrope_target_lossless(self):
+        """speculative_generate_step on an M-RoPE (qwen2_vl) target."""
+        from mlx_vlm_tpu.utils.testing import make_tiny_qwen2_vl
+
+        target = make_tiny_qwen2_vl(seed=0, dtype=jnp.float32)
+        draft = make_tiny_qwen2_vl(seed=9, dtype=jnp.float32)
+        ids = (np.arange(8, dtype=np.int32) * 3 % 200)[None]
+        e = jax.jit(target.get_input_embeddings)(target.params,
+                                                 jnp.asarray(ids))
+        plain = [int(t[0]) for t, _ in generate_step(e, target, max_tokens=8)]
+        spec = [int(t[0]) for t, _ in speculative_generate_step(
+            e, target, draft, input_ids=ids, max_tokens=8, num_draft=3)]
+        assert spec == plain
