@@ -43,6 +43,11 @@ MODEL_REMAPPING = {
     "qwen3_5_moe": "qwen3_vl_moe",
     "phi3": "phi3_v",  # same decoder; vision path simply unused
     "cohere": "cohere2",
+    # plain-llama-architecture text families (biases/norm variants are
+    # picked up from the checkpoint keys directly)
+    "ernie4_5": "llama",
+    "helium": "llama",
+    "seed_oss": "llama",
 }
 
 

@@ -128,3 +128,15 @@ class TestOlmo2:
         e = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
         toks = [int(t[0]) for t, _ in generate_step(e, m, max_tokens=3)]
         assert len(toks) == 3 and type(m).__module__.endswith("olmo2")
+
+
+class TestLlamaRemaps:
+    @pytest.mark.parametrize("mt", ["ernie4_5", "helium", "seed_oss"])
+    def test_remapped_families_generate(self, mt):
+        cfg = tiny_llama_config()
+        cfg["model_type"] = mt
+        m = load_model_from_weights(cfg, llama_hf_weights(cfg, 0), jnp.float32)
+        ids = (np.arange(6, dtype=np.int32) % 200)[None]
+        e = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
+        toks = [int(t[0]) for t, _ in generate_step(e, m, max_tokens=3)]
+        assert len(toks) == 3
