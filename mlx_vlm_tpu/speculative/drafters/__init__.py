@@ -1,24 +1,139 @@
-"""Drafter registry.
+"""Drafter registry + checkpoint loading for speculative decoding.
 
-Role parity: reference mlx_vlm/speculative/drafters/__init__.py:11-163 —
-model_type -> drafter kind mapping, load_drafter, compatibility validation.
+Role parity: reference mlx_vlm/speculative/drafters/__init__.py —
+`DRAFTER_KIND_BY_MODEL_TYPE`:11, `load_drafter`, target-compatibility
+validation:37.  A drafter checkpoint is a directory with config.json
+(model_type selecting the kind) + safetensors; eagle3/mtp drafters share
+the target's embed/lm_head when the checkpoint omits them.
 """
 
 from __future__ import annotations
 
-from .eagle3 import Eagle3Drafter
+import json
+import logging
+from pathlib import Path
+from typing import Any, Optional, Tuple
 
-DRAFTER_KINDS = {
-    "vanilla": "independent small LM (token-level drafting)",
-    "eagle3": "one-layer speculator over captured target hidden states",
+import numpy as np
+
+import jax.numpy as jnp
+
+from .eagle3 import Eagle3Config, Eagle3Drafter
+from .mtp import MTPConfig, MTPDrafter
+
+DRAFTER_KIND_BY_MODEL_TYPE = {
+    "deepseek_v4_mtp": "mtp",
+    "eagle3": "eagle3",
+    "gemma4_assistant": "mtp",
+    "gemma4_unified_assistant": "mtp",
+    "glm4_moe_lite_mtp": "mtp",
+    "inkling_mtp": "mtp",
+    "qwen3_5_mtp": "mtp",
 }
+
+logger = logging.getLogger(__name__)
 
 
 def resolve_drafter_kind(model_type: str) -> str:
-    """Reference kind map (drafters/__init__.py:11)."""
-    if "eagle" in model_type:
-        return "eagle3"
+    """model_type -> drafter kind; plain LMs draft as-is ("vanilla")."""
+    kind = DRAFTER_KIND_BY_MODEL_TYPE.get(model_type)
+    if kind is not None:
+        return kind
+    if "mtp" in str(model_type).lower():
+        return "mtp"
     return "vanilla"
 
+_CFG_FIELDS = (
+    "hidden_size", "intermediate_size", "num_attention_heads",
+    "num_key_value_heads", "vocab_size", "rms_norm_eps", "rope_theta",
+)
 
-__all__ = ["Eagle3Drafter", "DRAFTER_KINDS", "resolve_drafter_kind"]
+
+def validate_drafter_compatibility(target_model, config: dict, kind: str):
+    """Reference drafters/__init__.py:37 — config-field (not repo-name)
+    compatibility: the drafter's hidden size must match the target's."""
+    tgt_cfg = getattr(target_model, "config", None)
+    tc = getattr(tgt_cfg, "text_config", tgt_cfg)
+    target_hidden = getattr(tc, "hidden_size", None)
+    draft_hidden = (
+        config.get("backbone_hidden_size")
+        or config.get("target_hidden_size")
+        or config.get("hidden_size")
+    )
+    if (target_hidden is not None and draft_hidden is not None
+            and target_hidden != draft_hidden):
+        raise ValueError(
+            f"drafter hidden_size={draft_hidden} does not match the target's "
+            f"hidden_size={target_hidden}"
+        )
+    vocab = config.get("vocab_size")
+    tgt_vocab = getattr(tc, "vocab_size", None)
+    if kind == "mtp" and vocab and tgt_vocab and vocab != tgt_vocab:
+        raise ValueError(
+            f"MTP drafter vocab {vocab} != target vocab {tgt_vocab}"
+        )
+
+
+def _nest(flat: dict) -> dict:
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(v)
+    return out
+
+
+def load_drafter(
+    path, target_model, dtype=jnp.float32, kind: Optional[str] = None
+) -> Tuple[Any, dict, str]:
+    """Load (drafter, params, kind) from a checkpoint directory.
+
+    Missing embed_tokens / lm_head are shared from the target (reference
+    bind(), drafters/deepseek_v4_mtp:95)."""
+    path = Path(path)
+    config = json.loads((path / "config.json").read_text())
+    model_type = config.get("model_type", "")
+    if kind is None:
+        kind = DRAFTER_KIND_BY_MODEL_TYPE.get(model_type)
+        if kind is None and "mtp" in model_type.lower():
+            kind = "mtp"
+        if kind is None:
+            raise ValueError(f"unknown drafter model_type {model_type!r}")
+    validate_drafter_compatibility(target_model, config, kind)
+
+    fields = {k: config[k] for k in _CFG_FIELDS if k in config}
+    if kind == "eagle3":
+        cap = tuple(config.get("capture_layers", (1, 2, 3)))
+        drafter = Eagle3Drafter(Eagle3Config(capture_layers=cap, **fields))
+    elif kind == "mtp":
+        drafter = MTPDrafter(MTPConfig(**fields))
+    else:
+        raise ValueError(f"unsupported drafter kind {kind!r}")
+
+    from safetensors import safe_open
+
+    flat: dict = {}
+    for f in sorted(path.glob("*.safetensors")):
+        with safe_open(str(f), framework="numpy") as sf:
+            for k in sf.keys():
+                flat[k.replace("model.", "", 1) if k.startswith("model.")
+                     else k] = sf.get_tensor(k)
+    params = _nest(flat)
+    # share target embeddings / head when absent in the drafter checkpoint
+    tgt = target_model.params.get("language_model", target_model.params)
+    if "embed_tokens" not in params:
+        params["embed_tokens"] = tgt["model"]["embed_tokens"]
+    if "lm_head" not in params:
+        params["lm_head"] = tgt.get(
+            "lm_head", tgt["model"]["embed_tokens"]
+        )
+    return drafter, params, kind
+
+
+__all__ = [
+    "DRAFTER_KIND_BY_MODEL_TYPE", "load_drafter",
+    "validate_drafter_compatibility", "Eagle3Drafter", "Eagle3Config",
+    "MTPDrafter", "MTPConfig",
+]

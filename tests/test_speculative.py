@@ -213,3 +213,72 @@ class TestDispatchWiring:
         spec = [int(t[0]) for t, _ in speculative_generate_step(
             e, target, draft, input_ids=ids, max_tokens=8, num_draft=3)]
         assert spec == plain
+
+
+class TestDrafterLoading:
+    def test_load_mtp_drafter_shares_target_head(self, target, tmp_path):
+        """load_drafter reads a checkpoint dir and pairs with the target;
+        missing embed/lm_head are shared; losslessness holds end to end."""
+        import json
+
+        from safetensors.numpy import save_file
+
+        from mlx_vlm_tpu.speculative.drafters import load_drafter
+        from mlx_vlm_tpu.speculative.drafters.mtp import (
+            MTPConfig, init_mtp_params,
+        )
+        from mlx_vlm_tpu.speculative.utils import eagle3_generate_step
+
+        tc = target.config
+        cfg = dict(
+            model_type="qwen3_5_mtp",
+            hidden_size=tc.hidden_size,
+            intermediate_size=tc.intermediate_size,
+            num_attention_heads=tc.num_attention_heads,
+            num_key_value_heads=tc.num_key_value_heads,
+            vocab_size=tc.vocab_size,
+        )
+        d = tmp_path / "drafter"
+        d.mkdir()
+        (d / "config.json").write_text(json.dumps(cfg))
+        params = init_mtp_params(
+            MTPConfig(**{k: v for k, v in cfg.items() if k != "model_type"}),
+            seed=2,
+        )
+        flat = {}
+
+        def walk(tree, prefix=""):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    walk(v, prefix + k + ".")
+                else:
+                    flat[prefix + k] = np.asarray(v)
+
+        walk({k: v for k, v in params.items()
+              if k not in ("embed_tokens", "lm_head")})
+        save_file(flat, str(d / "model.safetensors"))
+
+        drafter, dparams, kind = load_drafter(d, target)
+        assert kind == "mtp"
+        assert "embed_tokens" in dparams and "lm_head" in dparams
+        ids = (np.arange(9, dtype=np.int32) * 5 % 200)[None]
+        ref = _plain_greedy(target, ids, 10)
+        out = [
+            int(t[0]) for t, _ in eagle3_generate_step(
+                _embeds(target, ids), target, drafter, dparams,
+                max_tokens=10, num_draft=3,
+            )
+        ]
+        assert out == ref
+
+    def test_incompatible_hidden_size_rejected(self, target, tmp_path):
+        import json
+
+        from mlx_vlm_tpu.speculative.drafters import load_drafter
+
+        d = tmp_path / "bad"
+        d.mkdir()
+        (d / "config.json").write_text(json.dumps(
+            {"model_type": "qwen3_5_mtp", "hidden_size": 9999}))
+        with pytest.raises(ValueError, match="hidden_size"):
+            load_drafter(d, target)
