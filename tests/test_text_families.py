@@ -140,3 +140,34 @@ class TestLlamaRemaps:
         e = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
         toks = [int(t[0]) for t, _ in generate_step(e, m, max_tokens=3)]
         assert len(toks) == 3
+
+
+class TestSmolLM3:
+    def test_nope_layers_and_generate(self):
+        cfg = tiny_llama_config()
+        cfg["model_type"] = "smollm3"
+        cfg["no_rope_layer_interval"] = 2
+        m = load_model_from_weights(cfg, llama_hf_weights(cfg, 0), jnp.float32)
+        # every 2nd layer NoPE
+        assert m.language_model.use_rope.tolist() == [True, False] * (
+            cfg["num_hidden_layers"] // 2)
+        ids = (np.arange(6, dtype=np.int32) % 200)[None]
+        e = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
+        toks = [int(t[0]) for t, _ in generate_step(e, m, max_tokens=3)]
+        assert len(toks) == 3
+
+    def test_all_rope_matches_llama(self):
+        """With every layer roped, smollm3 must equal plain llama."""
+        cfg = tiny_llama_config()
+        w = llama_hf_weights(cfg, 0)
+        scfg = dict(cfg)
+        scfg["model_type"] = "smollm3"
+        scfg["no_rope_layer_interval"] = 10**6  # never NoPE
+        m = load_model_from_weights(scfg, dict(w), jnp.float32)
+        plain = load_model_from_weights(cfg, dict(w), jnp.float32)
+        ids = (np.arange(6, dtype=np.int32) % 200)[None]
+        e = jax.jit(plain.get_input_embeddings)(plain.params, jnp.asarray(ids))
+        pos = np.broadcast_to(np.arange(6, dtype=np.int32), (3, 1, 6)).copy()
+        l1, _ = m(m.params, e, None, jnp.asarray(pos))
+        l2, _ = plain(plain.params, e, None, jnp.asarray(pos))
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
