@@ -171,3 +171,36 @@ class TestSmolLM3:
         l1, _ = m(m.params, e, None, jnp.asarray(pos))
         l2, _ = plain(plain.params, e, None, jnp.asarray(pos))
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+class TestExaone:
+    def test_renamed_keys_match_llama(self):
+        cfg = tiny_llama_config()
+        w = llama_hf_weights(cfg, 0)
+        ew = {}
+        ren = [("model.layers.", "transformer.h."),
+               (".input_layernorm.", ".ln_1."),
+               (".post_attention_layernorm.", ".ln_2."),
+               (".self_attn.q_proj.", ".attn.attention.q_proj."),
+               (".self_attn.k_proj.", ".attn.attention.k_proj."),
+               (".self_attn.v_proj.", ".attn.attention.v_proj."),
+               (".self_attn.o_proj.", ".attn.attention.out_proj."),
+               (".mlp.gate_proj.", ".mlp.c_fc_0."),
+               (".mlp.up_proj.", ".mlp.c_fc_1."),
+               (".mlp.down_proj.", ".mlp.c_proj."),
+               ("model.embed_tokens.", "transformer.wte."),
+               ("model.norm.", "transformer.ln_f.")]
+        for k, v in w.items():
+            for new, old in ren:
+                k = k.replace(new, old)
+            ew[k] = v
+        ecfg = dict(cfg)
+        ecfg["model_type"] = "exaone"
+        m = load_model_from_weights(ecfg, ew, jnp.float32)
+        plain = load_model_from_weights(cfg, w, jnp.float32)
+        ids = (np.arange(6, dtype=np.int32) % 200)[None]
+        e = jax.jit(plain.get_input_embeddings)(plain.params, jnp.asarray(ids))
+        pos = np.broadcast_to(np.arange(6, dtype=np.int32), (3, 1, 6)).copy()
+        l1, _ = m(m.params, e, None, jnp.asarray(pos))
+        l2, _ = plain(plain.params, e, None, jnp.asarray(pos))
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
