@@ -1,0 +1,3 @@
+from .dots_ocr import Model, ModelConfig, TextConfig, VisionConfig
+
+__all__ = ["Model", "ModelConfig", "TextConfig", "VisionConfig"]
