@@ -204,3 +204,25 @@ class TestExaone:
         l1, _ = m(m.params, e, None, jnp.asarray(pos))
         l2, _ = plain(plain.params, e, None, jnp.asarray(pos))
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+class TestGlm4Text:
+    def test_generate(self):
+        from tests.test_glm4v import tiny_glm4v_config, tiny_glm4v_weights
+
+        vcfg = tiny_glm4v_config()
+        tcfg = dict(vcfg["text_config"])
+        tcfg["model_type"] = "glm4"
+        tcfg.pop("rope_scaling")
+        w = {}
+        for k, v in tiny_glm4v_weights(vcfg).items():
+            if k.startswith("model.language_model."):
+                w["model." + k[len("model.language_model."):]] = v
+            elif k.startswith("lm_head"):
+                w[k] = v
+        m = load_model_from_weights(tcfg, w, jnp.float32)
+        assert type(m).__module__.endswith("glm4")
+        ids = (np.arange(6, dtype=np.int32) % 200)[None]
+        e = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
+        toks = [int(t[0]) for t, _ in generate_step(e, m, max_tokens=3)]
+        assert len(toks) == 3
