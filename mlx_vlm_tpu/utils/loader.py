@@ -48,6 +48,8 @@ MODEL_REMAPPING = {
     "ernie4_5": "llama",
     "helium": "llama",
     "seed_oss": "llama",
+    "internlm3": "llama",
+    "telechat3": "llama",
 }
 
 

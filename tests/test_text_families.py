@@ -131,7 +131,7 @@ class TestOlmo2:
 
 
 class TestLlamaRemaps:
-    @pytest.mark.parametrize("mt", ["ernie4_5", "helium", "seed_oss"])
+    @pytest.mark.parametrize("mt", ["ernie4_5", "helium", "seed_oss", "internlm3", "telechat3"])
     def test_remapped_families_generate(self, mt):
         cfg = tiny_llama_config()
         cfg["model_type"] = mt
