@@ -226,3 +226,27 @@ class TestGlm4Text:
         e = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
         toks = [int(t[0]) for t, _ in generate_step(e, m, max_tokens=3)]
         assert len(toks) == 3
+
+
+class TestHunyuanDense:
+    def test_generate_with_qk_norm_and_ntk_alpha(self):
+        cfg = tiny_llama_config()
+        cfg["model_type"] = "hunyuan_v1_dense"
+        cfg["use_qk_norm"] = True
+        cfg["rope_scaling"] = {"alpha": 1000.0}
+        w = llama_hf_weights(cfg, 0)
+        nh = cfg["num_attention_heads"]
+        nkv = cfg["num_key_value_heads"]
+        hd = cfg["hidden_size"] // nh
+        for i in range(cfg["num_hidden_layers"]):
+            p = f"model.layers.{i}.self_attn."
+            w[p + "query_layernorm.weight"] = np.ones(hd, np.float32)
+            w[p + "key_layernorm.weight"] = np.ones(hd, np.float32)
+        m = load_model_from_weights(cfg, w, jnp.float32)
+        # NTK-alpha rescales the rope base
+        base = float(np.asarray(m.language_model.rope.inv_freq)[1]) ** -1
+        assert base > 10000.0  # alpha blew up the wavelengths
+        ids = (np.arange(6, dtype=np.int32) % 200)[None]
+        e = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
+        toks = [int(t[0]) for t, _ in generate_step(e, m, max_tokens=3)]
+        assert len(toks) == 3
