@@ -243,9 +243,13 @@ class TestHunyuanDense:
             w[p + "query_layernorm.weight"] = np.ones(hd, np.float32)
             w[p + "key_layernorm.weight"] = np.ones(hd, np.float32)
         m = load_model_from_weights(cfg, w, jnp.float32)
-        # NTK-alpha rescales the rope base
-        base = float(np.asarray(m.language_model.rope.inv_freq)[1]) ** -1
-        assert base > 10000.0  # alpha blew up the wavelengths
+        # NTK-alpha > 1 lengthens the rope wavelengths (smaller inv_freq)
+        cfg0 = dict(cfg)
+        cfg0["rope_scaling"] = None
+        m0 = load_model_from_weights(cfg0, dict(w), jnp.float32)
+        f_alpha = np.asarray(m.language_model.rope.inv_freq)
+        f_plain = np.asarray(m0.language_model.rope.inv_freq)
+        assert (f_alpha[1:] < f_plain[1:]).all()
         ids = (np.arange(6, dtype=np.int32) % 200)[None]
         e = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
         toks = [int(t[0]) for t, _ in generate_step(e, m, max_tokens=3)]
