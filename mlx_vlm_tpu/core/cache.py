@@ -346,7 +346,13 @@ class QuantizedKVCache:
         )
         return dequantize(t, dtype)
 
-    def attend(self, cxs, q, k, v, scale, mask):
+    def attend(self, cxs, q, k, v, scale, mask, flash_ok: bool = False,
+               window=None, logit_softcap=None):
+        """Same kwargs as KVCache.attend so softcap/window families
+        (gemma3, glm4v, ...) can run with kv_bits set; logit_softcap is
+        threaded to sdpa (ignoring it would silently change logits).
+        `window` is already encoded in `mask` by the caller; `flash_ok`
+        has no fused quantized path yet and is accepted for parity."""
         from ..ops.attention import sdpa
 
         kq, ks, kb, vq, vs, vb = cxs
@@ -359,7 +365,7 @@ class QuantizedKVCache:
         dtype = q.dtype
         k_full = self._dequantize(kq, ks, kb, dtype)
         v_full = self._dequantize(vq_, vs_, vb_, dtype)
-        out = sdpa(q, k_full, v_full, scale, mask)
+        out = sdpa(q, k_full, v_full, scale, mask, logit_softcap=logit_softcap)
         return out, (kq, ks, kb, vq_, vs_, vb_)
 
 

@@ -208,6 +208,17 @@ class BatchGenerator:
             while prefix + S_pad > row_capacity and step > 64:
                 step = max(64, step // 2)
                 S_pad = round_up(suffix, step)
+            if prefix + S_pad > row_capacity:
+                # would overwrite the warm prefix KV (ar.py raises the same
+                # way); fall back to a cold prefill in a fresh buffer
+                prefix, suffix = 0, S
+                step = min(self.prefill_step, round_up(suffix, 256))
+                S_pad = round_up(suffix, step)
+                row_capacity = round_up(S_pad, 256)
+                row_cache = make_cache(
+                    self.model, 1, row_capacity, self.dtype, self.kv_bits,
+                    self.kv_group_size,
+                )
         else:
             row_capacity = round_up(S_pad, 256)
             row_cache = make_cache(

@@ -335,14 +335,21 @@ class ResponseGenerator:
                     if not is_eos:
                         meta["detok"].add_token(tok)
                         text = meta["detok"].last_segment()
-                    # stop-sequence scan (host-side)
+                    # stop-sequence scan (host-side): trim emitted text at
+                    # the match point; keep enough tail history for stop
+                    # strings that straddle segment boundaries.
                     stop_hit = None
                     if meta["stop"] and text:
-                        meta["tail"] = (meta["tail"] + text)[-64:]
+                        prev_tail = meta["tail"]
+                        combined = prev_tail + text
                         for s in meta["stop"]:
-                            if s in meta["tail"]:
+                            idx = combined.find(s)
+                            if idx != -1:
                                 stop_hit = s
+                                text = text[: max(0, idx - len(prev_tail))]
                                 break
+                        keep = max(len(s) for s in meta["stop"]) - 1
+                        meta["tail"] = combined[len(combined) - keep:] if keep > 0 else ""
                     finish = None
                     if is_eos:
                         finish = "stop"

@@ -225,6 +225,29 @@ def _to_device(flat: dict, dtype, zeros_on_device: bool = False) -> dict:
     return {k: put(v) for k, v in flat.items()}
 
 
+def _raw_uint8_tensor(path: str, key: str) -> "np.ndarray":
+    """Read one tensor's raw bytes as uint8 (for dtypes numpy can't map,
+    e.g. F8_E8M0).  Shape is the declared shape with the last dim scaled by
+    bytes-per-element, so a later reinterpret (np.view) stays possible."""
+    import json
+    import struct
+
+    with open(path, "rb") as fh:
+        (hlen,) = struct.unpack("<Q", fh.read(8))
+        header = json.loads(fh.read(hlen))
+        meta = header[key]
+        start, end = meta["data_offsets"]
+        fh.seek(8 + hlen + start)
+        raw = np.frombuffer(fh.read(end - start), dtype=np.uint8)
+    shape = list(meta["shape"])
+    if shape:
+        lead = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+        shape[-1] = raw.size // max(lead, 1)
+    else:
+        shape = [raw.size]
+    return raw.reshape(shape)
+
+
 def _read_safetensors(model_path: Path) -> dict:
     from safetensors import safe_open
 
@@ -238,10 +261,14 @@ def _read_safetensors(model_path: Path) -> dict:
                 try:
                     weights[k] = sf.get_tensor(k)
                 except Exception:
-                    # unsupported dtype (e.g. F8_E8M0) — reload raw as uint8
+                    # unsupported dtype (e.g. F8_E8M0) — reload the raw bytes
+                    # as a uint8 view so sanitize()/quant-fold can reinterpret
                     # (reference utils.py:58 patches these the same way)
-                    sl = sf.get_slice(k)
-                    logger.warning("tensor %s has unsupported dtype; skipping", k)
+                    weights[k] = _raw_uint8_tensor(f, k)
+                    logger.warning(
+                        "tensor %s has unsupported dtype; loaded raw as uint8",
+                        k,
+                    )
         # bf16 comes back as ml_dtypes.bfloat16 — fine for np.stack/jnp.asarray
     return weights
 

@@ -44,8 +44,9 @@ def _byte_level_table():
 class NaiveStreamingDetokenizer:
     """Windowed full-decode fallback (reference tokenizer_utils.py:19)."""
 
-    def __init__(self, tokenizer):
+    def __init__(self, tokenizer, skip_special_tokens: bool = False):
         self.tokenizer = tokenizer
+        self.skip_special_tokens = skip_special_tokens
         self._ids: List[int] = []
         self._emitted = ""
         self.text = ""
@@ -57,7 +58,9 @@ class NaiveStreamingDetokenizer:
         self._ids.append(int(token))
 
     def last_segment(self) -> str:
-        s = self.tokenizer.decode(self._ids, skip_special_tokens=False)
+        s = self.tokenizer.decode(
+            self._ids, skip_special_tokens=self.skip_special_tokens
+        )
         if s.endswith(_REPLACEMENT):
             return ""
         new = s[len(self._emitted) :]
@@ -68,7 +71,9 @@ class NaiveStreamingDetokenizer:
         return new
 
     def finalize(self) -> str:
-        s = self.tokenizer.decode(self._ids, skip_special_tokens=False)
+        s = self.tokenizer.decode(
+            self._ids, skip_special_tokens=self.skip_special_tokens
+        )
         new = s[len(self._emitted) :]
         self._emitted = s
         self.text += new
@@ -134,13 +139,19 @@ class SPMStreamingDetokenizer:
     """SentencePiece-style streaming decode (reference :121): ▁ -> space,
     <0xNN> byte pieces accumulated."""
 
-    def __init__(self, tokenizer, trim_space: bool = True):
+    def __init__(self, tokenizer, trim_space: bool = True,
+                 skip_special_tokens: bool = False):
         self.tokenizer = tokenizer
         self.trim_space = trim_space
         self._pending = bytearray()
         self._first = True
         self.text = ""
         self._segment = ""
+        self._skip_ids = (
+            set(getattr(tokenizer, "all_special_ids", []) or [])
+            if skip_special_tokens
+            else set()
+        )
 
     def reset(self):
         self._pending = bytearray()
@@ -149,7 +160,10 @@ class SPMStreamingDetokenizer:
         self._segment = ""
 
     def add_token(self, token: int):
-        s = self.tokenizer.convert_ids_to_tokens(int(token))
+        token = int(token)
+        if token in self._skip_ids:
+            return
+        s = self.tokenizer.convert_ids_to_tokens(token)
         if s is None:
             return
         if s.startswith("<0x") and s.endswith(">") and len(s) == 6:
@@ -198,12 +212,16 @@ def make_detokenizer(tokenizer, skip_special_tokens: bool = False):
                     for d in spec["decoder"].get("decoders", [])
                 ]
                 if "ByteFallback" in types or "Metaspace" in types:
-                    return SPMStreamingDetokenizer(tokenizer)
+                    return SPMStreamingDetokenizer(
+                        tokenizer, skip_special_tokens=skip_special_tokens
+                    )
             if dec == "Metaspace":
-                return SPMStreamingDetokenizer(tokenizer)
+                return SPMStreamingDetokenizer(
+                    tokenizer, skip_special_tokens=skip_special_tokens
+                )
     except Exception:  # noqa: BLE001
         pass
-    return NaiveStreamingDetokenizer(tokenizer)
+    return NaiveStreamingDetokenizer(tokenizer, skip_special_tokens)
 
 
 # default export used across the engine

@@ -75,3 +75,24 @@ class TestQuantizedKVCache:
             for uid, toks in gen.next().items():
                 outs.extend(t for t, _ in toks)
         assert len(outs) == 5
+
+
+class TestQuantizedKVWithSoftcapFamilies:
+    """kv_bits must work for families whose attend passes window /
+    logit_softcap kwargs (gemma3 etc.) — regression for the attend
+    signature mismatch."""
+
+    def test_gemma3_generate_step_with_kv_bits(self):
+        from mlx_vlm_tpu.utils.testing import make_tiny_gemma3
+
+        m = make_tiny_gemma3(seed=3, dtype=jnp.float32)
+        ids = np.arange(6, dtype=np.int32)[None] % 50
+        embeds = jax.jit(m.get_input_embeddings)(m.params, jnp.asarray(ids))
+        ref = [int(t[0]) for t, _ in generate_step(embeds, m, max_tokens=4)]
+        got = [
+            int(t[0])
+            for t, _ in generate_step(
+                embeds, m, max_tokens=4, kv_bits=8, kv_group_size=8
+            )
+        ]
+        assert got == ref
