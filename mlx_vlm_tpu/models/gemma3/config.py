@@ -30,6 +30,16 @@ class TextConfig(BaseModelConfig):
     mm_tokens_per_image: int = 256
     sliding_window_pattern: int = 6
     max_position_embeddings: int = 131072
+    layer_types: Optional[List[str]] = None
+
+    @classmethod
+    def from_dict(cls, params: dict):
+        params = dict(params)
+        # HF config.json names the global-layer base "rope_theta"
+        # (reference reads rope_global_base_freq; both spellings exist)
+        if "rope_theta" in params and "rope_global_base_freq" not in params:
+            params["rope_global_base_freq"] = params["rope_theta"]
+        return super().from_dict(params)
 
 
 @dataclass
@@ -62,8 +72,11 @@ class ModelConfig(BaseModelConfig):
         params["vision_config"] = VisionConfig.from_dict(
             params.get("vision_config", {}) or {}
         )
-        params["text_config"] = TextConfig.from_dict(
-            params.get("text_config", {}) or {}
-        )
+        text = dict(params.get("text_config", {}) or {})
+        # HF stores mm_tokens_per_image at the config root; the projector
+        # reads it from text_config (reference config.py keeps it there)
+        if "mm_tokens_per_image" in params and "mm_tokens_per_image" not in text:
+            text["mm_tokens_per_image"] = params["mm_tokens_per_image"]
+        params["text_config"] = TextConfig.from_dict(text)
         allowed = inspect.signature(cls).parameters
         return cls(**{k: v for k, v in params.items() if k in allowed})

@@ -92,5 +92,9 @@ class ModelConfig(BaseModelConfig):
             vision["projection_dim"] = params["projection_dim"]
         params["text_config"] = TextConfig.from_dict(text)
         params["vision_config"] = VisionConfig.from_dict(vision)
+        # the 1/sqrt(hidden) feature scale uses the LM width (HF divides by
+        # text_config.hidden_size**0.5); fall back when root key is absent
+        if "hidden_size" not in params:
+            params["hidden_size"] = params["text_config"].hidden_size
         allowed = inspect.signature(cls).parameters
         return cls(**{k: v for k, v in params.items() if k in allowed})

@@ -51,8 +51,12 @@ class Model:
         )
         feats = linear(params["multi_modal_projector"]["linear"],
                        tower_out.post_norm)
-        # reference paligemma.py:80 scales by 1/sqrt(config.hidden_size)
-        feats = feats / jnp.asarray(self.config.hidden_size**0.5, feats.dtype)
+        # reference paligemma.py:80 scales by 1/sqrt(hidden); HF divides by
+        # text_config.hidden_size**0.5 (the LM width), not the root key —
+        # the root hidden_size can be a stale default in saved configs
+        feats = feats / jnp.asarray(
+            self.config.text_config.hidden_size**0.5, feats.dtype
+        )
         feats = feats.reshape(-1, feats.shape[-1])
         return merge_input_ids_with_image_features(
             self.config.image_token_index, -1, feats, embeds, input_ids

@@ -58,7 +58,15 @@ class ModelConfig(BaseModelConfig):
     def from_dict(cls, params: dict):
         params = dict(params)
         vision = params.get("vision_config", {}) or {}
-        text = {k: v for k, v in params.items() if k != "vision_config"}
+        # root-level text params (original checkpoints) overlaid by a nested
+        # text_config (transformers >= 4.54 re-saves), nested winning
+        text = {
+            k: v
+            for k, v in params.items()
+            if k not in ("vision_config", "text_config")
+        }
+        nested = params.get("text_config") or {}
+        text.update({k: v for k, v in nested.items() if v is not None})
         params["vision_config"] = VisionConfig.from_dict(vision)
         params["text_config"] = TextConfig.from_dict(text)
         allowed = inspect.signature(cls).parameters

@@ -81,9 +81,18 @@ class ModelConfig(BaseModelConfig):
     def from_dict(cls, params: dict):
         params = dict(params)
         vision = params.get("vision_config", {}) or {}
-        # Text params live at the root level in HF qwen2_vl config.json
-        # (reference config.py:72-86 copies root -> text_config).
-        text = {k: v for k, v in params.items() if k != "vision_config"}
+        # Text params live at the root level in original HF qwen2_vl
+        # config.json (reference config.py:72-86 copies root -> text_config);
+        # transformers >= 4.54 re-saves them nested under text_config.
+        # Merge both, nested winning (skip nulls so a nested
+        # "rope_scaling": null can't clobber a root mrope section).
+        text = {
+            k: v
+            for k, v in params.items()
+            if k not in ("vision_config", "text_config")
+        }
+        nested = params.get("text_config") or {}
+        text.update({k: v for k, v in nested.items() if v is not None})
         params["vision_config"] = VisionConfig.from_dict(vision)
         params["text_config"] = TextConfig.from_dict(text)
         allowed = inspect.signature(cls).parameters
