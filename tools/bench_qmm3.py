@@ -1,0 +1,161 @@
+"""Does a full-integer int8 matvec hit the HBM roofline via plain XLA?
+
+Variants (M=1 decode shapes):
+  bf16   — x_bf16 @ w_bf16 (the roofline reference; hits ~819GB/s)
+  xla8   — per-channel W8A8: dot(x_i8, w8_i8) -> i32, scale on output
+  xla8g  — group-wise (64) W8A8: batched [G,1,64]x[G,64,N] + per-group scale
+  xla8bf — w8.astype(bf16) dequant matmul (2 VPU ops/elem ceiling check)
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo timeout 590 python tools/bench_qmm3.py
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+INNER = 1000
+_FLOOR = [0.0]
+
+
+def _run_once(fn, *args):
+    @jax.jit
+    def run(*args):
+        def body(carry, _):
+            y = fn(carry, *args[1:])
+            carry = carry + (jnp.tanh(y).sum() * 1e-30).astype(carry.dtype)
+            return carry, ()
+
+        out, _ = jax.lax.scan(body, args[0], None, length=INNER)
+        return out
+
+    r = run(*args)
+    jax.block_until_ready(r)
+    np.asarray(r)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = run(*args)
+        jax.block_until_ready(r)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def timeit(fn, *args):
+    if not _FLOOR[0]:
+        z = jnp.zeros((1, 128), jnp.float32)
+        _FLOOR[0] = _run_once(lambda c: c * 1.0000001, z)
+        print(f"program floor: {_FLOOR[0]*1e3:.2f} ms/call")
+    return max(_run_once(fn, *args) - _FLOOR[0], 0.0) / INNER
+
+
+SHAPES = {
+    "q_proj": (1536, 1536),
+    "qkv_fused": (2048, 1536),
+    "gateup_fused": (17920, 1536),
+    "down": (1536, 8960),
+    "lm_head": (151936, 1536),
+    "7b_gateup": (37888, 3584),
+    "7b_down": (3584, 18944),
+}
+
+
+def quant_x(x):
+    """Per-token symmetric int8 activation quant (in-program)."""
+    sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def main():
+    print("device:", jax.devices()[0])
+    rng = np.random.default_rng(0)
+
+    # correctness sanity: per-channel W8A8 vs float matmul
+    N, K = 256, 512
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    sn = np.abs(w).max(axis=1, keepdims=True) / 127.0
+    w8 = np.clip(np.round(w / sn), -127, 127).astype(np.int8)
+    x = rng.standard_normal((1, K)).astype(np.float32)
+
+    @jax.jit
+    def w8a8(x, w8T, sn):
+        xq, sx = quant_x(x)
+        acc = jax.lax.dot_general(
+            xq, w8T, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * sx * sn.reshape(1, -1)
+
+    ref = x @ w.T
+    got = np.asarray(w8a8(jnp.asarray(x), jnp.asarray(w8.T), jnp.asarray(sn)))
+    rel = np.abs(ref - got).max() / np.abs(ref).max()
+    print(f"W8A8 per-channel rel-err: {rel:.2e}")
+
+    for name, (N, K) in SHAPES.items():
+        wb = jnp.asarray(rng.standard_normal((K, N)), jnp.bfloat16)
+        w8T = jnp.asarray(
+            rng.integers(-127, 127, size=(K, N), dtype=np.int8)
+        )
+        snj = jnp.asarray(rng.standard_normal((1, N)), jnp.float32)
+        x = jnp.asarray(rng.standard_normal((1, K)), jnp.bfloat16)
+        G = K // 64
+        sg = jnp.asarray(rng.standard_normal((G, 1, N)), jnp.float32)
+
+        def bf16_path(xx, ww):
+            return jax.lax.dot_general(
+                xx, ww, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(xx.dtype)
+
+        tb = timeit(bf16_path, x, wb)
+
+        def xla8(xx, ww, sn):
+            xq, sx = quant_x(xx)
+            acc = jax.lax.dot_general(
+                xq, ww, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return (acc.astype(jnp.float32) * sx * sn).astype(xx.dtype)
+
+        t8 = timeit(xla8, x, w8T, snj)
+
+        def xla8g(xx, ww, sg):
+            xq, sx = quant_x(xx)
+            x3 = xq.reshape(G, 1, 64)
+            w3 = ww.reshape(G, 64, N)
+            acc = jax.lax.dot_general(
+                x3, w3, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )  # [G, 1, N]
+            y = (acc.astype(jnp.float32) * sg).sum(0)
+            return (y * sx).astype(xx.dtype)
+
+        t8g = timeit(xla8g, x, w8T, sg)
+
+        def xla8bf(xx, ww, sn):
+            w = ww.astype(jnp.bfloat16) * sn.astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                xx, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(xx.dtype)
+
+        t8bf = timeit(xla8bf, x, w8T, snj)
+
+        ideal8 = (N * K) / 819e9
+        print(
+            f"{name:14s} N={N:6d} K={K:5d}  bf16 {tb*1e6:7.1f}  "
+            f"w8a8 {t8*1e6:7.1f}  w8a8-g {t8g*1e6:7.1f}  "
+            f"w8bf {t8bf*1e6:7.1f}  ideal-i8 {ideal8*1e6:6.1f} us"
+        )
+
+
+if __name__ == "__main__":
+    main()
