@@ -14,7 +14,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .quant import QuantizedTensor, quantized_matmul
+from .quant import (
+    ChannelQuantizedTensor,
+    QuantizedTensor,
+    channel_quantized_matmul,
+    quantized_matmul,
+)
 
 __all__ = [
     "linear",
@@ -29,6 +34,8 @@ __all__ = [
 
 def _matmul_wT(x: jax.Array, w) -> jax.Array:
     """x @ w.T for a dense or quantized weight in HF [out, in] layout."""
+    if isinstance(w, ChannelQuantizedTensor):
+        return channel_quantized_matmul(x, w)
     if isinstance(w, QuantizedTensor):
         return quantized_matmul(x, w, transpose=True)
     return jax.lax.dot_general(
@@ -58,6 +65,13 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
 def embedding(p: dict, ids: jax.Array) -> jax.Array:
     """p = {"weight": [vocab, dim]} -> [..., dim]."""
     w = p["weight"]
+    if isinstance(w, ChannelQuantizedTensor):
+        # channel layout is [dim, vocab]: gather lanes, dequant the slice
+        q = jnp.take(w.q8, ids, axis=1)  # [dim, ...ids]
+        s = jnp.take(w.scales, ids, axis=1)
+        b = jnp.take(w.biases, ids, axis=1)
+        out = q.astype(w.dtype) * s.astype(w.dtype) + b.astype(w.dtype)
+        return jnp.moveaxis(out, 0, -1)  # [...ids, dim]
     if isinstance(w, QuantizedTensor):
         from .quant import dequantize
 

@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from .layers import linear
-from .quant import QuantizedTensor, quantized_matmul
+from .quant import (
+    ChannelQuantizedTensor,
+    QuantizedTensor,
+    channel_quantized_matmul,
+    quantized_matmul,
+)
 
 
 def topk_router(
@@ -62,11 +67,7 @@ def switch_mlp(
         out = _expert_matmul(act(_expert_matmul(x, wu)), wd)
         return acc + w_tok[:, None].astype(dtype) * out, None
 
-    if isinstance(up_proj, QuantizedTensor):
-        E = up_proj.q.shape[0]
-        d_out = down_proj.q.shape[1]
-    else:
-        E, d_out = up_proj.shape[0], down_proj.shape[1]
+    E, d_out = up_proj.shape[0], down_proj.shape[1]
     e_ids = jnp.arange(E, dtype=indices.dtype)
     acc0 = jnp.zeros((N, d_out), dtype)
     acc, _ = jax.lax.scan(body, acc0, (e_ids, up_proj, down_proj))
@@ -106,6 +107,8 @@ def group_expert_select(
 
 
 def _expert_matmul(x, w):
+    if isinstance(w, ChannelQuantizedTensor):
+        return channel_quantized_matmul(x, w)
     if isinstance(w, QuantizedTensor):
         return quantized_matmul(x, w, transpose=True)
     return jax.lax.dot_general(
@@ -121,25 +124,81 @@ def switch_glu(
     down_proj,  # [E, D, I]
     indices: jax.Array,  # [N, k]
     weights: jax.Array,  # [N, k]
+    act2=None,  # optional (gate, up) -> hidden (default silu(g) * u)
 ) -> jax.Array:
-    """Top-k expert SwiGLU via masked scan over experts."""
+    """Top-k expert SwiGLU via masked scan over experts (or the dense
+    expert-axis einsum under expert parallelism)."""
+    if (
+        _EXPERT_PARALLEL[0]
+        and not isinstance(gate_proj, (QuantizedTensor, ChannelQuantizedTensor))
+    ):
+        return switch_glu_dense(
+            x, gate_proj, up_proj, down_proj, indices, weights, act2
+        )
     N, D = x.shape
     dtype = x.dtype
+    if act2 is None:
+        act2 = lambda g, u: jax.nn.silu(g) * u  # noqa: E731
 
     def body(acc, xs):
         e_idx, wg, wu, wd = xs
         # per-token routing weight for this expert (0 if not routed)
         sel = (indices == e_idx).astype(jnp.float32) * weights.astype(jnp.float32)
         w_tok = jnp.sum(sel, axis=-1)  # [N]
-        h = jax.nn.silu(_expert_matmul(x, wg)) * _expert_matmul(x, wu)
+        h = act2(_expert_matmul(x, wg), _expert_matmul(x, wu))
         out = _expert_matmul(h, wd)
         return acc + w_tok[:, None].astype(dtype) * out, None
 
-    if isinstance(gate_proj, QuantizedTensor):
-        E = gate_proj.q.shape[0]
-    else:
-        E = gate_proj.shape[0]
+    E = gate_proj.shape[0]
     e_ids = jnp.arange(E, dtype=indices.dtype)
     acc0 = jnp.zeros((N, D), dtype)
     acc, _ = jax.lax.scan(body, acc0, (e_ids, gate_proj, up_proj, down_proj))
     return acc
+
+
+# --------------------------------------------------------------- expert par.
+_EXPERT_PARALLEL = [False]
+
+
+def set_expert_parallel(enabled: bool):
+    """Trace-time switch to the dense (shardable) expert formulation.
+
+    The masked `lax.scan` over experts cannot shard its scanned axis (GSPMD
+    would all-gather the expert stack per step); the dense einsum keeps the
+    expert dimension as a real array axis so a P(..., "expert", ...) weight
+    sharding turns into per-device expert subsets + one all-reduce.  Set by
+    `parallel.shard.shard_model` when the mesh has expert_parallel > 1.
+    """
+    _EXPERT_PARALLEL[0] = bool(enabled)
+
+
+def expert_parallel_enabled() -> bool:
+    return _EXPERT_PARALLEL[0]
+
+
+def switch_glu_dense(
+    x: jax.Array,  # [N, D]
+    gate_proj: jax.Array,  # [E, I, D] (dense arrays only)
+    up_proj: jax.Array,
+    down_proj: jax.Array,  # [E, D, I]
+    indices: jax.Array,  # [N, k]
+    weights: jax.Array,  # [N, k]
+    act2=None,
+) -> jax.Array:
+    """Expert-axis-preserving SwiGLU: identical math (and FLOPs) to the
+    masked scan, but experts stay an array axis for EP sharding."""
+    if act2 is None:
+        act2 = lambda g, u: jax.nn.silu(g) * u  # noqa: E731
+    E = gate_proj.shape[0]
+    f32 = jnp.float32
+    sel = jax.nn.one_hot(indices, E, dtype=f32) * weights.astype(f32)[..., None]
+    w_tok = sel.sum(axis=1).T  # [E, N]
+    g = jnp.einsum("nd,eid->eni", x, gate_proj,
+                   preferred_element_type=f32).astype(x.dtype)
+    u = jnp.einsum("nd,eid->eni", x, up_proj,
+                   preferred_element_type=f32).astype(x.dtype)
+    h = act2(g, u)
+    y = jnp.einsum("eni,edi->end", h, down_proj,
+                   preferred_element_type=f32)
+    y = (y * w_tok[..., None]).sum(axis=0)
+    return y.astype(x.dtype)

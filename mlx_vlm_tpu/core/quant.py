@@ -21,9 +21,11 @@ import numpy as np
 
 __all__ = [
     "QuantizedTensor",
+    "ChannelQuantizedTensor",
     "quantize",
     "dequantize",
     "quantized_matmul",
+    "to_channel_quantized",
 ]
 
 
@@ -64,6 +66,118 @@ class QuantizedTensor:
     @property
     def ndim(self):
         return self.q.ndim
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q8", "scales", "biases"],
+    meta_fields=["src_bits", "out_dtype"],
+)
+@dataclasses.dataclass
+class ChannelQuantizedTensor:
+    """Per-output-channel affine int8 weight in transposed [.., K, N] layout.
+
+    The TPU decode hot path: XLA fuses `q8.astype(bf16) * s + b` straight
+    into its memory-bound matvec loop (measured at the int8 HBM roofline on
+    v5e — ~1.9x bf16), which group-wise scales cannot do (the [G, g, N]
+    reshape between the convert and the dot blocks the fusion and
+    materializes a bf16 copy of the weights).  Group-affine checkpoints
+    (mlx 4/8-bit) are requantized to this layout at load time; for 4-bit
+    sources the added per-channel-int8 error is ~10x smaller than the int4
+    group error already present in the checkpoint.
+
+    q8:     int8 [.., K, N] (codes shifted by -128)
+    scales: [.., 1, N] in out_dtype
+    biases: [.., 1, N] in out_dtype (already includes the +128*s shift)
+    """
+
+    q8: jax.Array
+    scales: jax.Array
+    biases: jax.Array
+    src_bits: int
+    out_dtype: str
+
+    @property
+    def shape(self):
+        *lead, k, n = self.q8.shape
+        return tuple(lead) + (n, k)  # logical HF [out, in] view
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.out_dtype)
+
+    @property
+    def ndim(self):
+        return self.q8.ndim
+
+
+def to_channel_quantized(t: QuantizedTensor) -> ChannelQuantizedTensor:
+    """Requantize a group-affine tensor to per-channel int8 [K, N] (host).
+
+    Exact dequant of the source followed by per-output-channel affine int8:
+    q8 = round((w - min_n) / s_n) - 128, s_n = (max_n - min_n) / 255.
+    """
+    q = np.asarray(t.q)
+    scales = np.asarray(t.scales, np.float64)
+    biases = np.asarray(t.biases, np.float64)
+    per_byte = 8 // t.bits
+    if per_byte > 1:
+        mask = (1 << t.bits) - 1
+        parts = [(q >> (t.bits * j)) & mask for j in range(per_byte)]
+        q = np.stack(parts, axis=-1).reshape(*q.shape[:-1], -1)
+    *lead, n_in = q.shape
+    g = t.group_size
+    w = q.reshape(*lead, n_in // g, g).astype(np.float64)
+    w = w * scales[..., None] + biases[..., None]
+    w = w.reshape(*lead, n_in)  # [.., N_out, K]
+    mn = w.min(axis=-1, keepdims=True)
+    mx = w.max(axis=-1, keepdims=True)
+    s = (mx - mn) / 255.0
+    s = np.where(s == 0.0, 1.0, s)
+    q8 = np.clip(np.round((w - mn) / s), 0, 255) - 128.0
+    b = mn + 128.0 * s
+    dt = np.dtype(t.out_dtype) if t.out_dtype != "bfloat16" else None
+    axes = list(range(w.ndim))
+    axes[-1], axes[-2] = axes[-2], axes[-1]
+
+    def cast(a):
+        a = np.transpose(a, axes)
+        if dt is not None:
+            return a.astype(dt)
+        import jax.numpy as _jnp  # bfloat16 via jnp dtype on numpy
+
+        return a.astype(_jnp.bfloat16.dtype)
+
+    return ChannelQuantizedTensor(
+        q8=q8.transpose(axes).astype(np.int8),
+        scales=cast(s),
+        biases=cast(b),
+        src_bits=t.bits,
+        out_dtype=t.out_dtype,
+    )
+
+
+def channel_dequantize(t: ChannelQuantizedTensor, dtype=None) -> jax.Array:
+    """Dense [.., N, K] weight from the channel layout."""
+    dtype = dtype or t.dtype
+    w = (
+        t.q8.astype(jnp.float32)
+        * t.scales.astype(jnp.float32)
+        + t.biases.astype(jnp.float32)
+    )
+    axes = list(range(w.ndim))
+    axes[-1], axes[-2] = axes[-2], axes[-1]
+    return jnp.transpose(w, axes).astype(dtype)
+
+
+def channel_quantized_matmul(x: jax.Array, t: ChannelQuantizedTensor) -> jax.Array:
+    """x [..., K] @ dequant(t).T -> [..., N] with dequant fused in-loop."""
+    w = t.q8.astype(x.dtype) * t.scales.astype(x.dtype) + t.biases.astype(x.dtype)
+    kdim = w.ndim - 2
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (kdim,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
 
 
 def _check_bits(bits: int):

@@ -26,7 +26,7 @@ from typing import Dict, List, Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.quant import QuantizedTensor
+from ..core.quant import ChannelQuantizedTensor, QuantizedTensor
 
 
 def _llama_like_rules(prefix: str = "language_model", pipe: Optional[str] = None):
@@ -93,6 +93,26 @@ def apply_shardings(params: dict, mesh: Mesh, rules) -> dict:
         spec = _spec_for(path, rules)
         spec = _prune_spec(spec, mesh, ndim) if spec is not None else P()
         sh = NamedSharding(mesh, spec)
+        if isinstance(leaf, ChannelQuantizedTensor):
+            # channel layout is transposed [.., in, out]: flip the last two
+            # spec entries the HF [out, in] rules assume
+            sp = list(spec)
+            if len(sp) >= 2:
+                sp[-1], sp[-2] = sp[-2], sp[-1]
+            tsp = P(*sp)
+            tsh = NamedSharding(mesh, tsp)
+            # scales/biases are [.., 1, out]: keep the out-axis sharding only
+            ssp = list(sp)
+            if len(ssp) >= 2:
+                ssp[-2] = None
+            ssh = NamedSharding(mesh, P(*ssp))
+            return ChannelQuantizedTensor(
+                q8=jax.device_put(leaf.q8, tsh),
+                scales=jax.device_put(leaf.scales, ssh),
+                biases=jax.device_put(leaf.biases, ssh),
+                src_bits=leaf.src_bits,
+                out_dtype=leaf.out_dtype,
+            )
         if isinstance(leaf, QuantizedTensor):
             return QuantizedTensor(
                 q=jax.device_put(leaf.q, NamedSharding(mesh, spec)),
@@ -121,6 +141,10 @@ def shard_model(model, mesh: Mesh, pipeline: Optional[bool] = None):
     materialize)."""
     if pipeline is None:
         pipeline = "pipe" in mesh.axis_names and mesh.shape.get("pipe", 1) > 1
+    if "expert" in mesh.axis_names and mesh.shape.get("expert", 1) > 1:
+        from ..core.moe import set_expert_parallel
+
+        set_expert_parallel(True)
     rules = partition_rules(model.config.model_type, pipeline)
     model.params = apply_shardings(model.params, mesh, rules)
     model.mesh = mesh

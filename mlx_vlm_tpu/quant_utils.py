@@ -12,7 +12,13 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .core.quant import QuantizedTensor, dequantize, quantize
+from .core.quant import (
+    ChannelQuantizedTensor,
+    QuantizedTensor,
+    channel_dequantize,
+    dequantize,
+    quantize,
+)
 
 
 def _walk_linears(tree: dict, prefix=""):
@@ -126,6 +132,9 @@ def dequantize_model(model) -> int:
                 out[k] = walk(v)
             elif isinstance(v, QuantizedTensor):
                 out[k] = dequantize(v)
+                n += 1
+            elif isinstance(v, ChannelQuantizedTensor):
+                out[k] = channel_dequantize(v)
                 n += 1
             else:
                 out[k] = v

@@ -26,7 +26,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.quant import QuantizedTensor, from_mlx_packed
+from ..core.quant import (
+    ChannelQuantizedTensor,
+    QuantizedTensor,
+    from_mlx_packed,
+    to_channel_quantized,
+)
 
 logger = logging.getLogger("mlx_vlm_tpu.loader")
 
@@ -158,11 +163,40 @@ def _stack_layers(flat: dict, patterns) -> dict:
                     group_size=vals[0].group_size,
                     out_dtype=vals[0].out_dtype,
                 )
+            elif isinstance(vals[0], ChannelQuantizedTensor):
+                stacked = ChannelQuantizedTensor(
+                    q8=np.moveaxis(np.stack([t.q8 for t in vals]), 0, dest),
+                    scales=np.moveaxis(
+                        np.stack([t.scales for t in vals]), 0, dest
+                    ),
+                    biases=np.moveaxis(
+                        np.stack([t.biases for t in vals]), 0, dest
+                    ),
+                    src_bits=vals[0].src_bits,
+                    out_dtype=vals[0].out_dtype,
+                )
             else:
                 stacked = np.moveaxis(np.stack(vals), 0, dest)
             out[f"{pref}.{rest}"] = stacked
         flat = out
     return flat
+
+
+def runtime_quant_mode() -> str:
+    """How quantized weights execute on device.
+
+    "w8chan" (default): requantize group-affine weights to per-channel int8
+    in transposed [K, N] layout at load — XLA fuses the dequant into its
+    memory-bound matvec (int8 HBM roofline, ~1.9x bf16 decode on v5e).
+    "exact": keep the checkpoint's group-affine codes bit-exact and
+    dequantize at matmul time (Pallas fused kernel / XLA dequant).
+    """
+    import os
+
+    mode = os.environ.get("MLX_VLM_TPU_RUNTIME_QUANT", "w8chan")
+    if mode not in ("w8chan", "exact"):
+        raise ValueError(f"MLX_VLM_TPU_RUNTIME_QUANT must be w8chan|exact, got {mode}")
+    return mode
 
 
 def _fold_quantized(flat: dict, qcfg: dict) -> dict:
@@ -171,6 +205,7 @@ def _fold_quantized(flat: dict, qcfg: dict) -> dict:
     quantized checkpoint loading."""
     bits = qcfg.get("bits", 4)
     group_size = qcfg.get("group_size", 64)
+    to_channel = runtime_quant_mode() == "w8chan"
     out = {}
     handled = set()
     for k in list(flat.keys()):
@@ -192,7 +227,10 @@ def _fold_quantized(flat: dict, qcfg: dict) -> dict:
         biases = flat.get(bk)
         if biases is None:
             biases = np.zeros_like(flat[k])
-        out[wk] = from_mlx_packed(w, flat[k], biases, b, g)
+        qt = from_mlx_packed(w, flat[k], biases, b, g)
+        if to_channel and qt.q.ndim == 2:
+            qt = to_channel_quantized(qt)
+        out[wk] = qt
         handled.update({wk, k, bk})
     for k, v in flat.items():
         if k not in handled:
@@ -202,12 +240,30 @@ def _fold_quantized(flat: dict, qcfg: dict) -> dict:
 
 def _to_device(flat: dict, dtype, zeros_on_device: bool = False) -> dict:
     def put(v):
-        if zeros_on_device and not isinstance(v, QuantizedTensor):
+        if zeros_on_device and not isinstance(
+            v, (QuantizedTensor, ChannelQuantizedTensor)
+        ):
             v = np.asarray(v)
             if np.issubdtype(v.dtype, np.floating):
                 # benchmark path: materialize on device, skip host transfer
                 return jnp.zeros(v.shape, dtype)
             return jnp.asarray(v)
+        if isinstance(v, ChannelQuantizedTensor):
+            if zeros_on_device:
+                return ChannelQuantizedTensor(
+                    q8=jnp.zeros(v.q8.shape, jnp.int8),
+                    scales=jnp.zeros(v.scales.shape, dtype),
+                    biases=jnp.zeros(v.biases.shape, dtype),
+                    src_bits=v.src_bits,
+                    out_dtype=jnp.dtype(dtype).name,
+                )
+            return ChannelQuantizedTensor(
+                q8=jnp.asarray(v.q8),
+                scales=jnp.asarray(v.scales, dtype=dtype),
+                biases=jnp.asarray(v.biases, dtype=dtype),
+                src_bits=v.src_bits,
+                out_dtype=jnp.dtype(dtype).name,
+            )
         if isinstance(v, QuantizedTensor):
             return QuantizedTensor(
                 q=jnp.asarray(v.q),

@@ -1,0 +1,177 @@
+"""Per-channel int8 runtime weight layout (ChannelQuantizedTensor)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mlx_vlm_tpu.core.quant import (
+    ChannelQuantizedTensor,
+    channel_dequantize,
+    channel_quantized_matmul,
+    dequantize,
+    quantize,
+    to_channel_quantized,
+)
+
+
+def _rand_qt(n=96, k=128, bits=4, seed=0):
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    return w, quantize(w, bits=bits, group_size=32)
+
+
+class TestConversion:
+    def test_roundtrip_error_much_smaller_than_source_quant(self):
+        w, t = _rand_qt()
+        ct = to_channel_quantized(t)
+        assert ct.q8.shape == (128, 96)
+        assert ct.scales.shape == (1, 96)
+        w_group = np.asarray(dequantize(t, jnp.float32))
+        w_chan = np.asarray(channel_dequantize(ct, jnp.float32))
+        # channel requant error is small relative to the int4 error itself
+        src_err = np.abs(w_group - np.asarray(w)).max()
+        requant_err = np.abs(w_chan - w_group).max()
+        assert requant_err < 0.15 * src_err
+
+    def test_constant_row(self):
+        w = jnp.ones((4, 64), jnp.float32) * 0.5
+        t = quantize(w, bits=4, group_size=32)
+        ct = to_channel_quantized(t)
+        np.testing.assert_allclose(
+            np.asarray(channel_dequantize(ct, jnp.float32)), 0.5, atol=1e-3
+        )
+
+    def test_8bit_source(self):
+        w, t = _rand_qt(bits=8)
+        ct = to_channel_quantized(t)
+        assert ct.src_bits == 8
+        w_group = np.asarray(dequantize(t, jnp.float32))
+        w_chan = np.asarray(channel_dequantize(ct, jnp.float32))
+        assert np.abs(w_chan - w_group).max() < 0.02
+
+
+class TestMatmul:
+    def test_matches_dequantized_matmul(self):
+        rng = np.random.default_rng(1)
+        w, t = _rand_qt()
+        ct = to_channel_quantized(t)
+        x = jnp.asarray(rng.standard_normal((3, 128)), jnp.float32)
+        got = channel_quantized_matmul(x, ct)
+        want = x @ channel_dequantize(ct, jnp.float32).T
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_linear_dispatch(self):
+        from mlx_vlm_tpu.core.layers import linear
+
+        rng = np.random.default_rng(2)
+        w, t = _rand_qt()
+        ct = to_channel_quantized(t)
+        x = jnp.asarray(rng.standard_normal((2, 128)), jnp.float32)
+        got = linear({"weight": ct}, x)
+        want = x @ channel_dequantize(ct, jnp.float32).T
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
+    def test_embedding_gather(self):
+        from mlx_vlm_tpu.core.layers import embedding
+
+        w, t = _rand_qt(n=50, k=64)  # vocab 50, dim 64
+        ct = to_channel_quantized(t)
+        ids = jnp.asarray([[0, 7, 49]])
+        got = embedding({"weight": ct}, ids)
+        want = jnp.take(channel_dequantize(ct, jnp.float32), ids, axis=0)
+        assert got.shape == (1, 3, 64)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_stacked_scan_slice(self):
+        """[L, K, N] stacks slice per layer inside lax.scan bodies."""
+        rng = np.random.default_rng(3)
+        tensors = [to_channel_quantized(_rand_qt(seed=s)[1]) for s in range(3)]
+        stacked = ChannelQuantizedTensor(
+            q8=jnp.stack([t.q8 for t in tensors]),
+            scales=jnp.stack([t.scales for t in tensors]),
+            biases=jnp.stack([t.biases for t in tensors]),
+            src_bits=4,
+            out_dtype="float32",
+        )
+        x = jnp.asarray(rng.standard_normal((1, 128)), jnp.float32)
+
+        def body(c, wt):
+            t = ChannelQuantizedTensor(
+                q8=wt[0], scales=wt[1], biases=wt[2],
+                src_bits=4, out_dtype="float32",
+            )
+            return c, channel_quantized_matmul(x, t)
+
+        _, ys = jax.lax.scan(
+            body, 0, (stacked.q8, stacked.scales, stacked.biases)
+        )
+        for i, t in enumerate(tensors):
+            want = channel_quantized_matmul(x, t)
+            np.testing.assert_allclose(
+                np.asarray(ys[i]), np.asarray(want), rtol=1e-4, atol=1e-4
+            )
+
+
+class TestEndToEnd:
+    def test_quantized_model_generates_close_logits(self):
+        """w8chan and exact modes agree to within quantization noise."""
+        import os
+
+        from mlx_vlm_tpu.utils.loader import load_model_from_weights
+        from mlx_vlm_tpu.utils.testing import (
+            qwen2_vl_hf_weights,
+            tiny_qwen2_vl_config,
+        )
+
+        cfg = tiny_qwen2_vl_config()
+        cfg["quantization"] = {"bits": 4, "group_size": 32}
+        weights = qwen2_vl_hf_weights(cfg, seed=11)
+        g = 32
+        for i in range(cfg["num_hidden_layers"]):
+            for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                key = f"model.layers.{i}.self_attn.{proj}.weight"
+                w = weights[key]
+                out_d, in_d = w.shape
+                wg = w.reshape(out_d, in_d // g, g)
+                mn, mxv = wg.min(-1), wg.max(-1)
+                scale = (mxv - mn) / 15.0
+                scale[scale == 0] = 1.0
+                q = np.clip(
+                    np.round((wg - mn[..., None]) / scale[..., None]), 0, 15
+                ).astype(np.uint32).reshape(out_d, in_d)
+                packed = np.zeros((out_d, in_d // 8), np.uint32)
+                for j in range(8):
+                    packed |= q[:, j::8] << (4 * j)
+                weights[key] = packed
+                weights[key[: -len(".weight")] + ".scales"] = scale.astype(
+                    np.float32
+                )
+                weights[key[: -len(".weight")] + ".biases"] = mn.astype(
+                    np.float32
+                )
+
+        def logits_for(mode):
+            os.environ["MLX_VLM_TPU_RUNTIME_QUANT"] = mode
+            try:
+                m = load_model_from_weights(cfg, weights, jnp.float32)
+            finally:
+                del os.environ["MLX_VLM_TPU_RUNTIME_QUANT"]
+            ids = jnp.asarray(np.arange(8, dtype=np.int32)[None] % 50)
+            emb = m.language_model.embed(m.params["language_model"], ids)
+            cache = m.language_model.init_cache(1, 16, jnp.float32)
+            pos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (3, 1, 8))
+            lg, _ = m(m.params, emb, cache, pos)
+            return np.asarray(lg)
+
+        l_chan = logits_for("w8chan")
+        l_exact = logits_for("exact")
+        # small deviation from requantization, far below logit scale
+        denom = np.abs(l_exact).max()
+        assert np.abs(l_chan - l_exact).max() / denom < 0.05

@@ -35,11 +35,14 @@ class TestConvert:
             assert out_cfg["quantization"] == {"bits": 4, "group_size": 32}
 
             model = load_model(dst, dtype=jnp.float32)
+            from mlx_vlm_tpu.core.quant import ChannelQuantizedTensor
+
             qt = model.params["language_model"]["model"]["layers"]["self_attn"]["q_proj"]["weight"]
-            assert isinstance(qt, QuantizedTensor)
+            # default runtime mode requantizes to the per-channel int8 layout
+            assert isinstance(qt, ChannelQuantizedTensor)
             # vision tower must NOT be quantized (skip_vision default)
             vt = model.params["vision_tower"]["blocks"]["attn"]["qkv"]["weight"]
-            assert not isinstance(vt, QuantizedTensor)
+            assert not isinstance(vt, (QuantizedTensor, ChannelQuantizedTensor))
 
             # quantized model generates
             import jax

@@ -296,7 +296,27 @@ class TestLoader:
             weights[key[: -len(".weight")] + ".biases"] = mn.astype(np.float32)
             originals[i] = w
 
+        # default runtime mode: per-channel int8 [K, N] layout
         model = load_model_from_weights(cfg, weights, jnp.float32)
+        qt = model.params["language_model"]["model"]["layers"]["self_attn"]["q_proj"]["weight"]
+        from mlx_vlm_tpu.core.quant import (
+            ChannelQuantizedTensor,
+            channel_dequantize,
+        )
+
+        assert isinstance(qt, ChannelQuantizedTensor)
+        wd = np.asarray(channel_dequantize(qt))
+        for i, w in originals.items():
+            assert np.abs(wd[i] - w).max() < 0.2
+
+        # exact mode keeps the group-affine codes bit-identical
+        import os
+
+        os.environ["MLX_VLM_TPU_RUNTIME_QUANT"] = "exact"
+        try:
+            model = load_model_from_weights(cfg, weights, jnp.float32)
+        finally:
+            del os.environ["MLX_VLM_TPU_RUNTIME_QUANT"]
         qt = model.params["language_model"]["model"]["layers"]["self_attn"]["q_proj"]["weight"]
         assert isinstance(qt, QuantizedTensor)
         wd = np.asarray(dequantize(qt))
