@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+import weakref
 from functools import partial
 from typing import Any, Callable, Generator, List, Optional, Tuple
 
@@ -48,7 +49,7 @@ class DecodeEngine:
     """Holds jitted prefill/decode programs for one model instance."""
 
     def __init__(self, model):
-        self.model = model
+        # NOTE: no strong ref to `model` — the engine registry is weak-keyed
         self.lm = model.language_model
 
         @partial(jax.jit, donate_argnums=(1,), static_argnums=())
@@ -158,13 +159,16 @@ class DecodeEngine:
         return block
 
 
-_ENGINES = {}
+_ENGINES = weakref.WeakKeyDictionary()
 
 
 def get_engine(model) -> DecodeEngine:
-    eng = _ENGINES.get(id(model))
+    """Engine per model instance; weak keys so dropping the model frees its
+    params and compiled programs (an id()-keyed dict pinned every model —
+    and its HBM weights — for the process lifetime)."""
+    eng = _ENGINES.get(model)
     if eng is None:
-        eng = _ENGINES[id(model)] = DecodeEngine(model)
+        eng = _ENGINES[model] = DecodeEngine(model)
     return eng
 
 
@@ -182,6 +186,14 @@ def make_cache(
     from ..core import cache as cache_lib
 
     lm = model.language_model
+    if getattr(lm, "owns_cache_factory", False):
+        # model-specific cache layouts (e.g. minimax side index-key buffer)
+        # construct their own quantized variants
+        return lm.init_cache(
+            batch_size, capacity, dtype,
+            kv_bits=int(kv_bits) if kv_bits else None,
+            kv_group_size=kv_group_size,
+        )
     if kv_bits and (
         float(kv_bits) != int(kv_bits)
         or os.environ.get("MLX_VLM_TPU_KV_SCHEME") == "turboquant"
