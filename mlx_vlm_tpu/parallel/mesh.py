@@ -21,20 +21,30 @@ def make_mesh(
     tensor_parallel: int = 1,
     data_parallel: Optional[int] = None,
     pipeline_parallel: int = 1,
+    expert_parallel: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a (data, pipe, model) mesh; model axis innermost so TP
-    collectives ride the fastest ICI links, pipeline stages next."""
+    """Build a (data, pipe, expert, model) mesh; model axis innermost so TP
+    collectives ride the fastest ICI links, expert all-to-alls next, then
+    pipeline stages.  Axes of size 1 are kept (named axes are free).
+
+    Expert parallelism is a capability the reference LACKS (its SwitchGLU
+    computes every expert locally, switch_layers.py:156): MoE expert stacks
+    shard their expert axis over "expert" (see parallel/shard.py rules) and
+    XLA inserts the dispatch/combine collectives.
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    denom = tensor_parallel * pipeline_parallel * expert_parallel
     if data_parallel is None:
-        data_parallel = n // (tensor_parallel * pipeline_parallel)
-    if data_parallel * tensor_parallel * pipeline_parallel != n:
+        data_parallel = n // denom
+    if data_parallel * denom != n:
         raise ValueError(
             f"{n} devices cannot form mesh "
-            f"{data_parallel}x{pipeline_parallel}x{tensor_parallel}"
+            f"{data_parallel}x{pipeline_parallel}x{expert_parallel}"
+            f"x{tensor_parallel}"
         )
     arr = np.asarray(devices).reshape(
-        data_parallel, pipeline_parallel, tensor_parallel
+        data_parallel, pipeline_parallel, expert_parallel, tensor_parallel
     )
-    return Mesh(arr, ("data", "pipe", "model"))
+    return Mesh(arr, ("data", "pipe", "expert", "model"))

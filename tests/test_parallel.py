@@ -54,3 +54,65 @@ class TestSharding:
 
         path = "language_model.model.layers.mlp.experts.gate_proj.weight"
         assert any(re.fullmatch(p, path) for p, _ in rules)
+
+
+class TestExpertParallel:
+    @needs_8
+    def test_ep_logits_match_replicated(self):
+        """Expert-sharded MoE forward == replicated forward (the reference
+        has NO expert parallelism — SwitchGLU is local, switch_layers.py:156)."""
+        from mlx_vlm_tpu.core.moe import set_expert_parallel
+        from mlx_vlm_tpu.utils.loader import load_model_from_weights
+        from mlx_vlm_tpu.utils.testing import (
+            qwen2_moe_hf_weights,
+            tiny_qwen2_moe_config,
+        )
+
+        cfg = tiny_qwen2_moe_config()
+        weights = qwen2_moe_hf_weights(cfg, seed=4)
+
+        def logits_of(model):
+            ids = (np.arange(6, dtype=np.int32) % 200)[None]
+            emb = model.language_model.embed(
+                model.params["language_model"], jnp.asarray(ids)
+            )
+            cache = model.language_model.init_cache(1, 8, jnp.float32)
+            pos = jnp.broadcast_to(jnp.arange(6, dtype=jnp.int32), (1, 6))
+            lg, _ = jax.jit(model.__call__)(model.params, emb, cache, pos)
+            return np.asarray(lg)
+
+        ref_model = load_model_from_weights(
+            cfg, qwen2_moe_hf_weights(cfg, seed=4), jnp.float32
+        )
+        ref = logits_of(ref_model)
+
+        model = load_model_from_weights(cfg, weights, jnp.float32)
+        mesh = make_mesh(tensor_parallel=2, expert_parallel=2, data_parallel=2)
+        try:
+            shard_model(model, mesh)
+            w = model.params["language_model"]["model"]["layers"]["mlp"][
+                "experts"
+            ]["gate_proj"]["weight"]
+            assert "expert" in jax.tree_util.tree_leaves(
+                [w.sharding.spec]
+            ) or w.sharding.spec[1] == "expert"
+            out = logits_of(model)
+        finally:
+            set_expert_parallel(False)
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+    def test_dense_formulation_matches_scan(self):
+        """switch_glu_dense == masked-scan switch_glu."""
+        from mlx_vlm_tpu.core.moe import switch_glu, switch_glu_dense, topk_router
+
+        rng = np.random.default_rng(0)
+        N, D, E, I, k = 5, 16, 4, 8, 2
+        x = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+        gate = jnp.asarray(rng.standard_normal((E, I, D)) * 0.1, jnp.float32)
+        up = jnp.asarray(rng.standard_normal((E, I, D)) * 0.1, jnp.float32)
+        down = jnp.asarray(rng.standard_normal((E, D, I)) * 0.1, jnp.float32)
+        gw = jnp.asarray(rng.standard_normal((E, D)) * 0.1, jnp.float32)
+        inds, wts = topk_router(x, gw, k)
+        a = switch_glu(x, gate, up, down, inds, wts)
+        b = switch_glu_dense(x, gate, up, down, inds, wts)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
