@@ -45,9 +45,16 @@ def _flash_tile(S: int) -> int:
 
 
 def _flash_eligible(q, k_buf) -> bool:
-    """Static routing decision: prefill-sized chunks, TPU backend, VMEM fit."""
-    # opt-in until validated on the target Mosaic version (axon v5e)
-    if os.environ.get("MLX_VLM_TPU_FLASH", "0") not in ("1", "true"):
+    """Static routing decision for the v2 (KV-tiled online-softmax) kernel.
+
+    Measured on v5e (tools/bench_fa, B=1 H=12 KVH=2 D=128): flash beats the
+    XLA score-materializing path ~2.2x once the HBM score tensor dominates
+    (C >= ~8k with prefill-sized S); below that XLA's fused softmax wins.
+    Default ON in its winning region; MLX_VLM_TPU_FLASH=0 disables, =1
+    forces (any eligible shape).
+    """
+    env = os.environ.get("MLX_VLM_TPU_FLASH", "auto")
+    if env in ("0", "false"):
         return False
     try:
         if jax.default_backend() != "tpu":
@@ -56,11 +63,11 @@ def _flash_eligible(q, k_buf) -> bool:
         return False
     B, H, S, D = q.shape
     C = k_buf.shape[2]
-    if S < 64 or _flash_tile(S) == 0:
+    if S < 64 or _flash_tile(S) == 0 or (C % 128 and C > 128):
         return False
-    # K+V (bf16) + score tile (f32) must fit comfortably in VMEM
-    vmem = 2 * C * D * 2 + _flash_tile(S) * C * 4 + 2 * _flash_tile(S) * D * 4
-    return vmem < 10 * 1024 * 1024
+    if env in ("1", "true"):
+        return True
+    return S >= 256 and C >= 8192
 
 
 @partial(
@@ -123,8 +130,7 @@ class KVCache:
             if off.ndim == 0:
                 off = jnp.broadcast_to(off[None], (B,))
             out = flash_attention(
-                q, k_buf, v_buf, off, self.left_pad, scale,
-                q_tile=_flash_tile(q.shape[2]), window=window,
+                q, k_buf, v_buf, off, self.left_pad, scale, window=window,
             )
         else:
             out = sdpa(q, k_buf, v_buf, scale, mask, logit_softcap=logit_softcap)
@@ -494,6 +500,87 @@ def init_rotating_cache(
     return RotatingKVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
+        offset=jnp.zeros((), jnp.int32),
+        left_pad=left_pad,
+        window=window,
+    )
+
+
+def ring_slot_mask(offset, left_pad, q_len: int, capacity: int, window: int):
+    """bool [B, 1, q_len, capacity] for a ring buffer written up to
+    offset+q_len-1: slot j holds the newest absolute position congruent to
+    j mod capacity (reference RotatingKVCache mask semantics cache.py:373)."""
+    C = capacity
+    j = jnp.arange(C, dtype=jnp.int32)[None, None, None, :]
+    i = jnp.arange(q_len, dtype=jnp.int32)[None, None, :, None]
+    last = offset + q_len - 1
+    pos_j = j + C * ((last - j) // C)
+    qpos = offset + i
+    keep = (pos_j <= qpos) & (pos_j > qpos - window)
+    keep &= pos_j >= left_pad[:, None, None, None]
+    return keep
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k_g", "v_g", "k_l", "v_l", "offset", "left_pad"],
+    meta_fields=["window"],
+)
+@dataclasses.dataclass
+class MixedWindowCache:
+    """Heterogeneous cache for interleaved global/sliding-window layers
+    (gemma3 pattern): global layers keep full [C] buffers, local layers an
+    O(window) ring — reference make_cache with RotatingKVCache for local
+    layers (cache.py:45 + :373).  Memory: Lg*C + Ll*(window+margin) instead
+    of L*C.
+
+    The owning language model drives it as a scan CARRY (the two buffer
+    stacks have different capacities, so they cannot be scan xs); per-layer
+    slices are read/written with dynamic_index ops at traced slot ids.
+    """
+
+    k_g: jax.Array  # [Lg, B, H, C, D]
+    v_g: jax.Array
+    k_l: jax.Array  # [Ll, B, H, window+margin, D]
+    v_l: jax.Array
+    offset: jax.Array
+    left_pad: jax.Array
+    window: int
+
+    @property
+    def capacity(self) -> int:
+        return self.k_g.shape[3]
+
+    @property
+    def ring_capacity(self) -> int:
+        return self.k_l.shape[3]
+
+    @property
+    def batch_size(self) -> int:
+        return self.k_g.shape[1]
+
+
+def init_mixed_window_cache(
+    is_global,  # sequence of per-layer bools
+    batch_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    capacity: int,
+    window: int,
+    dtype=jnp.bfloat16,
+    chunk_margin: int = 512,
+    left_pad: Optional[jax.Array] = None,
+) -> MixedWindowCache:
+    n_g = int(sum(bool(g) for g in is_global))
+    n_l = len(list(is_global)) - n_g
+    cw = window + chunk_margin
+    if left_pad is None:
+        left_pad = jnp.zeros((batch_size,), jnp.int32)
+    return MixedWindowCache(
+        k_g=jnp.zeros((n_g, batch_size, num_kv_heads, capacity, head_dim), dtype),
+        v_g=jnp.zeros((n_g, batch_size, num_kv_heads, capacity, head_dim), dtype),
+        k_l=jnp.zeros((n_l, batch_size, num_kv_heads, cw, head_dim), dtype),
+        v_l=jnp.zeros((n_l, batch_size, num_kv_heads, cw, head_dim), dtype),
         offset=jnp.zeros((), jnp.int32),
         left_pad=left_pad,
         window=window,

@@ -7,9 +7,11 @@ global):214-228, make_cache with RotatingKVCache for local layers:272.
 
 TPU design: one scan over stacked layers; the per-layer local/global choice
 is a scanned boolean selecting between two precomputed (cos,sin) pairs and
-two masks.  Local layers use the shared fixed-capacity cache with a
-window mask (ring-buffer local caches are a later memory optimization —
-attention work is already bounded by the window via masking).
+two masks.  For long contexts the cache is a MixedWindowCache: local
+layers get an O(window) ring buffer (reference RotatingKVCache parity,
+cache.py:373) carried through the scan and updated via lax.cond at traced
+slot ids; short contexts and kv-quant runs keep the full-capacity cache
+with window masks.
 """
 
 from __future__ import annotations
@@ -66,6 +68,8 @@ class LanguageModel:
         mp = params["model"]
         eps = args.rms_norm_eps
 
+        if isinstance(cache, cache_lib.MixedWindowCache):
+            return self._call_mixed(mp, h, cache, cos_l, sin_l, cos_g, sin_g)
         if cache is None:
             zero = jnp.zeros((), jnp.int32)
             lp0 = jnp.zeros((B,), jnp.int32)
@@ -127,6 +131,91 @@ class LanguageModel:
         h = rms_norm(mp["norm"], h, eps, offset=1.0)
         return h, cache.with_arrays(cys, S)
 
+    # ------------------------------------------------------- ring-cache path
+    def _call_mixed(self, mp, h, cache, cos_l, sin_l, cos_g, sin_g):
+        """Scan with the heterogeneous cache as carry: global layers write
+        full [C] buffers, local layers an O(window) ring."""
+        args = self.args
+        B, S, _ = h.shape
+        eps = args.rms_norm_eps
+        cw = cache.ring_capacity
+        if S > cw - args.sliding_window:
+            raise ValueError(
+                f"prefill chunk {S} exceeds the ring margin "
+                f"{cw - args.sliding_window}; lower prefill_step_size"
+            )
+        mask_g = causal_cache_mask(
+            cache.offset, cache.left_pad, S, cache.capacity
+        )
+        mask_l = cache_lib.ring_slot_mask(
+            cache.offset, cache.left_pad, S, cw, args.sliding_window
+        )
+        offset = cache.offset
+        ring_idx = (offset + jnp.arange(S, dtype=jnp.int32)) % cw
+        gidx = np.cumsum(self.is_global) - 1
+        lidx = np.cumsum(~self.is_global) - 1
+
+        def layer(carry, xs):
+            h, kg, vg, kl, vl = carry
+            lp, is_g, gi, li = xs
+            cos = jnp.where(is_g, cos_g, cos_l)
+            sin = jnp.where(is_g, sin_g, sin_l)
+            x = rms_norm(lp["input_layernorm"], h, eps, offset=1.0)
+            q, k, v = self._qkv(lp["self_attn"], x)
+            q = rms_norm(lp["self_attn"]["q_norm"], q, eps, offset=1.0)
+            k = rms_norm(lp["self_attn"]["k_norm"], k, eps, offset=1.0)
+            q, k = apply_rope(q, k, cos, sin)
+
+            def g_branch(kg, vg, kl, vl):
+                kb = jax.lax.dynamic_index_in_dim(kg, gi, 0, keepdims=False)
+                vb = jax.lax.dynamic_index_in_dim(vg, gi, 0, keepdims=False)
+                kb, vb = cache_lib.update_layer(kb, vb, k, v, offset)
+                attn = sdpa(q, kb, vb, self.scale, mask_g)
+                kg = jax.lax.dynamic_update_index_in_dim(kg, kb, gi, 0)
+                vg = jax.lax.dynamic_update_index_in_dim(vg, vb, gi, 0)
+                return attn, kg, vg, kl, vl
+
+            def l_branch(kg, vg, kl, vl):
+                kb = jax.lax.dynamic_index_in_dim(kl, li, 0, keepdims=False)
+                vb = jax.lax.dynamic_index_in_dim(vl, li, 0, keepdims=False)
+                kb = kb.at[:, :, ring_idx].set(k.astype(kb.dtype))
+                vb = vb.at[:, :, ring_idx].set(v.astype(vb.dtype))
+                attn = sdpa(q, kb, vb, self.scale, mask_l)
+                kl = jax.lax.dynamic_update_index_in_dim(kl, kb, li, 0)
+                vl = jax.lax.dynamic_update_index_in_dim(vl, vb, li, 0)
+                return attn, kg, vg, kl, vl
+
+            attn, kg, vg, kl, vl = jax.lax.cond(
+                is_g, g_branch, l_branch, kg, vg, kl, vl
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, S, -1)
+            attn = linear(lp["self_attn"]["o_proj"], attn)
+            h = h + rms_norm(lp["post_attention_layernorm"], attn, eps, offset=1.0)
+            x = rms_norm(lp["pre_feedforward_layernorm"], h, eps, offset=1.0)
+            g = linear(lp["mlp"]["gate_proj"], x)
+            u = linear(lp["mlp"]["up_proj"], x)
+            r = linear(lp["mlp"]["down_proj"], jax.nn.gelu(g, approximate=True) * u)
+            h = h + rms_norm(lp["post_feedforward_layernorm"], r, eps, offset=1.0)
+            return (h, kg, vg, kl, vl), None
+
+        (h, kg, vg, kl, vl), _ = jax.lax.scan(
+            layer,
+            (h, cache.k_g, cache.v_g, cache.k_l, cache.v_l),
+            (
+                mp["layers"],
+                jnp.asarray(self.is_global),
+                jnp.asarray(gidx, jnp.int32),
+                jnp.asarray(lidx, jnp.int32),
+            ),
+        )
+        h = rms_norm(mp["norm"], h, eps, offset=1.0)
+        import dataclasses as _dc
+
+        new_cache = _dc.replace(
+            cache, k_g=kg, v_g=vg, k_l=kl, v_l=vl, offset=cache.offset + S
+        )
+        return h, new_cache
+
     def _qkv(self, p, x):
         B, S, _ = x.shape
         q = linear(p["q_proj"], x).reshape(B, S, self.n_heads, self.head_dim)
@@ -146,9 +235,30 @@ class LanguageModel:
     def embed(self, params, input_ids):
         return embedding(params["model"]["embed_tokens"], input_ids)
 
-    def init_cache(self, batch_size, capacity, dtype=jnp.bfloat16, left_pad=None):
+    # the engine defers cache construction (O(window) ring for local layers
+    # at long context)
+    owns_cache_factory = True
+
+    def init_cache(self, batch_size, capacity, dtype=jnp.bfloat16,
+                   left_pad=None, kv_bits=None, kv_group_size=64,
+                   ring_margin=None):
+        args = self.args
+        if kv_bits:
+            # quantized KV keeps the full-capacity cache + window masks
+            return cache_lib.init_quantized_cache(
+                args.num_hidden_layers, batch_size, self.n_kv_heads,
+                self.head_dim, capacity, dtype, bits=kv_bits,
+                group_size=kv_group_size, left_pad=left_pad,
+            )
+        w = args.sliding_window
+        margin = ring_margin or min(2048, max(256, w))
+        if capacity > w + margin:
+            return cache_lib.init_mixed_window_cache(
+                self.is_global, batch_size, self.n_kv_heads, self.head_dim,
+                capacity, w, dtype, chunk_margin=margin, left_pad=left_pad,
+            )
         return cache_lib.init_cache(
-            self.args.num_hidden_layers,
+            args.num_hidden_layers,
             batch_size,
             self.n_kv_heads,
             self.head_dim,

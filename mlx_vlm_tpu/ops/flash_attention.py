@@ -1,15 +1,17 @@
-"""Pallas fused attention for chunked prefill.
+"""Pallas fused attention for chunked prefill (flash v2).
 
 Role parity: reference leans on `mx.fast.scaled_dot_product_attention`
 (models/base.py:292).  The XLA fallback (ops/attention.py) materializes the
-[B,H,S,C] score tensor in HBM; this kernel keeps each query tile's scores in
-VMEM — prefill attention becomes HBM-traffic ~ O(Q + KV) instead of
-O(S*C).
+[B,H,S,C] score tensor in HBM; this kernel keeps each query tile's running
+softmax state in VMEM — prefill attention becomes HBM-traffic ~ O(Q + KV)
+instead of O(S*C).
 
-v1 scope: whole K/V per (batch, kv-head) resident in VMEM (C*D*2*2B —
-fine to ~8k context at D=128); longer contexts get KV tiling + online
-softmax in a follow-up.  GQA is handled by the K/V BlockSpec index map
-(kv_head = head // group).
+v2: KV-tiled online softmax (no VMEM context cap).  Per (batch, head,
+q-tile) the kernel walks KV tiles on the innermost grid dimension carrying
+(m, l, acc) scratch; fully-masked KV tiles skip their compute (their DMA is
+pipelined and overlapped anyway).  GQA rides the K/V BlockSpec index map
+(kv_head = head // group).  Causality/left-padding/sliding-window are mask
+arithmetic from prefetched per-row offsets.
 """
 
 from __future__ import annotations
@@ -21,41 +23,68 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_Q_TILE = 128
+DEFAULT_Q_TILE = 256
+DEFAULT_KV_TILE = 512
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _fa_kernel(off_ref, lp_ref, q_ref, k_ref, v_ref, o_ref, *, scale, q_tile,
-               window):
+def _fa2_kernel(off_ref, lp_ref, q_ref, k_ref, v_ref, o_ref,
+                acc_ref, m_ref, l_ref, *, scale, q_tile, kv_tile, window):
     b = pl.program_id(0)
     ti = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32)  # [TS, D]
-    k = k_ref[0, 0].astype(jnp.float32)  # [C, D]
-    v = v_ref[0, 0].astype(jnp.float32)
-    C = k.shape[0]
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [TS, C]
-    qpos = off_ref[b] + ti * q_tile + jax.lax.broadcasted_iota(
-        jnp.int32, (q_tile, C), 0
-    )
-    col = jax.lax.broadcasted_iota(jnp.int32, (q_tile, C), 1)
-    keep = (col <= qpos) & (col >= lp_ref[b])
+    kj = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(kj == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_lo = off_ref[b] + ti * q_tile  # first query position in this tile
+    col_lo = kj * kv_tile
+    # tile-level skip: every column is beyond the last query's position, or
+    # before the window of the first query
+    q_hi = q_lo + q_tile - 1
+    live = col_lo <= q_hi
     if window is not None:
-        keep &= col > qpos - window
-    scores = jnp.where(keep, scores, _NEG)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) / l
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+        live &= (col_lo + kv_tile - 1) > (q_lo - window)
+    live &= (col_lo + kv_tile - 1) >= lp_ref[b]
+
+    @pl.when(live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)  # [TS, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [KC, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [TS, KC]
+        qpos = q_lo + jax.lax.broadcasted_iota(jnp.int32, (q_tile, kv_tile), 0)
+        col = col_lo + jax.lax.broadcasted_iota(jnp.int32, (q_tile, kv_tile), 1)
+        keep = (col <= qpos) & (col >= lp_ref[b])
+        if window is not None:
+            keep &= col > qpos - window
+        s = jnp.where(keep, s, _NEG)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[:, :1] = m_new
+
+    @pl.when(kj == nk - 1)
+    def _():
+        l = l_ref[:, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "q_tile", "window", "interpret"),
+    static_argnames=("scale", "q_tile", "kv_tile", "window", "interpret"),
 )
 def flash_attention(
     q: jax.Array,  # [B, H, S, D]
@@ -65,6 +94,7 @@ def flash_attention(
     left_pad: jax.Array,  # [B] int32
     scale: float,
     q_tile: int = DEFAULT_Q_TILE,
+    kv_tile: int = DEFAULT_KV_TILE,
     window=None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -72,19 +102,37 @@ def flash_attention(
     KVH, C = k.shape[1], k.shape[2]
     groups = H // KVH
     ts = min(q_tile, S)
-    if S % ts:
-        raise ValueError(f"S={S} must be a multiple of q_tile={ts}")
-    grid = (B, H, S // ts)
-    kernel = functools.partial(_fa_kernel, scale=scale, q_tile=ts, window=window)
+    while S % ts:
+        ts //= 2
+    if ts < 8:
+        raise ValueError(f"S={S} has no usable q_tile")
+    kc = min(kv_tile, C)
+    while C % kc:
+        kc //= 2
+    if kc < 128 and kc != C:
+        raise ValueError(f"C={C} has no usable kv_tile")
+    grid = (B, H, S // ts, C // kc)
+    kernel = functools.partial(
+        _fa2_kernel, scale=scale, q_tile=ts, kv_tile=kc, window=window
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, ts, D), lambda b, h, i, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, C, D), lambda b, h, i, *_: (b, h // groups, 0, 0)),
-            pl.BlockSpec((1, 1, C, D), lambda b, h, i, *_: (b, h // groups, 0, 0)),
+            pl.BlockSpec((1, 1, ts, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec(
+                (1, 1, kc, D), lambda b, h, i, j, *_: (b, h // groups, j, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, kc, D), lambda b, h, i, j, *_: (b, h // groups, j, 0)
+            ),
         ],
-        out_specs=pl.BlockSpec((1, 1, ts, D), lambda b, h, i, *_: (b, h, i, 0)),
+        out_specs=pl.BlockSpec((1, 1, ts, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((ts, D), jnp.float32),
+            pltpu.VMEM((ts, 128), jnp.float32),
+            pltpu.VMEM((ts, 128), jnp.float32),
+        ],
     )
     return pl.pallas_call(
         kernel,

@@ -57,3 +57,40 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
         )
+
+
+class TestFlashV2Tiling:
+    def test_multi_kv_tile_online_softmax(self):
+        """Accumulation across KV tiles (v2) matches single-pass XLA."""
+        rng = np.random.default_rng(7)
+        B, H, KVH, S, C, D = 2, 4, 2, 32, 512, 32
+        q = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((B, KVH, C, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((B, KVH, C, D)).astype(np.float32))
+        offset = jnp.asarray([300, 41], jnp.int32)
+        left_pad = jnp.asarray([0, 3], jnp.int32)
+        scale = D**-0.5
+        mask = causal_cache_mask(offset, left_pad, S, C)
+        ref = sdpa(q, k, v, scale, mask)
+        out = flash_attention(q, k, v, offset, left_pad, scale, q_tile=16,
+                              kv_tile=128, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+    def test_multi_kv_tile_window(self):
+        rng = np.random.default_rng(8)
+        B, H, KVH, S, C, D = 1, 2, 1, 16, 384, 32
+        q = jnp.asarray(rng.standard_normal((B, H, S, D)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((B, KVH, C, D)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((B, KVH, C, D)).astype(np.float32))
+        offset = jnp.asarray([200], jnp.int32)
+        left_pad = jnp.asarray([0], jnp.int32)
+        scale = D**-0.5
+        mask = causal_cache_mask(offset, left_pad, S, C, window=64)
+        ref = sdpa(q, k, v, scale, mask)
+        out = flash_attention(q, k, v, offset, left_pad, scale, q_tile=16,
+                              kv_tile=128, window=64, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )

@@ -92,3 +92,68 @@ class TestGemma3Vision:
         )
         toks = [int(t[0]) for t, _ in generate_step(embeds, model, max_tokens=4)]
         assert len(toks) == 4
+
+
+class TestRingCache:
+    def test_ring_matches_masked_full_cache_with_wrap(self, model):
+        """MixedWindowCache (O(window) local layers) reproduces the
+        full-capacity masked run, including after the ring wraps."""
+        import dataclasses
+
+        from mlx_vlm_tpu.core import cache as cache_lib
+
+        lm = model.language_model
+        lmp = model.params["language_model"]
+        args = lm.args
+        rng = np.random.default_rng(3)
+        S_total, step = 30, 5
+        ids = (rng.integers(0, 200, (1, S_total))).astype(np.int32)
+        emb_all = lm.embed(lmp, jnp.asarray(ids))
+
+        full = lm.init_cache(1, 64, jnp.float32, ring_margin=10**9)
+        assert isinstance(full, cache_lib.KVCache)
+        ring = cache_lib.init_mixed_window_cache(
+            lm.is_global, 1, lm.n_kv_heads, lm.head_dim, 64,
+            args.sliding_window, jnp.float32, chunk_margin=step + 3,
+        )
+        assert ring.ring_capacity < S_total  # the ring really wraps
+        for s0 in range(0, S_total, step):
+            chunk = emb_all[:, s0 : s0 + step]
+            pos = jnp.arange(s0, s0 + step, dtype=jnp.int32)[None]
+            h_full, full = lm(lmp, chunk, full, pos)
+            h_ring, ring = lm(lmp, chunk, ring, pos)
+            np.testing.assert_allclose(
+                np.asarray(h_full), np.asarray(h_ring), atol=2e-5,
+                err_msg=f"divergence at chunk {s0}",
+            )
+
+    def test_generate_uses_ring_for_long_context(self, model):
+        from mlx_vlm_tpu.core import cache as cache_lib
+        from mlx_vlm_tpu.generate.ar import make_cache
+
+        c = make_cache(model, 1, 2048, jnp.float32)
+        assert isinstance(c, cache_lib.MixedWindowCache)
+        w = model.language_model.args.sliding_window
+        assert c.ring_capacity <= w + 256
+        # and kv-quant falls back to the full quantized cache
+        cq = make_cache(model, 1, 2048, jnp.float32, kv_bits=8, kv_group_size=8)
+        assert isinstance(cq, cache_lib.QuantizedKVCache)
+
+    def test_generate_step_end_to_end_ring(self, model):
+        ids = (np.arange(12, dtype=np.int32) * 5 % 200)[None]
+        embeds = jax.jit(model.get_input_embeddings)(
+            model.params, jnp.asarray(ids)
+        )
+        ref = [
+            int(t[0])
+            for t, _ in generate_step(
+                embeds, model, max_tokens=6, kv_capacity=256
+            )
+        ]
+        out = [
+            int(t[0])
+            for t, _ in generate_step(
+                embeds, model, max_tokens=6, kv_capacity=2048
+            )
+        ]
+        assert out == ref
