@@ -693,3 +693,37 @@ def qwen2_vl_7b_config() -> dict:
             "temporal_patch_size": 2,
         },
     )
+
+
+def channel_quantize_lm_weights(weights: dict) -> dict:
+    """Swap 2-D language-model linear weights for zero-filled per-channel
+    int8 shells (ChannelQuantizedTensor) — the runtime layout 4-bit
+    checkpoints load into.  For throughput benches: identical HBM traffic
+    and compute to a real quantized load, no host quantization cost.
+
+    Vision-tower and embedding weights stay dense (matching the loader's
+    skip-multimodal predicate, reference utils.py:322).
+    """
+    from ..core.quant import ChannelQuantizedTensor
+
+    out = {}
+    for k, v in weights.items():
+        is_lm_linear = (
+            k.startswith(("model.layers.", "lm_head."))
+            and k.endswith(".weight")
+            and getattr(v, "ndim", 0) == 2
+            and "layernorm" not in k
+            and v.shape[1] >= 64
+        )
+        if not is_lm_linear:
+            out[k] = v
+            continue
+        n, kk = v.shape
+        out[k] = ChannelQuantizedTensor(
+            q8=np.zeros((kk, n), np.int8),
+            scales=np.zeros((1, n), np.float32),
+            biases=np.zeros((1, n), np.float32),
+            src_bits=4,
+            out_dtype="bfloat16",
+        )
+    return out
