@@ -270,10 +270,10 @@ def insert_row(
     for b_buf, r_buf in zip(batch.scan_arrays(), row.scan_arrays()):
         cp = min(r_buf.shape[3], b_buf.shape[3])
         src = r_buf[:, src_row : src_row + 1, :, :cp]
+        # rank-generic (Int8KVCache mixes rank-5 codes with rank-4 scales)
+        starts = (zero, slot) + (zero,) * (b_buf.ndim - 2)
         outs.append(
-            jax.lax.dynamic_update_slice(
-                b_buf, src.astype(b_buf.dtype), (zero, slot, zero, zero, zero)
-            )
+            jax.lax.dynamic_update_slice(b_buf, src.astype(b_buf.dtype), starts)
         )
     new = batch.with_arrays(tuple(outs), 0)
     return dataclasses.replace(
@@ -744,10 +744,14 @@ def init_int8_cache(
     head_dim: int,
     capacity: int,
     left_pad: Optional[jax.Array] = None,
+    per_row: bool = False,
 ) -> Int8KVCache:
     base = (num_layers, batch_size, num_kv_heads, capacity)
     if left_pad is None:
         left_pad = jnp.zeros((batch_size,), jnp.int32)
+    offset = (
+        jnp.zeros((batch_size,), jnp.int32) if per_row else jnp.zeros((), jnp.int32)
+    )
     return Int8KVCache(
         k8=jnp.zeros((*base, head_dim), jnp.int8),
         ks=jnp.zeros(base, jnp.float32),
@@ -755,6 +759,6 @@ def init_int8_cache(
         v8=jnp.zeros((*base, head_dim), jnp.int8),
         vs=jnp.zeros(base, jnp.float32),
         vb=jnp.zeros(base, jnp.float32),
-        offset=jnp.zeros((), jnp.int32),
+        offset=offset,
         left_pad=left_pad,
     )

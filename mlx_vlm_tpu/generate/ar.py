@@ -206,14 +206,14 @@ def make_cache(
             lm.args.num_hidden_layers, batch_size, lm.n_kv_heads, lm.head_dim,
             capacity, kv_bits=float(kv_bits),
         )
-    if kv_bits == 8 and not per_row and os.environ.get(
+    if kv_bits == 8 and os.environ.get(
         "MLX_VLM_TPU_KV_SCHEME", "int8"
     ) != "affine":
         # fused integer-domain attend at the int8 bandwidth roofline
         # (group-affine dequant can't fuse; see Int8KVCache docstring)
         return cache_lib.init_int8_cache(
             lm.args.num_hidden_layers, batch_size, lm.n_kv_heads, lm.head_dim,
-            capacity,
+            capacity, per_row=per_row,
         )
     if kv_bits:
         return cache_lib.init_quantized_cache(

@@ -213,10 +213,13 @@ def create_server(
     return httpd
 
 
-def serve(model_path: str, host="0.0.0.0", port=8080, **kwargs):
+def serve(model_path: str, host="0.0.0.0", port=8080,
+          draft_model_path: str | None = None, **kwargs):
     from ..utils.loader import load
 
     model, processor = load(model_path)
+    if draft_model_path:
+        kwargs["draft_model"], _ = load(draft_model_path)
     httpd = create_server(model, processor, model_name=model_path,
                           host=host, port=port, **kwargs)
     logger.info("serving %s on %s:%d", model_path, host, port)

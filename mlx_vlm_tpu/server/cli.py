@@ -15,6 +15,10 @@ def main(argv=None):
                    help="continuous-batching slots")
     p.add_argument("--max-context", type=int, default=4096)
     p.add_argument("--api-key", default=None)
+    p.add_argument("--draft-model", default=None,
+                   help="small same-tokenizer model for speculative decoding "
+                        "of greedy requests")
+    p.add_argument("--num-draft-tokens", type=int, default=4)
     p.add_argument("--log-level", default="INFO")
     args = p.parse_args(argv)
     logging.basicConfig(level=args.log_level)
@@ -25,6 +29,7 @@ def main(argv=None):
         args.model, host=args.host, port=args.port,
         num_slots=args.max_concurrency, capacity=args.max_context,
         api_key=args.api_key,
+        draft_model_path=args.draft_model, num_draft=args.num_draft_tokens,
     )
 
 

@@ -196,6 +196,24 @@ class SpeculativeEngine:
         self._draft_fn = draft
         return draft
 
+    def sync_fn(self):
+        """One drafter forward writing a single token's KV (used after a
+        full-accept round, where the draft scan stopped one token short)."""
+        if getattr(self, "_sync_fn", None) is not None:
+            return self._sync_fn
+        lm = self.drafter.language_model
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def sync(params, cache, tok):
+            B = tok.shape[0]
+            embeds = lm.embed(params["language_model"], tok[:, None])
+            pos = jnp.broadcast_to(cache.offset[None, None], (3, B, 1))
+            _, cache = lm(params["language_model"], embeds, cache, pos)
+            return cache
+
+        self._sync_fn = sync
+        return sync
+
     def verify_fn(self):
         if self._verify_fn is not None:
             return self._verify_fn
@@ -228,10 +246,9 @@ class SpeculativeEngine:
                 ).astype(jnp.int32),
                 axis=1,
             )  # first mismatch position == number accepted
-            # cap at k-1: on a full match the "bonus" is greedy[k-1] == d_k,
-            # keeping the drafter cache exactly one token behind the stream
-            # (its scan writes only its k input tokens' KV)
-            n_acc = jnp.minimum(n_acc, k - 1)
+            # full match (n_acc == k) commits k+1 tokens (d1..dk + bonus
+            # greedy[k], reference utils.py:268); the host loop then syncs
+            # the drafter cache over d_k before the next round
             # committed tokens: draft[:, :n_acc] then greedy[:, n_acc] (the
             # correction/bonus token)
             idx = jnp.arange(k + 1)[None, :]
@@ -339,6 +356,7 @@ def speculative_generate_step(
 
     draft = spec.draft_fn()
     verify = spec.verify_fn()
+    sync = spec.sync_fn()
     # `cur` = sequence position of the last emitted token (target cache's
     # write cursor; the last token's own KV is written by the next round)
     while n < max_tokens:
@@ -352,11 +370,21 @@ def speculative_generate_step(
         committed = out_h[0, : n_acc_h + 1]
         # drafter cursor: its scan wrote [tok, d1..d_{k-1}] starting at the
         # old cursor; rewind to old + (n_acc + 1) so it points at the bonus
-        # token's position (stale rows masked/overwritten)
-        d_cache = dataclasses.replace(
-            d_cache,
-            offset=jnp.asarray(S + n - 1 + n_acc_h + 1, jnp.int32),
-        )
+        # token's position (stale rows masked/overwritten).  On a full
+        # accept the scan stopped one token short (d_k's KV): write it with
+        # a one-token sync forward, then the cursor lands on the bonus.
+        if n_acc_h == k:
+            d_cache = dataclasses.replace(
+                d_cache, offset=jnp.asarray(S + n - 1 + k, jnp.int32)
+            )
+            d_cache = sync(
+                drafter.params, d_cache, jnp.asarray(out_h[:, k - 1])
+            )
+        else:
+            d_cache = dataclasses.replace(
+                d_cache,
+                offset=jnp.asarray(S + n - 1 + n_acc_h + 1, jnp.int32),
+            )
         for t in committed:
             if n >= max_tokens:
                 break

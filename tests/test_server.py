@@ -307,3 +307,58 @@ class TestMetrics:
         status, body = _get(server, "/metrics")
         assert body["requests_total"] >= 1
         assert body["total_generation_tokens"] >= 1
+
+
+class TestSpeculativeServing:
+    """--draft-model serving: greedy requests run draft/verify rounds
+    (reference server _run_speculative, generation.py:1902)."""
+
+    @pytest.fixture(scope="class")
+    def spec_servers(self, tmp_path_factory):
+        from mlx_vlm_tpu.server.app import create_server
+        from mlx_vlm_tpu.utils.loader import load
+        from mlx_vlm_tpu.utils.testing import build_tiny_checkpoint
+
+        d = tmp_path_factory.mktemp("spec_ckpt")
+        build_tiny_checkpoint(str(d))
+        model, processor = load(str(d), dtype=jnp.float32)
+        servers = []
+        for draft in (None, model):  # draft == target -> full acceptance
+            port = _free_port()
+            httpd = create_server(
+                model, processor, model_name="tiny-qwen2-vl",
+                host="127.0.0.1", port=port, num_slots=2, capacity=256,
+                block_size=2, token_queue_timeout=120.0,
+                draft_model=draft, num_draft=3,
+            )
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            servers.append((httpd, f"http://127.0.0.1:{port}"))
+        yield servers[0][1], servers[1][1]
+        for httpd, _ in servers:
+            httpd.shutdown()
+            httpd.state.generator.shutdown()
+
+    def test_greedy_output_identical_and_accepted(self, spec_servers):
+        plain_url, spec_url = spec_servers
+        body = {
+            "messages": [{"role": "user", "content": "speculate this"}],
+            "max_tokens": 8, "temperature": 0.0,
+        }
+        _, plain = _post(plain_url, "/v1/chat/completions", body)
+        _, spec = _post(spec_url, "/v1/chat/completions", body)
+        assert spec["choices"][0]["message"]["content"] == \
+            plain["choices"][0]["message"]["content"]
+        _, metrics = _get(spec_url, "/metrics")
+        entry = metrics["recent"][-1]
+        assert "speculative" in entry
+        # drafter == target: every drafted token is accepted
+        assert entry["speculative"]["accepted"] >= entry["speculative"]["rounds"]
+        assert entry["speculative"]["acceptance_rate"] == 1.0
+
+    def test_sampled_request_uses_batch_path(self, spec_servers):
+        _, spec_url = spec_servers
+        _, resp = _post(spec_url, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "sampled"}],
+            "max_tokens": 4, "temperature": 0.7,
+        })
+        assert resp["choices"][0]["finish_reason"] in ("stop", "length")
