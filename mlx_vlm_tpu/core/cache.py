@@ -112,7 +112,7 @@ class KVCache:
         )
 
     def attend(self, cxs, q, k, v, scale, mask, flash_ok: bool = True,
-               window=None, logit_softcap=None):
+               window=None, logit_softcap=None, sinks=None):
         """Write new k/v into this layer's buffers and attend.
 
         Prefill chunks (S large enough) route through the Pallas fused
@@ -122,7 +122,8 @@ class KVCache:
 
         k_buf, v_buf = cxs
         k_buf, v_buf = update_layer_auto(k_buf, v_buf, k, v, self.offset)
-        if flash_ok and logit_softcap is None and _flash_eligible(q, k_buf):
+        if flash_ok and logit_softcap is None and sinks is None \
+                and _flash_eligible(q, k_buf):
             from ..ops.flash_attention import flash_attention
 
             B = q.shape[0]
@@ -133,7 +134,8 @@ class KVCache:
                 q, k_buf, v_buf, off, self.left_pad, scale, window=window,
             )
         else:
-            out = sdpa(q, k_buf, v_buf, scale, mask, logit_softcap=logit_softcap)
+            out = sdpa(q, k_buf, v_buf, scale, mask,
+                       logit_softcap=logit_softcap, sinks=sinks)
         return out, (k_buf, v_buf)
 
 
@@ -353,12 +355,13 @@ class QuantizedKVCache:
         return dequantize(t, dtype)
 
     def attend(self, cxs, q, k, v, scale, mask, flash_ok: bool = False,
-               window=None, logit_softcap=None):
-        """Same kwargs as KVCache.attend so softcap/window families
-        (gemma3, glm4v, ...) can run with kv_bits set; logit_softcap is
-        threaded to sdpa (ignoring it would silently change logits).
-        `window` is already encoded in `mask` by the caller; `flash_ok`
-        has no fused quantized path yet and is accepted for parity."""
+               window=None, logit_softcap=None, sinks=None):
+        """Same kwargs as KVCache.attend so softcap/window/sink families
+        (gemma3, glm4v, gpt_oss, ...) can run with kv_bits set;
+        logit_softcap is threaded to sdpa (ignoring it would silently
+        change logits). `window` is already encoded in `mask` by the
+        caller; `flash_ok` has no fused quantized path yet and is accepted
+        for parity."""
         from ..ops.attention import sdpa
 
         kq, ks, kb, vq, vs, vb = cxs
@@ -371,7 +374,8 @@ class QuantizedKVCache:
         dtype = q.dtype
         k_full = self._dequantize(kq, ks, kb, dtype)
         v_full = self._dequantize(vq_, vs_, vb_, dtype)
-        out = sdpa(q, k_full, v_full, scale, mask, logit_softcap=logit_softcap)
+        out = sdpa(q, k_full, v_full, scale, mask,
+                   logit_softcap=logit_softcap, sinks=sinks)
         return out, (kq, ks, kb, vq_, vs_, vb_)
 
 
@@ -465,7 +469,7 @@ class RotatingKVCache:
         return keep
 
     def attend(self, cxs, q, k, v, scale, mask=None, flash_ok=False,
-               window=None, logit_softcap=None):
+               window=None, logit_softcap=None, sinks=None):
         """Ring-write new k/v and attend with the ring mask."""
         from ..ops.attention import sdpa
 
@@ -477,7 +481,8 @@ class RotatingKVCache:
         v_buf = v_buf.at[:, :, idx].set(v.astype(v_buf.dtype))
         if mask is None:
             mask = self.ring_mask(S)
-        out = sdpa(q, k_buf, v_buf, scale, mask, logit_softcap=logit_softcap)
+        out = sdpa(q, k_buf, v_buf, scale, mask,
+                   logit_softcap=logit_softcap, sinks=sinks)
         return out, (k_buf, v_buf)
 
 
@@ -661,7 +666,7 @@ class Int8KVCache:
         return (q - 128.0).astype(jnp.int8), s, mn + 128.0 * s
 
     def attend(self, cxs, q, k, v, scale, mask, flash_ok: bool = False,
-               window=None, logit_softcap=None):
+               window=None, logit_softcap=None, sinks=None):
         k8, ks, kb, v8, vs, vb = cxs
         kn8, kns, knb = self._quantize_tokens(k)
         vn8, vns, vnb = self._quantize_tokens(v)
@@ -704,7 +709,17 @@ class Int8KVCache:
                     else m[:, :, None, :, :]
                 )
             scores = jnp.where(m, scores, jnp.float32(jnp.finfo(jnp.float32).min))
-        p = jax.nn.softmax(scores, axis=-1)  # [B,nkv,g,S,C] f32
+        if sinks is not None:
+            # per-head sink logit in the denominator, mass dropped (gpt_oss)
+            col = jnp.broadcast_to(
+                sinks.astype(jnp.float32).reshape(1, nkv, g, 1, 1),
+                (B, nkv, g, S, 1),
+            )
+            p = jax.nn.softmax(
+                jnp.concatenate([scores, col], axis=-1), axis=-1
+            )[..., :-1]
+        else:
+            p = jax.nn.softmax(scores, axis=-1)  # [B,nkv,g,S,C] f32
         pv = p * vs[:, :, None, None, :]  # fold V scale into probabilities
         out = jnp.einsum(
             "bkgst,bktd->bkgsd", pv.astype(q.dtype), v8.astype(q.dtype),

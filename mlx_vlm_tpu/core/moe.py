@@ -125,6 +125,7 @@ def switch_glu(
     indices: jax.Array,  # [N, k]
     weights: jax.Array,  # [N, k]
     act2=None,  # optional (gate, up) -> hidden (default silu(g) * u)
+    biases=None,  # optional (bg [E,I], bu [E,I], bd [E,D]) expert biases
 ) -> jax.Array:
     """Top-k expert SwiGLU via masked scan over experts (or the dense
     expert-axis einsum under expert parallelism)."""
@@ -133,26 +134,34 @@ def switch_glu(
         and not isinstance(gate_proj, (QuantizedTensor, ChannelQuantizedTensor))
     ):
         return switch_glu_dense(
-            x, gate_proj, up_proj, down_proj, indices, weights, act2
+            x, gate_proj, up_proj, down_proj, indices, weights, act2, biases
         )
     N, D = x.shape
     dtype = x.dtype
     if act2 is None:
         act2 = lambda g, u: jax.nn.silu(g) * u  # noqa: E731
 
+    if biases is None:
+        zero = jnp.zeros((gate_proj.shape[0], 1), dtype)
+        bg = bu = bd = zero
+    else:
+        bg, bu, bd = (b.astype(dtype) for b in biases)
+
     def body(acc, xs):
-        e_idx, wg, wu, wd = xs
+        e_idx, wg, wu, wd, ebg, ebu, ebd = xs
         # per-token routing weight for this expert (0 if not routed)
         sel = (indices == e_idx).astype(jnp.float32) * weights.astype(jnp.float32)
         w_tok = jnp.sum(sel, axis=-1)  # [N]
-        h = act2(_expert_matmul(x, wg), _expert_matmul(x, wu))
-        out = _expert_matmul(h, wd)
+        h = act2(_expert_matmul(x, wg) + ebg, _expert_matmul(x, wu) + ebu)
+        out = _expert_matmul(h, wd) + ebd
         return acc + w_tok[:, None].astype(dtype) * out, None
 
     E = gate_proj.shape[0]
     e_ids = jnp.arange(E, dtype=indices.dtype)
     acc0 = jnp.zeros((N, D), dtype)
-    acc, _ = jax.lax.scan(body, acc0, (e_ids, gate_proj, up_proj, down_proj))
+    acc, _ = jax.lax.scan(
+        body, acc0, (e_ids, gate_proj, up_proj, down_proj, bg, bu, bd)
+    )
     return acc
 
 
@@ -184,6 +193,7 @@ def switch_glu_dense(
     indices: jax.Array,  # [N, k]
     weights: jax.Array,  # [N, k]
     act2=None,
+    biases=None,  # optional (bg [E,I], bu [E,I], bd [E,D]) expert biases
 ) -> jax.Array:
     """Expert-axis-preserving SwiGLU: identical math (and FLOPs) to the
     masked scan, but experts stay an array axis for EP sharding."""
@@ -197,8 +207,14 @@ def switch_glu_dense(
                    preferred_element_type=f32).astype(x.dtype)
     u = jnp.einsum("nd,eid->eni", x, up_proj,
                    preferred_element_type=f32).astype(x.dtype)
+    if biases is not None:
+        bg, bu, _ = biases
+        g = g + bg.astype(g.dtype)[:, None, :]
+        u = u + bu.astype(u.dtype)[:, None, :]
     h = act2(g, u)
     y = jnp.einsum("eni,edi->end", h, down_proj,
                    preferred_element_type=f32)
+    if biases is not None:
+        y = y + biases[2].astype(y.dtype)[:, None, :]
     y = (y * w_tok[..., None]).sum(axis=0)
     return y.astype(x.dtype)

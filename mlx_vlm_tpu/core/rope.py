@@ -216,15 +216,21 @@ class Rope:
             elif typ == "linear":
                 inv = inv / scaling.get("factor", 1.0)
             elif typ in ("longrope", "su"):
-                # phi3-style per-dim factors + mscale (reference su_rope)
+                # phi3-style per-dim factors + mscale (reference
+                # SuScaledRoPE, rope_utils.py:15 — long_factor always
+                # applies; explicit long_mscale wins over the derived one)
                 lf = np.asarray(scaling.get("long_factor", 1.0), np.float64)
                 inv = inv / lf
                 orig = scaling.get("original_max_position_embeddings", 4096)
-                s = max_position_embeddings / orig
-                if s > 1.0:
-                    self.attention_scaling = float(
-                        np.sqrt(1.0 + np.log(s) / np.log(orig))
-                    )
+                mscale = scaling.get("long_mscale")
+                if mscale:
+                    self.attention_scaling = float(mscale)
+                else:
+                    s = max_position_embeddings / orig
+                    if s > 1.0:
+                        self.attention_scaling = float(
+                            np.sqrt(1.0 + np.log(s) / np.log(orig))
+                        )
             elif typ in ("mrope", "default"):
                 if "mrope_section" in scaling:
                     self.mrope_sections = tuple(scaling["mrope_section"])

@@ -166,7 +166,7 @@ class TurboQuantKVCache:
         )
 
     def attend(self, cxs, q, k, v, scale, mask, flash_ok=True, window=None,
-               logit_softcap=None):
+               logit_softcap=None, sinks=None):
         from ..ops.attention import sdpa
 
         kq, ksc, vq, vsc = cxs
@@ -195,7 +195,8 @@ class TurboQuantKVCache:
                                    self.head_dim, q.dtype)
         v_full = tq_decode_headdim(vq, vsc, self.v_bits, signs,
                                    self.head_dim, q.dtype)
-        out = sdpa(q, k_full, v_full, scale, mask, logit_softcap=logit_softcap)
+        out = sdpa(q, k_full, v_full, scale, mask,
+                   logit_softcap=logit_softcap, sinks=sinks)
         return out, (kq, ksc, vq, vsc)
 
 

@@ -30,6 +30,8 @@ class LanguageModel:
         # residual-branch multiplier (1.0 for llama; minicpm scales by
         # scale_depth / sqrt(num_layers))
         self.residual_scale = 1.0
+        # block-norm hook: phimoe-style LayerNorm decoders override
+        self._norm = rms_norm
         self.rope = make_rope(
             self.head_dim,
             args.rope_theta,
@@ -52,28 +54,28 @@ class LanguageModel:
                 mask = jnp.ones((B, 1, S, S), bool)
 
             def layer_nc(h, lp):
-                x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
+                x = self._norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
                 h = h + self.residual_scale * self._attention_nc(lp["self_attn"], x, cos, sin, mask)
-                x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
+                x = self._norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
                 h = h + self.residual_scale * self._mlp(lp["mlp"], x)
                 return h, None
 
             h, _ = jax.lax.scan(layer_nc, h, mp["layers"])
-            return rms_norm(mp["norm"], h, self.args.rms_norm_eps), None
+            return self._norm(mp["norm"], h, self.args.rms_norm_eps), None
 
         mask = causal_cache_mask(cache.offset, cache.left_pad, S, cache.capacity)
 
         def layer(h, xs):
             lp, cxs = xs
-            x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
+            x = self._norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
             attn, cxs = self._attention(lp["self_attn"], x, cos, sin, mask, cache, cxs)
             h = h + self.residual_scale * attn
-            x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
+            x = self._norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
             h = h + self.residual_scale * self._mlp(lp["mlp"], x)
             return h, cxs
 
         h, cys = jax.lax.scan(layer, h, (mp["layers"], cache.scan_arrays()))
-        h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
+        h = self._norm(mp["norm"], h, self.args.rms_norm_eps)
         return h, cache.with_arrays(cys, S)
 
     def forward_captured(self, params, inputs_embeds, cache, position_ids):
@@ -88,17 +90,17 @@ class LanguageModel:
 
         def layer(h, xs):
             lp, cxs = xs
-            x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
+            x = self._norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
             attn, cxs = self._attention(lp["self_attn"], x, cos, sin, mask, cache, cxs)
             h = h + self.residual_scale * attn
-            x = rms_norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
+            x = self._norm(lp["post_attention_layernorm"], h, self.args.rms_norm_eps)
             h = h + self.residual_scale * self._mlp(lp["mlp"], x)
             return h, (cxs, h)
 
         h, (cys, hiddens) = jax.lax.scan(
             layer, h, (mp["layers"], cache.scan_arrays())
         )
-        h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
+        h = self._norm(mp["norm"], h, self.args.rms_norm_eps)
         return h, cache.with_arrays(cys, S), hiddens
 
     def _mlp(self, p, x):

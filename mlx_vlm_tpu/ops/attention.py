@@ -27,8 +27,13 @@ def sdpa(
     scale: float,
     mask: Optional[jax.Array] = None,  # bool, broadcastable to [B, n_heads, S, C]
     logit_softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,  # [n_heads] learned sink logits
 ) -> jax.Array:
-    """Masked SDPA with GQA-aware grouping and fp32 softmax accumulation."""
+    """Masked SDPA with GQA-aware grouping and fp32 softmax accumulation.
+
+    `sinks` adds one per-head virtual logit to the softmax denominator and
+    drops its probability mass (gpt_oss attention sinks — reference
+    base.py sdpa `sinks=` / gpt_oss/language.py:101)."""
     B, nh, S, D = q.shape
     nkv = k.shape[1]
     groups = nh // nkv
@@ -58,7 +63,16 @@ def sdpa(
                     B, nkv, groups, S, -1
                 )
             scores = scores + add
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        col = jnp.broadcast_to(
+            sinks.astype(jnp.float32).reshape(1, nkv, groups, 1, 1),
+            (B, nkv, groups, S, 1),
+        )
+        probs = jax.nn.softmax(
+            jnp.concatenate([scores, col], axis=-1), axis=-1
+        )[..., :-1]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         "bkgst,bktd->bkgsd", probs.astype(dtype), v, preferred_element_type=jnp.float32
     )
