@@ -24,10 +24,21 @@ logger = logging.getLogger("mlx_vlm_tpu.server")
 
 class ServerState:
     def __init__(self, model_name: str, generator: ResponseGenerator,
-                 api_key: Optional[str] = None):
+                 api_key: Optional[str] = None, registry=None):
         self.model_name = model_name
         self.generator = generator
         self.api_key = api_key or os.environ.get("MLX_VLM_SERVER_API_KEY")
+        self.registry = registry
+
+    def resolve(self, model: Optional[str]) -> tuple:
+        """(generator, model_name) for a request's `model` field — the
+        default generator unless the hot-swap registry knows the name
+        (reference runtime.py get_cached_model)."""
+        if self.registry is not None and model and model != self.model_name:
+            entry = self.registry.get(model)
+            if entry is not None:
+                return entry.generator, model
+        return self.generator, self.model_name
 
 
 def make_handler(state: ServerState):
@@ -111,13 +122,17 @@ def make_handler(state: ServerState):
             elif self.path == "/metrics":
                 self.send_json(state.generator.metrics.snapshot())
             elif self.path in ("/v1/models", "/models"):
+                names = [state.model_name]
+                if state.registry is not None:
+                    names += [n for n in state.registry.names()
+                              if n != state.model_name]
                 self.send_json({
                     "object": "list",
                     "data": [{
-                        "id": state.model_name,
+                        "id": n,
                         "object": "model",
                         "owned_by": "mlx_vlm_tpu",
-                    }],
+                    } for n in names],
                 })
             elif self.path == "/v1/cache/stats":
                 apc = getattr(state.generator, "apc", None)
@@ -134,6 +149,27 @@ def make_handler(state: ServerState):
                 self.send_json({"error": {"message": "not found"}}, 404)
 
         def do_POST(self):  # noqa: N802
+            if self.path in ("/v1/audio/transcriptions", "/audio/transcriptions",
+                             "/v1/audio/translations", "/audio/translations"):
+                from . import audio as audio_routes
+
+                try:
+                    length = int(self.headers.get("Content-Length") or 0)
+                    raw = self.rfile.read(length)
+                    gen, _ = state.resolve(None)
+                    audio_routes.transcription_endpoint(
+                        self, raw, self.headers.get("Content-Type", ""),
+                        gen, translate="translations" in self.path,
+                    )
+                except BrokenPipeError:
+                    pass
+                except Exception as e:  # noqa: BLE001
+                    logger.exception("audio request failed")
+                    try:
+                        self.send_json({"error": {"message": str(e)}}, 400)
+                    except Exception:  # noqa: BLE001
+                        pass
+                return
             try:
                 body = self._body()
             except Exception as e:  # noqa: BLE001
@@ -145,24 +181,25 @@ def make_handler(state: ServerState):
                 if self.path == "/v1/responses":
                     from . import responses as responses_routes
 
-                    responses_routes.create_response(
-                        self, body, state.generator, state.model_name
-                    )
+                    gen, name = state.resolve(body.get("model"))
+                    responses_routes.create_response(self, body, gen, name)
                 elif self.path == "/v1/chat/completions":
-                    openai_routes.chat_completion(
-                        self, body, state.generator, state.model_name
-                    )
+                    gen, name = state.resolve(body.get("model"))
+                    openai_routes.chat_completion(self, body, gen, name)
                 elif self.path == "/v1/messages":
                     if not self._auth_ok():
                         self.send_json({"error": {"message": "unauthorized"}}, 401)
                         return
-                    anthropic_routes.messages_endpoint(
-                        self, body, state.generator, state.model_name
-                    )
+                    gen, name = state.resolve(body.get("model"))
+                    anthropic_routes.messages_endpoint(self, body, gen, name)
                 elif self.path == "/v1/messages/count_tokens":
-                    anthropic_routes.count_tokens(
-                        self, body, state.generator, state.model_name
-                    )
+                    gen, name = state.resolve(body.get("model"))
+                    anthropic_routes.count_tokens(self, body, gen, name)
+                elif self.path in ("/v1/audio/speech", "/audio/speech"):
+                    from . import audio as audio_routes
+
+                    gen, _ = state.resolve(body.get("model"))
+                    audio_routes.speech_endpoint(self, body, gen)
                 elif self.path == "/v1/cache/reset":
                     apc = getattr(state.generator, "apc", None)
                     if apc:
@@ -194,6 +231,8 @@ def create_server(
     host: str = "0.0.0.0", port: int = 8080,
     num_slots: int = 8, capacity: int = 4096,
     api_key: Optional[str] = None,
+    extra_models: Optional[dict] = None,  # name -> checkpoint path
+    max_models: int = 2,
     **engine_kwargs,
 ) -> ThreadingHTTPServer:
     if "apc" not in engine_kwargs:
@@ -207,7 +246,16 @@ def create_server(
     generator = ResponseGenerator(
         model, processor, num_slots=num_slots, capacity=capacity, **engine_kwargs
     )
-    state = ServerState(model_name, generator, api_key)
+    registry = None
+    if extra_models:
+        from .registry import ModelRegistry
+
+        registry = ModelRegistry(
+            max_models=max_models, num_slots=num_slots, capacity=capacity
+        )
+        for name, path in extra_models.items():
+            registry.register(name, path=path)
+    state = ServerState(model_name, generator, api_key, registry=registry)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.state = state
     return httpd
@@ -227,3 +275,5 @@ def serve(model_path: str, host="0.0.0.0", port=8080,
         httpd.serve_forever()
     finally:
         httpd.state.generator.shutdown()
+        if httpd.state.registry is not None:
+            httpd.state.registry.shutdown()

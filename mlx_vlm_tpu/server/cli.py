@@ -19,9 +19,22 @@ def main(argv=None):
                    help="small same-tokenizer model for speculative decoding "
                         "of greedy requests")
     p.add_argument("--num-draft-tokens", type=int, default=4)
+    p.add_argument("--extra-model", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="additional model for the hot-swap registry "
+                        "(repeatable); requests select it via 'model'")
+    p.add_argument("--max-models", type=int, default=2,
+                   help="max concurrently-loaded registry models")
     p.add_argument("--log-level", default="INFO")
     args = p.parse_args(argv)
     logging.basicConfig(level=args.log_level)
+
+    extra = {}
+    for spec in args.extra_model:
+        name, _, path = spec.partition("=")
+        if not path:
+            p.error(f"--extra-model expects NAME=PATH, got {spec!r}")
+        extra[name] = path
 
     from .app import serve
 
@@ -30,6 +43,7 @@ def main(argv=None):
         num_slots=args.max_concurrency, capacity=args.max_context,
         api_key=args.api_key,
         draft_model_path=args.draft_model, num_draft=args.num_draft_tokens,
+        extra_models=extra or None, max_models=args.max_models,
     )
 
 

@@ -34,6 +34,7 @@ class GenerationArguments:
 
     prompt: str = ""
     images: List[Any] = dataclasses.field(default_factory=list)
+    audios: List[Any] = dataclasses.field(default_factory=list)
     max_tokens: int = 512
     temperature: float = 0.0
     top_p: float = 0.0
@@ -184,7 +185,8 @@ class ResponseGenerator:
         from ..utils.processing import prepare_inputs
 
         inputs = prepare_inputs(
-            self.processor, args.prompt, images=args.images or None
+            self.processor, args.prompt, images=args.images or None,
+            audios=args.audios or None,
         )
         ids = np.asarray(inputs["input_ids"])
         if ids.shape[1] + args.max_tokens > self.max_context:
@@ -194,6 +196,22 @@ class ResponseGenerator:
                     f"{self.max_context}"
                 )
             args.max_tokens = self.max_context - ids.shape[1]
+        # audio features -> model aux plan (qwen omni thinker path)
+        audio_kw = {}
+        feats_in = inputs.get("input_features")
+        if feats_in is not None and hasattr(self.model, "audio_aux_inputs"):
+            fmask = inputs.get("feature_attention_mask")
+            fa = np.asarray(feats_in)
+            lens = (
+                [int(m.sum()) for m in np.asarray(fmask)]
+                if fmask is not None
+                else [fa.shape[-1]] * (fa.shape[0] if fa.ndim == 3 else 1)
+            )
+            audio_kw = {
+                k: jnp.asarray(v)
+                for k, v in self.model.audio_aux_inputs(fa, lens).items()
+            }
+
         pixel_values = inputs.get("pixel_values")
         grid = inputs.get("image_grid_thw")
         if pixel_values is not None:
@@ -210,16 +228,17 @@ class ResponseGenerator:
                     self.vision_cache.put(ckey, feats)
             if feats is not None:
                 embeds = jax.jit(self.model.get_input_embeddings)(
-                    self.model.params, jnp.asarray(ids), image_features=feats
+                    self.model.params, jnp.asarray(ids), image_features=feats,
+                    **audio_kw,
                 )
             else:
                 embeds = jax.jit(self.model.get_input_embeddings)(
                     self.model.params, jnp.asarray(ids), jnp.asarray(pixel_values),
-                    **aux_dev,
+                    **aux_dev, **audio_kw,
                 )
         else:
             embeds = jax.jit(self.model.get_input_embeddings)(
-                self.model.params, jnp.asarray(ids)
+                self.model.params, jnp.asarray(ids), **audio_kw
             )
         pos, deltas = self.model.prepare_position_ids(
             ids, grid if pixel_values is not None else None
