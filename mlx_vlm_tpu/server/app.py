@@ -24,11 +24,13 @@ logger = logging.getLogger("mlx_vlm_tpu.server")
 
 class ServerState:
     def __init__(self, model_name: str, generator: ResponseGenerator,
-                 api_key: Optional[str] = None, registry=None):
+                 api_key: Optional[str] = None, registry=None,
+                 image_service=None):
         self.model_name = model_name
         self.generator = generator
         self.api_key = api_key or os.environ.get("MLX_VLM_SERVER_API_KEY")
         self.registry = registry
+        self.image_service = image_service
 
     def resolve(self, model: Optional[str]) -> tuple:
         """(generator, model_name) for a request's `model` field — the
@@ -200,6 +202,22 @@ def make_handler(state: ServerState):
 
                     gen, _ = state.resolve(body.get("model"))
                     audio_routes.speech_endpoint(self, body, gen)
+                elif self.path in ("/v1/images/generations",
+                                   "/images/generations",
+                                   "/v1/images/edits", "/images/edits"):
+                    from . import images as image_routes
+
+                    if state.image_service is None:
+                        self.send_json({"error": {"message":
+                                        "no image model loaded "
+                                        "(start with --image-model)"}}, 400)
+                        return
+                    if self.path.endswith("edits"):
+                        image_routes.edits_endpoint(
+                            self, body, state.image_service)
+                    else:
+                        image_routes.generations_endpoint(
+                            self, body, state.image_service)
                 elif self.path == "/v1/cache/reset":
                     apc = getattr(state.generator, "apc", None)
                     if apc:
@@ -233,6 +251,7 @@ def create_server(
     api_key: Optional[str] = None,
     extra_models: Optional[dict] = None,  # name -> checkpoint path
     max_models: int = 2,
+    image_service=None,  # server.images.ImageService (or None)
     **engine_kwargs,
 ) -> ThreadingHTTPServer:
     if "apc" not in engine_kwargs:
@@ -255,19 +274,25 @@ def create_server(
         )
         for name, path in extra_models.items():
             registry.register(name, path=path)
-    state = ServerState(model_name, generator, api_key, registry=registry)
+    state = ServerState(model_name, generator, api_key, registry=registry,
+                        image_service=image_service)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.state = state
     return httpd
 
 
 def serve(model_path: str, host="0.0.0.0", port=8080,
-          draft_model_path: str | None = None, **kwargs):
+          draft_model_path: str | None = None,
+          image_model_path: str | None = None, **kwargs):
     from ..utils.loader import load
 
     model, processor = load(model_path)
     if draft_model_path:
         kwargs["draft_model"], _ = load(draft_model_path)
+    if image_model_path:
+        from .images import ImageService
+
+        kwargs["image_service"] = ImageService.from_path(image_model_path)
     httpd = create_server(model, processor, model_name=model_path,
                           host=host, port=port, **kwargs)
     logger.info("serving %s on %s:%d", model_path, host, port)

@@ -25,6 +25,9 @@ def main(argv=None):
                         "(repeatable); requests select it via 'model'")
     p.add_argument("--max-models", type=int, default=2,
                    help="max concurrently-loaded registry models")
+    p.add_argument("--image-model", default=None,
+                   help="Flux2-class checkpoint dir enabling "
+                        "/v1/images/generations and /v1/images/edits")
     p.add_argument("--log-level", default="INFO")
     args = p.parse_args(argv)
     logging.basicConfig(level=args.log_level)
@@ -44,6 +47,7 @@ def main(argv=None):
         api_key=args.api_key,
         draft_model_path=args.draft_model, num_draft=args.num_draft_tokens,
         extra_models=extra or None, max_models=args.max_models,
+        image_model_path=args.image_model,
     )
 
 
