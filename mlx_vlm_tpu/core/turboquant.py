@@ -9,7 +9,8 @@ TPU design:
   and adds — pure XLA, fuses into the surrounding quantize/dequantize.
 - Codebook encode is a distance-free `searchsorted` against precomputed
   decision boundaries (Lloyd–Max Gaussian codebooks), not the reference's
-  26 Metal kernels; packing reuses core/quant.py's bit layout.
+  26 Metal kernels; codes pack sub-byte via a bit-plane layout that works
+  for ANY width 1..8 (so 3/5/6-bit really cost 3/5/6 bits of HBM).
 - Decode attention dequantizes K/V tiles and feeds the shared SDPA — XLA
   fuses dequantize+matmul, which on TPU recovers most of the fused-kernel
   benefit (HBM traffic is already the packed size).
@@ -37,13 +38,90 @@ _LLOYD_MAX = {
 }
 
 
+def _lloyd_max_levels(n: int, iters: int = 500) -> np.ndarray:
+    """Numerically derive MSE-optimal unit-Gaussian levels (Lloyd's
+    algorithm with closed-form truncated-Gaussian centroids)."""
+    from math import erf, pi, sqrt
+
+    phi = lambda t: np.exp(-0.5 * t * t) / sqrt(2 * pi)  # noqa: E731
+    Phi = np.vectorize(lambda t: 0.5 * (1 + erf(t / sqrt(2))))
+    # init at Gaussian quantiles via inverse-cdf bisection
+    qs = (np.arange(n) + 0.5) / n
+    levels = np.array([_norm_ppf(q) for q in qs])
+    for _ in range(iters):
+        b = (levels[1:] + levels[:-1]) / 2.0
+        lo = np.concatenate([[-12.0], b])
+        hi = np.concatenate([b, [12.0]])
+        mass = Phi(hi) - Phi(lo)
+        levels = (phi(lo) - phi(hi)) / np.maximum(mass, 1e-300)
+    return levels
+
+
+def _norm_ppf(q: float) -> float:
+    from math import erf, sqrt
+
+    lo, hi = -12.0, 12.0
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if 0.5 * (1 + erf(mid / sqrt(2))) < q:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2
+
+
+def _levels(bits: int) -> np.ndarray:
+    if bits not in _LLOYD_MAX:
+        if not 1 <= bits <= 8:
+            raise ValueError(f"unsupported bits {bits}")
+        _LLOYD_MAX[bits] = _lloyd_max_levels(1 << bits).tolist()
+    return np.asarray(_LLOYD_MAX[bits])
+
+
 def _codebook(bits: int) -> jnp.ndarray:
-    return jnp.asarray(_LLOYD_MAX[bits], jnp.float32)
+    return jnp.asarray(_levels(bits), jnp.float32)
 
 
 def _boundaries(bits: int) -> jnp.ndarray:
-    cb = np.asarray(_LLOYD_MAX[bits])
+    cb = _levels(bits)
     return jnp.asarray((cb[1:] + cb[:-1]) / 2.0, jnp.float32)
+
+
+# --------------------------------------------------------------- bit packing
+
+def pack_codes(codes: jax.Array, bits: int) -> jax.Array:
+    """[..., D] b-bit codes -> [..., D*bits/8] bytes via bit-plane layout.
+
+    Plane j holds bit j of every code, 8 codes per byte; planes are
+    concatenated along the last axis.  Works for ANY bits in 1..8 (the
+    reference packs 3/5/6-bit codes in its Metal kernels, turboquant.py
+    §2.6; v1 here burned a whole byte for those widths).  Pure shifts,
+    masks and reshapes — XLA fuses it into the surrounding encode.
+    """
+    if bits == 8:
+        return codes
+    D = codes.shape[-1]
+    if D % 8:
+        raise ValueError(f"last dim {D} must be a multiple of 8")
+    weights = jnp.asarray(1 << np.arange(8), jnp.int32)
+    planes = []
+    for j in range(bits):
+        bitj = (codes.astype(jnp.int32) >> j) & 1
+        grouped = bitj.reshape(*codes.shape[:-1], D // 8, 8)
+        planes.append((grouped * weights).sum(-1).astype(jnp.uint8))
+    return jnp.concatenate(planes, axis=-1)
+
+
+def unpack_codes(packed: jax.Array, bits: int) -> jax.Array:
+    """Inverse of pack_codes: [..., D*bits/8] bytes -> [..., D] codes."""
+    if bits == 8:
+        return packed
+    D = packed.shape[-1] * 8 // bits
+    planes = packed.reshape(*packed.shape[:-1], bits, D // 8)
+    bit = (planes[..., None].astype(jnp.int32) >> jnp.arange(8)) & 1
+    bit = bit.reshape(*packed.shape[:-1], bits, D)
+    weights = (1 << jnp.arange(bits, dtype=jnp.int32))[:, None]
+    return (bit * weights).sum(-2).astype(jnp.uint8)
 
 
 def _pow2(n: int) -> int:
@@ -95,27 +173,14 @@ def tq_encode(
     scale = jnp.sqrt(jnp.mean(jnp.square(xr), axis=-1, keepdims=True) + 1e-8)
     xn = xr / scale
     codes = jnp.searchsorted(_boundaries(bits), xn).astype(jnp.uint8)
-    per_byte = 8 // bits if bits in (1, 2, 4, 8) else 1
-    if per_byte > 1:
-        d = codes.shape[-1]
-        packed = jnp.zeros((*codes.shape[:-1], d // per_byte), jnp.uint8)
-        for j in range(per_byte):
-            packed = packed | (codes[..., j::per_byte] << (bits * j))
-        codes = packed
-    return codes, scale[..., 0]
+    return pack_codes(codes, bits), scale[..., 0]
 
 
 def tq_decode(
     codes: jax.Array, scale: jax.Array, bits: int, signs: jax.Array,
     dtype=jnp.float32,
 ) -> jax.Array:
-    per_byte = 8 // bits if bits in (1, 2, 4, 8) else 1
-    if per_byte > 1:
-        mask = (1 << bits) - 1
-        parts = [(codes >> (bits * j)) & mask for j in range(per_byte)]
-        codes = jnp.stack(parts, axis=-1).reshape(
-            *codes.shape[:-1], codes.shape[-1] * per_byte
-        )
+    codes = unpack_codes(codes, bits)
     xn = jnp.take(_codebook(bits), codes.astype(jnp.int32))
     xr = xn * scale[..., None]
     out = hadamard_transform(xr) * signs
@@ -212,13 +277,13 @@ def init_turboquant_cache(
     """kv_bits may be fractional: 3.5 -> 3-bit keys, 4-bit values."""
     k_bits = int(np.floor(kv_bits))
     v_bits = int(np.ceil(kv_bits))
-    if k_bits not in _LLOYD_MAX or v_bits not in _LLOYD_MAX:
+    if not (1 <= k_bits <= 8 and 1 <= v_bits <= 8):
         raise ValueError(f"unsupported kv_bits {kv_bits}")
 
     p2 = _pow2(head_dim)
 
     def width(bits):
-        return p2 * bits // 8 if bits in (1, 2, 4, 8) else p2
+        return p2 * bits // 8  # true sub-byte: bit-plane packed
 
     if left_pad is None:
         left_pad = jnp.zeros((batch_size,), jnp.int32)
