@@ -18,6 +18,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from .dflash import DFlashConfig, DFlashDrafter
 from .eagle3 import Eagle3Config, Eagle3Drafter
 from .mtp import MTPConfig, MTPDrafter
 
@@ -29,6 +30,8 @@ DRAFTER_KIND_BY_MODEL_TYPE = {
     "glm4_moe_lite_mtp": "mtp",
     "inkling_mtp": "mtp",
     "qwen3_5_mtp": "mtp",
+    "qwen3_dflash": "dflash",
+    "qwen3_5_dflash": "dflash",
 }
 
 logger = logging.getLogger(__name__)
@@ -39,7 +42,10 @@ def resolve_drafter_kind(model_type: str) -> str:
     kind = DRAFTER_KIND_BY_MODEL_TYPE.get(model_type)
     if kind is not None:
         return kind
-    if "mtp" in str(model_type).lower():
+    low = str(model_type).lower()
+    if "dflash" in low:
+        return "dflash"
+    if "mtp" in low:
         return "mtp"
     return "vanilla"
 
@@ -97,6 +103,8 @@ def load_drafter(
     model_type = config.get("model_type", "")
     if kind is None:
         kind = DRAFTER_KIND_BY_MODEL_TYPE.get(model_type)
+        if kind is None and "dflash" in model_type.lower():
+            kind = "dflash"
         if kind is None and "mtp" in model_type.lower():
             kind = "mtp"
         if kind is None:
@@ -109,6 +117,21 @@ def load_drafter(
         drafter = Eagle3Drafter(Eagle3Config(capture_layers=cap, **fields))
     elif kind == "mtp":
         drafter = MTPDrafter(MTPConfig(**fields))
+    elif kind == "dflash":
+        dcfg = config.get("dflash_config", {}) or {}
+        drafter = DFlashDrafter(DFlashConfig(
+            **fields,
+            num_hidden_layers=config.get("num_hidden_layers", 5),
+            head_dim=config.get("head_dim"),
+            mask_token_id=int(dcfg.get("mask_token_id",
+                                       config.get("mask_token_id", 0))),
+            block_size=int(dcfg.get("runtime_block_size")
+                           or config.get("block_size", 16)),
+            target_layer_ids=tuple(dcfg.get(
+                "target_layer_ids",
+                config.get("target_layer_ids", (1, 8, 15, 22, 29)))),
+            target_hidden_size=config.get("target_hidden_size"),
+        ))
     else:
         raise ValueError(f"unsupported drafter kind {kind!r}")
 
@@ -121,6 +144,16 @@ def load_drafter(
                 flat[k.replace("model.", "", 1) if k.startswith("model.")
                      else k] = sf.get_tensor(k)
     params = _nest(flat)
+    if kind == "dflash" and isinstance(params.get("layers"), dict):
+        # stack layers.0..layers.N-1 along a leading axis for lax.scan
+        import jax
+
+        idx = sorted(params["layers"], key=int)
+        params["layers"] = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[params["layers"][i] for i in idx])
+    if kind == "dflash":
+        # dflash borrows the target's embed/lm_head at draft time
+        return drafter, params, kind
     # share target embeddings / head when absent in the drafter checkpoint
     tgt = target_model.params.get("language_model", target_model.params)
     if "embed_tokens" not in params:
@@ -135,5 +168,5 @@ def load_drafter(
 __all__ = [
     "DRAFTER_KIND_BY_MODEL_TYPE", "load_drafter",
     "validate_drafter_compatibility", "Eagle3Drafter", "Eagle3Config",
-    "MTPDrafter", "MTPConfig",
+    "MTPDrafter", "MTPConfig", "DFlashDrafter", "DFlashConfig",
 ]
