@@ -52,6 +52,20 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
     LoRA/QLoRA ride every linear, including quantized base weights
     (reference trainer/lora_layers.py:11).
     """
+    if "dora_m" in p:
+        # DoRA (reference trainer/dora_layers.py:9): column-norm-decomposed
+        # update — y = (x @ (W + BA).T) * m / ||W + BA||_row.
+        w = p["weight"]
+        if isinstance(w, QuantizedTensor):
+            from .quant import dequantize
+
+            w = dequantize(w)
+        delta = jnp.einsum("...or,...ri->...oi", p["lora_b"], p["lora_a"])
+        adapted = w.astype(delta.dtype) + delta
+        norm = jnp.sqrt(jnp.sum(jnp.square(adapted), axis=-1) + 1e-12)
+        y = _matmul_wT(x, adapted) * (p["dora_m"] / norm).astype(x.dtype)
+        b = p.get("bias")
+        return y + b.astype(y.dtype) if b is not None else y
     y = _matmul_wT(x, p["weight"])
     b = p.get("bias")
     if b is not None:

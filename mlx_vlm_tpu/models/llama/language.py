@@ -32,6 +32,9 @@ class LanguageModel:
         self.residual_scale = 1.0
         # block-norm hook: phimoe-style LayerNorm decoders override
         self._norm = rms_norm
+        # per-layer rematerialization for training (trades FLOPs for HBM:
+        # activations are recomputed in the backward scan step)
+        self.remat = False
         self.rope = make_rope(
             self.head_dim,
             args.rope_theta,
@@ -60,7 +63,8 @@ class LanguageModel:
                 h = h + self.residual_scale * self._mlp(lp["mlp"], x)
                 return h, None
 
-            h, _ = jax.lax.scan(layer_nc, h, mp["layers"])
+            body = jax.checkpoint(layer_nc) if self.remat else layer_nc
+            h, _ = jax.lax.scan(body, h, mp["layers"])
             return self._norm(mp["norm"], h, self.args.rms_norm_eps), None
 
         mask = causal_cache_mask(cache.offset, cache.left_pad, S, cache.capacity)

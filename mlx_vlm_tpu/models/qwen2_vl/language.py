@@ -77,7 +77,9 @@ class LanguageModel:
                 h = h + swiglu_mlp(lp["mlp"], x)
                 return h, None
 
-            h, _ = jax.lax.scan(layer_nc, h, mp["layers"])
+            body = (jax.checkpoint(layer_nc)
+                    if getattr(self, "remat", False) else layer_nc)
+            h, _ = jax.lax.scan(body, h, mp["layers"])
             h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
             return h, None
 

@@ -70,6 +70,31 @@ def init_lora(
     return out
 
 
+def init_dora(
+    params: dict,
+    rank: int = 8,
+    alpha: float = 16.0,
+    targets: Tuple[str, ...] = DEFAULT_TARGETS,
+    seed: int = 0,
+    dtype=jnp.float32,
+) -> dict:
+    """DoRA factors (reference trainer/dora_layers.py:9): LoRA factors plus
+    a trainable per-output-row magnitude `dora_m`, initialised to the base
+    weight's row norms so the adapter starts as an exact no-op."""
+    from ..core.quant import QuantizedTensor, dequantize
+
+    lora = init_lora(params, rank, alpha, targets, seed, dtype)
+    by_path = {p: v for p, v in _iter_linears(params)}
+    for path, fac in lora.items():
+        w = by_path[path]["weight"]
+        if isinstance(w, QuantizedTensor):
+            w = dequantize(w)
+        fac["dora_m"] = jnp.sqrt(
+            jnp.sum(jnp.square(w.astype(jnp.float32)), axis=-1) + 1e-12
+        ).astype(dtype)
+    return lora
+
+
 def attach_lora(params: dict, lora: dict) -> dict:
     """Merged tree: shallow-copied dicts with lora factors inserted."""
 
@@ -132,6 +157,38 @@ def fuse_lora(params: dict, lora: dict) -> dict:
     return walk(params)
 
 
+def fuse_dora(params: dict, dora: dict) -> dict:
+    """Fold DoRA adapters into the base weights:
+    w' = (m / ||W + BA||_row) * (W + BA)  (reference dora_layers.py:32)."""
+    from ..core.quant import QuantizedTensor, dequantize
+
+    def walk(tree: dict, prefix="") -> dict:
+        new = {}
+        for k, v in tree.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                v = walk(v, path)
+                if path in dora:
+                    fac = dora[path]
+                    w = v["weight"]
+                    out_dtype = getattr(w, "dtype", jnp.float32)
+                    if isinstance(w, QuantizedTensor):
+                        w = dequantize(w)
+                        out_dtype = w.dtype
+                    delta = jnp.einsum("...or,...ri->...oi", fac["lora_b"],
+                                       fac["lora_a"])
+                    adapted = w.astype(jnp.float32) + delta.astype(
+                        jnp.float32)
+                    norm = jnp.sqrt(
+                        jnp.sum(jnp.square(adapted), axis=-1) + 1e-12)
+                    scaled = adapted * (fac["dora_m"] / norm)[..., None]
+                    v = {**v, "weight": scaled.astype(out_dtype)}
+            new[k] = v
+        return new
+
+    return walk(params)
+
+
 def save_adapter(path: str, lora: dict, config: Optional[dict] = None):
     """Adapter safetensors + config (reference trainer/utils.py:372)."""
     from safetensors.numpy import save_file
@@ -139,8 +196,8 @@ def save_adapter(path: str, lora: dict, config: Optional[dict] = None):
     os.makedirs(path, exist_ok=True)
     flat = {}
     for p, fac in lora.items():
-        flat[p + ".lora_a"] = np.asarray(fac["lora_a"], np.float32)
-        flat[p + ".lora_b"] = np.asarray(fac["lora_b"], np.float32)
+        for kind, leaf in fac.items():
+            flat[f"{p}.{kind}"] = np.asarray(leaf, np.float32)
     save_file(flat, os.path.join(path, "adapters.safetensors"))
     with open(os.path.join(path, "adapter_config.json"), "w") as f:
         json.dump(config or {}, f)

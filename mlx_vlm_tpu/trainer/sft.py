@@ -35,8 +35,16 @@ def sft_loss(model, params, input_ids, labels, position_ids, inputs_embeds=None)
     return (ce * mask).sum() / jnp.maximum(mask.sum(), 1)
 
 
-def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
-    """Returns jittable `(params, opt_state, batch) -> (params, opt_state, loss)`."""
+def make_train_step(model, tx: optax.GradientTransformation,
+                    grad_checkpoint: bool = False) -> Callable:
+    """Returns jittable `(params, opt_state, batch) -> (params, opt_state, loss)`.
+
+    grad_checkpoint=True remats each decoder layer in the backward pass
+    (reference grad_checkpoint, trainer/trainer.py): HBM for activations
+    drops from O(layers) to O(1) at ~1.3x FLOPs.
+    """
+    if grad_checkpoint:
+        model.language_model.remat = True
 
     def step(params, opt_state, batch):
         def loss_fn(p):
@@ -48,5 +56,15 @@ def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    return step
+
+
+def make_eval_step(model) -> Callable:
+    """Jittable validation loss: `(params, batch) -> loss`."""
+
+    def step(params, batch):
+        return sft_loss(model, params, batch["input_ids"], batch["labels"],
+                        batch["position_ids"])
 
     return step

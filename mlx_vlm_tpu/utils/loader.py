@@ -182,6 +182,44 @@ def _stack_layers(flat: dict, patterns) -> dict:
     return flat
 
 
+def unstack_params(model, params: dict) -> dict:
+    """Inverse of the load pipeline's layer stacking: nested scan-stacked
+    params -> flat HF-named numpy dict (for checkpoint saving after
+    full finetuning).  Patterns invert in reverse order so nested stacks
+    (per-layer expert axes) unfold correctly."""
+    import numpy as _np
+
+    import jax as _jax
+
+    flat = {}
+
+    def walk(tree, prefix=""):
+        for k, v in tree.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, path)
+            elif isinstance(v, (QuantizedTensor, ChannelQuantizedTensor)):
+                raise ValueError(
+                    f"cannot export quantized tensor at {path}; dequantize "
+                    "before saving or use the converter")
+            else:
+                flat[path] = _np.asarray(_jax.device_get(v))
+
+    walk(params)
+    for pat in reversed(tuple(model.stack_patterns)):
+        pref, dest = pat if isinstance(pat, (tuple, list)) else (pat, 0)
+        out = {}
+        for k, v in flat.items():
+            if k.startswith(pref + "."):
+                rest = k[len(pref) + 1:]
+                for i in range(v.shape[dest]):
+                    out[f"{pref}.{i}.{rest}"] = _np.take(v, i, axis=dest)
+            else:
+                out[k] = v
+        flat = out
+    return flat
+
+
 def runtime_quant_mode() -> str:
     """How quantized weights execute on device.
 
