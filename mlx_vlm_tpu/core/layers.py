@@ -16,8 +16,12 @@ import jax.numpy as jnp
 
 from .quant import (
     ChannelQuantizedTensor,
+    NVFP4Tensor,
     QuantizedTensor,
+    activation_quant_enabled,
     channel_quantized_matmul,
+    channel_quantized_matmul_int8,
+    nvfp4_matmul,
     quantized_matmul,
 )
 
@@ -35,7 +39,11 @@ __all__ = [
 def _matmul_wT(x: jax.Array, w) -> jax.Array:
     """x @ w.T for a dense or quantized weight in HF [out, in] layout."""
     if isinstance(w, ChannelQuantizedTensor):
+        if activation_quant_enabled():
+            return channel_quantized_matmul_int8(x, w)
         return channel_quantized_matmul(x, w)
+    if isinstance(w, NVFP4Tensor):
+        return nvfp4_matmul(x, w)
     if isinstance(w, QuantizedTensor):
         return quantized_matmul(x, w, transpose=True)
     return jax.lax.dot_general(

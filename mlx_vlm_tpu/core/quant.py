@@ -295,3 +295,179 @@ def from_mlx_packed(
         group_size=group_size,
         out_dtype=np.dtype(scales.dtype).name,
     )
+
+
+# ------------------------------------------------------------------- NVFP4
+
+# OCP FP4 E2M1 magnitudes (sign in bit 3): the 8 positive code values.
+_E2M1_POS = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0], np.float32)
+_E2M1_LUT = np.concatenate([_E2M1_POS, -_E2M1_POS]).astype(np.float32)
+
+
+def e4m3_decode_table() -> np.ndarray:
+    """256-entry LUT: OCP E4M3FN byte -> float32 (bias 7, no infinities,
+    0x7F/0xFF = NaN).  Public-format constant (reference utils.py:86)."""
+    out = np.empty(256, np.float32)
+    for byte in range(256):
+        sign = -1.0 if byte & 0x80 else 1.0
+        e = (byte >> 3) & 0xF
+        m = byte & 0x7
+        if e == 0:
+            v = (m / 8.0) * 2.0**-6
+        elif e == 15 and m == 7:
+            v = np.nan
+        else:
+            v = (1.0 + m / 8.0) * 2.0 ** (e - 7)
+        out[byte] = sign * v
+    return out
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "scales"],
+    meta_fields=["out_dtype"],
+)
+@dataclasses.dataclass
+class NVFP4Tensor:
+    """NVFP4 weight: E2M1 codes with a float scale per group of 16.
+
+    q:      uint8 [.., out, in/2] — two E2M1 nibbles per byte, low-first
+    scales: [.., out, in/16] float16/32 — the checkpoint's per-group E4M3
+            scales decoded and divided by the per-tensor global scale at
+            load (reference folds the global INTO re-encoded E4M3,
+            utils.py:158; we keep the fold exact by storing floats).
+
+    Decode is a 16-entry gather + broadcast-mul — XLA fuses it into the
+    consuming matmul, so HBM traffic stays at ~5 bits/weight.
+    """
+
+    q: jax.Array
+    scales: jax.Array
+
+    out_dtype: str = "bfloat16"
+
+    @property
+    def shape(self):
+        *lead, o, i2 = self.q.shape
+        return tuple(lead) + (o, i2 * 2)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.out_dtype)
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+
+def nvfp4_dequantize(t: NVFP4Tensor, dtype=None) -> jax.Array:
+    """[.., out, in] dense weight from packed E2M1 + group-16 scales."""
+    dtype = dtype or t.dtype
+    lo = t.q & 0xF
+    hi = t.q >> 4
+    codes = jnp.stack([lo, hi], axis=-1).reshape(*t.q.shape[:-1],
+                                                 t.q.shape[-1] * 2)
+    vals = jnp.take(jnp.asarray(_E2M1_LUT), codes.astype(jnp.int32))
+    *lead, o, i = vals.shape
+    vals = vals.reshape(*lead, o, i // 16, 16)
+    w = vals * t.scales.astype(jnp.float32)[..., None]
+    return w.reshape(*lead, o, i).astype(dtype)
+
+
+def nvfp4_matmul(x: jax.Array, t: NVFP4Tensor) -> jax.Array:
+    """x [..., in] @ W.T with the E2M1 decode fused into the matmul."""
+    w = nvfp4_dequantize(t, dtype=x.dtype)
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def from_compressed_nvfp4(
+    packed: np.ndarray,       # uint8 [out, in/2]
+    weight_scale: np.ndarray,  # uint8 E4M3 bytes [out, in/16]
+    global_scale: np.ndarray,  # float [1]
+    out_dtype: str = "bfloat16",
+) -> NVFP4Tensor:
+    """Import a compressed-tensors nvfp4-pack-quantized weight
+    (reference _transform_compressed_tensors_nvfp4_weights, utils.py:158).
+
+    real_w = e2m1(codes) * e4m3(weight_scale) / global_scale; the global
+    scale folds into the decoded group scales exactly (stored as f16)."""
+    lut = e4m3_decode_table()
+    scales = lut[weight_scale.astype(np.uint32).view(np.uint8) if
+                 weight_scale.dtype != np.uint8 else weight_scale]
+    scales = scales / np.asarray(global_scale, np.float32).reshape(-1)[0]
+    return NVFP4Tensor(
+        q=jnp.asarray(np.ascontiguousarray(packed)),
+        scales=jnp.asarray(scales.astype(np.float16)),
+        out_dtype=out_dtype,
+    )
+
+
+# -------------------------------------------------- activation quantization
+
+_ACT_QUANT = False
+
+
+def set_activation_quant(enabled: bool):
+    """Enable dynamic int8 activation quantization for channel-int8 weights
+    (reference quantize_activations, utils.py:294 — QQLinear on Metal; on
+    TPU the analogue is an int8 x int8 MXU matmul with per-row activation
+    scales)."""
+    global _ACT_QUANT
+    _ACT_QUANT = bool(enabled)
+
+
+def activation_quant_enabled() -> bool:
+    import os
+
+    return _ACT_QUANT or os.environ.get(
+        "MLX_VLM_TPU_ACT_QUANT", "0") in ("1", "true")
+
+
+def channel_quantized_matmul_int8(x: jax.Array,
+                                  t: ChannelQuantizedTensor) -> jax.Array:
+    """Dynamic-int8-activation matmul against channel-int8 weights.
+
+    x ~= xs * xq (per-row symmetric int8); y = x @ (q8*s + b).T
+      = xs * (xq @ q8) * s  +  sum(x) * b
+    The xq @ q8 contraction runs int8 x int8 -> int32 on the MXU.
+    """
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    xs = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    kdim = t.q8.ndim - 2
+    acc = jax.lax.dot_general(
+        xq, t.q8, (((x.ndim - 1,), (kdim,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    s = t.scales.astype(jnp.float32)
+    b = t.biases.astype(jnp.float32)
+    # scales/biases are [.., 1, N]; drop the K-axis placeholder
+    s = jnp.squeeze(s, axis=kdim)
+    b = jnp.squeeze(b, axis=kdim)
+    y = acc * xs.astype(jnp.float32) * s
+    y = y + jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True) * b
+    return y.astype(x.dtype)
+
+
+def quantize_activations(model):
+    """Flip the runtime into int8-activation mode after validating the
+    model actually carries channel-int8 weights (reference utils.py:294)."""
+    found = []
+
+    def walk(tree):
+        for v in tree.values():
+            if isinstance(v, dict):
+                walk(v)
+            elif isinstance(v, ChannelQuantizedTensor):
+                found.append(v)
+
+    walk(model.params)
+    if not found:
+        raise ValueError(
+            "activation quantization requires channel-int8 weights "
+            "(load with MLX_VLM_TPU_RUNTIME_QUANT=w8chan)")
+    set_activation_quant(True)
+    return model

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..core.quant import (
     ChannelQuantizedTensor,
+    NVFP4Tensor,
     QuantizedTensor,
     from_mlx_packed,
     to_channel_quantized,
@@ -163,6 +164,13 @@ def _stack_layers(flat: dict, patterns) -> dict:
                     group_size=vals[0].group_size,
                     out_dtype=vals[0].out_dtype,
                 )
+            elif isinstance(vals[0], NVFP4Tensor):
+                stacked = NVFP4Tensor(
+                    q=jnp.moveaxis(jnp.stack([t.q for t in vals]), 0, dest),
+                    scales=jnp.moveaxis(
+                        jnp.stack([t.scales for t in vals]), 0, dest),
+                    out_dtype=vals[0].out_dtype,
+                )
             elif isinstance(vals[0], ChannelQuantizedTensor):
                 stacked = ChannelQuantizedTensor(
                     q8=np.moveaxis(np.stack([t.q8 for t in vals]), 0, dest),
@@ -198,7 +206,8 @@ def unstack_params(model, params: dict) -> dict:
             path = f"{prefix}.{k}" if prefix else k
             if isinstance(v, dict):
                 walk(v, path)
-            elif isinstance(v, (QuantizedTensor, ChannelQuantizedTensor)):
+            elif isinstance(v, (QuantizedTensor, ChannelQuantizedTensor,
+                                NVFP4Tensor)):
                 raise ValueError(
                     f"cannot export quantized tensor at {path}; dequantize "
                     "before saving or use the converter")
@@ -302,6 +311,12 @@ def _to_device(flat: dict, dtype, zeros_on_device: bool = False) -> dict:
                 src_bits=v.src_bits,
                 out_dtype=jnp.dtype(dtype).name,
             )
+        if isinstance(v, NVFP4Tensor):
+            return NVFP4Tensor(
+                q=jnp.asarray(v.q),
+                scales=jnp.asarray(v.scales),
+                out_dtype=jnp.dtype(dtype).name,
+            )
         if isinstance(v, QuantizedTensor):
             return QuantizedTensor(
                 q=jnp.asarray(v.q),
@@ -367,6 +382,61 @@ def _read_safetensors(model_path: Path) -> dict:
     return weights
 
 
+def _transform_compressed_tensors(weights: dict, qc: dict):
+    """Fold compressed-tensors checkpoints into native quantized leaves
+    (reference utils.py:158-291) — runs BEFORE model sanitization so the
+    family renames see ordinary .weight keys.
+
+    - `nvfp4-pack-quantized`: E2M1 codes kept bit-exact as NVFP4Tensor; the
+      per-tensor global scale divides into the decoded E4M3 group scales.
+    - `pack-quantized` int: symmetric int4/8 words reinterpret bit-identical
+      to the mlx affine layout with bias = -2^(b-1) * scale; returns an
+      affine qcfg for the shared fold.
+    """
+    from ..core.quant import from_compressed_nvfp4
+
+    if not any(k.endswith(".weight_packed") for k in weights):
+        return weights, None
+    grp = (qc.get("config_groups", {}).get("group_0", {}) or {})
+    wcfg = grp.get("weights", {}) or {}
+    fmt = qc.get("format") or grp.get("format")
+    out = {}
+    if fmt == "nvfp4-pack-quantized":
+        for k, v in weights.items():
+            if k.endswith(".weight_packed"):
+                p = k[: -len(".weight_packed")]
+                out[f"{p}.weight"] = from_compressed_nvfp4(
+                    np.asarray(v, np.uint8).view(np.uint8),
+                    np.asarray(weights[f"{p}.weight_scale"]).view(np.uint8),
+                    np.asarray(weights[f"{p}.weight_global_scale"],
+                               np.float32),
+                )
+            elif k.endswith((".weight_scale", ".weight_global_scale")):
+                continue
+            else:
+                out[k] = v
+        return out, {"mode": "nvfp4", "bits": 4, "group_size": 16}
+    if fmt == "pack-quantized" and wcfg.get("type") == "int":
+        bits = int(wcfg.get("num_bits", 4))
+        group_size = int(wcfg.get("group_size", 32))
+        for k, v in weights.items():
+            if k.endswith(".weight_packed"):
+                p = k[: -len(".weight_packed")]
+                scale = np.asarray(weights[f"{p}.weight_scale"])
+                out[f"{p}.weight"] = np.asarray(v).view(np.uint32)
+                out[f"{p}.scales"] = scale
+                out[f"{p}.biases"] = (-(2 ** (bits - 1)) * scale).astype(
+                    scale.dtype)
+            elif k.endswith((".weight_scale", ".weight_shape")):
+                continue
+            else:
+                out[k] = v
+        return out, {"mode": "affine", "bits": bits, "group_size": group_size}
+    logger.warning("unsupported compressed-tensors format %r; loading raw",
+                   fmt)
+    return weights, None
+
+
 def load_model_from_weights(
     config: dict, weights: dict, dtype=jnp.bfloat16, zeros_on_device: bool = False
 ):
@@ -374,6 +444,14 @@ def load_model_from_weights(
     arch, _ = get_model_and_args(config)
     model_config = arch.ModelConfig.from_dict(config)
     model = arch.Model(model_config)
+    qc = config.get("quantization_config") or {}
+    if qc.get("quant_method") == "compressed-tensors":
+        weights, folded = _transform_compressed_tensors(weights, qc)
+        if folded and folded.get("mode") == "affine":
+            config = {**config,
+                      "quantization": {**(config.get("quantization") or {}),
+                                       "bits": folded["bits"],
+                                       "group_size": folded["group_size"]}}
     if hasattr(model, "sanitize"):
         weights = model.sanitize(weights)
     qcfg = config.get("quantization")
