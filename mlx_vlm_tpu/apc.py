@@ -273,10 +273,18 @@ class APCManager:
             now = time.time()
             for blk in matched:
                 blk.last_used = now
+                blk.refs += 1  # pinned until release() — eviction skips it
             if prefix:
                 self.stats.hits += 1
                 self.stats.hit_tokens += prefix
             return prefix, matched
+
+    def release(self, blocks: List[APCBlock]):
+        """Unpin blocks returned by lookup() once the warm cache is built
+        (reference ref-counted block locking, apc.py:496 ref_cnt)."""
+        with self.lock:
+            for blk in blocks:
+                blk.refs = max(0, blk.refs - 1)
 
     # ----------------------------------------------------------------- store
     def commit(
@@ -344,12 +352,14 @@ class APCManager:
     def _evict_if_full(self):
         if len(self.blocks) < self.num_blocks:
             return
-        # LRU eviction, but never evict a block that is some other block's
-        # parent unless its children are gone too (evict leaves first)
+        # LRU eviction, but never evict a pinned (in-flight) block, and
+        # never a block that is some other block's parent unless its
+        # children are gone too (evict leaves first)
         parents = {b.parent for b in self.blocks.values() if b.parent}
-        candidates = [b for b in self.blocks.values() if b.hash not in parents]
-        if not candidates:
-            candidates = list(self.blocks.values())
+        free = [b for b in self.blocks.values() if b.refs == 0]
+        candidates = [b for b in free if b.hash not in parents] or free
+        if not candidates:  # everything pinned: allow over-fill
+            return
         victim = min(candidates, key=lambda b: b.last_used)
         del self.blocks[victim.hash]
         self.stats.evictions += 1
@@ -400,7 +410,10 @@ class APCManager:
 
     def lookup_exact(self, tokens: Sequence[int], extra: str = ""):
         """Longest stored snapshot matching a strict prefix of `tokens`.
-        Returns (prefix_len, device cache) or (0, None)."""
+        Returns (prefix_len, device cache) or (0, None).
+
+        One hash per DISTINCT stored length, longest first with early exit
+        (not one per snapshot — the round-1 linear scan)."""
         tokens = list(tokens)
         with self.lock:
             self.stats.lookups += 1
@@ -408,10 +421,14 @@ class APCManager:
             if not store:
                 return 0, None
             best = (0, None)
-            for key, (n, snap) in store.items():
-                if n < len(tokens) and n > best[0]:
-                    if _hash(None, tuple(tokens[:n]), "exact:" + extra) == key:
-                        best = (n, snap)
+            lengths = sorted({n for n, _ in store.values()
+                              if n < len(tokens)}, reverse=True)
+            for n in lengths:
+                key = _hash(None, tuple(tokens[:n]), "exact:" + extra)
+                hit = store.get(key)
+                if hit is not None:
+                    best = (n, hit[1])
+                    break
             if best[1] is None:
                 return 0, None
             self.stats.hits += 1

@@ -152,7 +152,11 @@ def stream_generate(
         prefix_len, blocks = apc.lookup(tokens, extra)
         S = int(np.asarray(input_ids).shape[1])
         capacity = _round_up(S + max_tokens + block_size + 65, 256)
-        prompt_cache = apc.make_warm_cache(blocks, model, capacity, embeds.dtype)
+        try:
+            prompt_cache = apc.make_warm_cache(blocks, model, capacity,
+                                               embeds.dtype)
+        finally:
+            apc.release(blocks)
 
         def prompt_cache_callback(cache, _tokens=tokens, _extra=extra, _S=S):
             apc.commit(_tokens, cache, _extra, upto=_S)

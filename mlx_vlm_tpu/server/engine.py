@@ -263,9 +263,12 @@ class ResponseGenerator:
             )
             prefix_len, blocks = self.apc.lookup(tokens, extra)
             cap = _ru(ids.shape[1] + 65, 256)
-            prompt_cache = self.apc.make_warm_cache(
-                blocks, self.model, cap, embeds.dtype
-            )
+            try:
+                prompt_cache = self.apc.make_warm_cache(
+                    blocks, self.model, cap, embeds.dtype
+                )
+            finally:
+                self.apc.release(blocks)  # unpin once device copy is done
 
             def harvest(cache, _t=tokens, _e=extra, _s=int(ids.shape[1])):
                 self.apc.commit(_t, cache, _e, upto=_s)

@@ -277,3 +277,49 @@ class TestWarmCacheCorrectness:
         )
         assert apc.stats.hits >= 1
         assert out1 == out2
+
+
+class TestRefCounting:
+    def test_pinned_blocks_survive_eviction(self):
+        from mlx_vlm_tpu.apc import APCManager
+
+        apc = APCManager(num_blocks=2, block_size=4)
+        tokens_a = list(range(8))
+
+        class FakeCache:
+            k = np.zeros((1, 1, 2, 16, 4), np.float32)
+            v = np.zeros((1, 1, 2, 16, 4), np.float32)
+
+        FakeCache.__name__ = "KVCache"
+        apc.commit(tokens_a, FakeCache(), upto=8)
+        assert len(apc.blocks) == 2
+        prefix, blocks = apc.lookup(tokens_a + [99])
+        assert prefix == 8 and all(b.refs == 1 for b in blocks)
+        # pool is full and everything is pinned: inserts over-fill rather
+        # than evicting an in-flight block
+        apc.commit(list(range(100, 108)), FakeCache(), upto=8)
+        assert all(b.hash in apc.blocks for b in blocks)
+        apc.release(blocks)
+        assert all(b.refs == 0 for b in blocks)
+        # now eviction can reclaim
+        apc.commit(list(range(200, 208)), FakeCache(), upto=8)
+        assert len(apc.blocks) <= 5
+
+
+class TestExactLookupIndex:
+    def test_longest_snapshot_wins(self):
+        import jax.numpy as jnp
+
+        from mlx_vlm_tpu.apc import APCManager
+
+        apc = APCManager(num_blocks=16, block_size=4)
+        snap_small = {"offset": jnp.asarray(4)}
+        snap_big = {"offset": jnp.asarray(8)}
+        apc.store_exact(list(range(4)), snap_small)
+        apc.store_exact(list(range(8)), snap_big)
+        n, cache = apc.lookup_exact(list(range(10)))
+        assert n == 8
+        assert int(cache["offset"]) == 8
+        # no match on diverging tokens
+        n, cache = apc.lookup_exact([5, 5, 5])
+        assert n == 0 and cache is None
