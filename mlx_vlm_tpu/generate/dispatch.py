@@ -223,7 +223,18 @@ def stream_generate(
             prompt_cache_callback=prompt_cache_callback,
             seed=seed,
         )
-    for token, logprobs in token_iter:
+    from ..utils.profiling import annotate, global_phases
+
+    phases = global_phases()
+    while True:
+        # first pull runs the prefill program; the rest are decode steps —
+        # both show up as named regions in an XLA trace (utils/profiling)
+        with annotate("prefill" if prompt_time is None else "decode",
+                      phases):
+            try:
+                token, logprobs = next(token_iter)
+            except StopIteration:
+                break
         now = time.perf_counter()
         if prompt_time is None:
             prompt_time = now - tic

@@ -122,7 +122,11 @@ def make_handler(state: ServerState):
             elif self.path == "/health":
                 self.send_json({"status": "ok", "model": state.model_name})
             elif self.path == "/metrics":
-                self.send_json(state.generator.metrics.snapshot())
+                from ..utils.profiling import global_phases
+
+                snap = state.generator.metrics.snapshot()
+                snap["phases"] = global_phases().snapshot()
+                self.send_json(snap)
             elif self.path in ("/v1/models", "/models"):
                 names = [state.model_name]
                 if state.registry is not None:
