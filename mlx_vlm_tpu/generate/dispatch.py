@@ -70,12 +70,20 @@ def stream_generate(
     `vision_cache` an mlx_vlm_tpu.vision_cache.VisionFeatureCache.
     """
     from .diffusion import is_diffusion_model, stream_diffusion_generate
+    from .encdec import is_encdec_model, stream_encdec_generate
 
     if is_diffusion_model(model):
         # diffusion-LM dispatch (reference dispatch.py:~780 routes to the
         # canvas decoder before the AR path)
         yield from stream_diffusion_generate(
             model, processor, prompt, max_tokens=max_tokens, **kwargs
+        )
+        return
+    if is_encdec_model(model):
+        # encoder-decoder dispatch (florence2-class)
+        yield from stream_encdec_generate(
+            model, processor, prompt, image=image, max_tokens=max_tokens,
+            **kwargs
         )
         return
 
