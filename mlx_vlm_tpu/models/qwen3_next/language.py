@@ -94,7 +94,7 @@ class LanguageModel:
         a = self.args
         B, S, _ = inputs_embeds.shape
         eps = a.rms_norm_eps
-        if position_ids.ndim == 3:
+        if position_ids.ndim == 3 and self.rope.mrope_sections is None:
             position_ids = position_ids[0]
         cos, sin = self.rope.cos_sin(position_ids)
         h = inputs_embeds
@@ -109,7 +109,12 @@ class LanguageModel:
         mask = causal_cache_mask(cache.offset, cache.left_pad, S, cache.capacity)
         # ssm validity: slot >= left_pad, and pad sentinel (pos==0 at slot>0)
         slots = cache.offset + jnp.arange(S, dtype=jnp.int32)  # [S]
-        pos_row = position_ids if position_ids.ndim == 2 else position_ids[None]
+        if position_ids.ndim == 3:
+            pos_row = position_ids[0]  # temporal stream carries validity
+        elif position_ids.ndim == 2:
+            pos_row = position_ids
+        else:
+            pos_row = position_ids[None]
         pos_row = jnp.broadcast_to(pos_row, (B, S))
         valid = (slots[None, :] >= cache.left_pad[:, None]) & (
             (pos_row > 0) | (slots[None, :] == 0)
