@@ -231,6 +231,18 @@ class Rope:
                         self.attention_scaling = float(
                             np.sqrt(1.0 + np.log(s) / np.log(orig))
                         )
+            elif typ == "proportional":
+                # gemma4 global layers (reference ProportionalRoPE,
+                # rope_utils.py:204): rotate only the first
+                # partial_rotary_factor share of angle slots at
+                # frequency/factor; the rest are identity (zero inv-freq)
+                factor = float(scaling.get("factor", 1.0))
+                partial = float(scaling.get("partial_rotary_factor", 1.0))
+                rope_angles = int(partial * dim // 2)
+                expo = np.arange(0, 2 * rope_angles, 2, np.float64) / dim
+                rot = 1.0 / (factor * np.power(base, expo))
+                inv = np.concatenate(
+                    [rot, np.zeros(dim // 2 - rope_angles)])
             elif typ in ("mrope", "default"):
                 if "mrope_section" in scaling:
                     self.mrope_sections = tuple(scaling["mrope_section"])
