@@ -324,9 +324,32 @@ class Qwen2VLProcessor:
         return self.tokenizer.apply_chat_template(messages, **kwargs)
 
 
+def _builtin_processor(model_type: str, tokenizer, model=None):
+    """Per-model builtin processors for families whose HF processors need
+    remote code (reference per-model processing_*.py modules)."""
+    if model_type == "florence2":
+        from ..models.florence2.processing import Florence2Processor
+
+        return Florence2Processor(tokenizer)
+    if model_type == "moondream2":
+        from ..models.moondream2.processing import MoondreamProcessor
+
+        vc = getattr(getattr(model, "config", None), "vision_config", None)
+        return MoondreamProcessor(
+            tokenizer,
+            crop_size=getattr(vc, "crop_size", 378),
+            patch_size=getattr(vc, "patch_size", 14),
+        )
+    return None
+
+
 def load_processor(model_path, model=None, **kwargs):
-    """AutoProcessor when available, else the builtin fallback."""
+    """AutoProcessor when available, else a per-model builtin, else the
+    qwen-shaped fallback."""
     model_path = Path(model_path)
+    model_type = ""
+    if model is not None:
+        model_type = getattr(model, "config_dict", {}).get("model_type", "")
     try:
         from transformers import AutoProcessor
 
@@ -335,12 +358,18 @@ def load_processor(model_path, model=None, **kwargs):
         # checkpoint has no processor config — that can't handle images.
         if hasattr(proc, "image_processor") or hasattr(proc, "feature_extractor"):
             return proc
+        builtin = _builtin_processor(model_type, proc, model)
+        if builtin is not None:
+            return builtin
         return Qwen2VLProcessor(proc, Qwen2VLImageProcessor())
     except Exception:
         pass
     from .tokenizer import load_tokenizer
 
     tokenizer = load_tokenizer(model_path)
+    builtin = _builtin_processor(model_type, tokenizer, model)
+    if builtin is not None:
+        return builtin
     return Qwen2VLProcessor(tokenizer, Qwen2VLImageProcessor())
 
 

@@ -254,3 +254,45 @@ class TestGenerate:
         b = [int(t[0]) for t in encdec_generate_step(model, emb,
                                                      max_tokens=5)]
         assert a == b and len(a) == 5
+
+
+class TestBuiltinProcessor:
+    def test_florence2_processor(self):
+        from mlx_vlm_tpu.models.florence2.processing import \
+            Florence2Processor
+
+        class _Tok:
+            def __call__(self, text, **kw):
+                ids = [ord(c) % 50 for c in text]
+                return {"input_ids": np.asarray([ids])}
+
+        proc = Florence2Processor(_Tok(), image_size=32)
+        img = np.random.default_rng(0).integers(
+            0, 255, (20, 30, 3)).astype(np.uint8)
+        out = proc(text="<OCR>", images=[img])
+        assert out["input_ids"].shape[1] == 5
+        assert out["pixel_values"].shape == (1, 3, 32, 32)
+        # bare-prompt passthrough
+        assert proc.apply_chat_template("<CAPTION>") == "<CAPTION>"
+
+
+class TestMoondreamProcessor:
+    def test_layout(self):
+        from mlx_vlm_tpu.models.moondream2.processing import \
+            MoondreamProcessor
+
+        class _Tok:
+            bos_token_id = 7
+
+            def __call__(self, text, **kw):
+                return {"input_ids": np.asarray([[10, 11, 12]])}
+
+        proc = MoondreamProcessor(_Tok(), crop_size=28, patch_size=14)
+        img = np.zeros((28, 28, 3), np.uint8)
+        out = proc(text="hi", images=[img])
+        n_vis = (28 // 14) ** 2
+        ids = out["input_ids"][0]
+        assert ids[0] == 7
+        assert (ids[1:1 + n_vis] == 0).all()
+        assert list(ids[1 + n_vis:]) == [10, 11, 12]
+        assert out["pixel_values"].shape == (1, 28, 28, 3)
