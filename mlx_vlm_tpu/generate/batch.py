@@ -298,8 +298,11 @@ class BatchGenerator:
         lens = [jnp.asarray(r.inputs_embeds).shape[1] for r in reqs]
         S_max = max(lens)
         S_pad = round_up(S_max, 64)
-        if S_pad > self.prefill_step:
-            return False  # long prompts keep the chunked single-row path
+        step = min(self.prefill_step, S_pad)
+        S_pad = round_up(S_pad, step)  # chunked batched prefill for mixed
+        # lengths (round-1 fell back to serial admission past prefill_step)
+        if S_pad > self.capacity:
+            return False  # pathological prompt; single-row path raises
         n = len(reqs)
         n_pad = 1 << (n - 1).bit_length()  # pow2 bucket limits recompiles
         D = jnp.asarray(reqs[0].inputs_embeds).shape[2]
@@ -320,10 +323,26 @@ class BatchGenerator:
         )
         last_idx = np.zeros(n_pad, np.int32)
         last_idx[:n] = np.asarray(lens) - 1
-        logits, cache = self.engine._prefill_rows(
-            self.model.params, cache, jnp.asarray(embeds, self.dtype),
-            jnp.asarray(pos), jnp.asarray(last_idx),
-        )
+        embeds_dev = jnp.asarray(embeds, self.dtype)
+        pos_dev = jnp.asarray(pos)
+        chunk_logits = []
+        for c0 in range(0, S_pad, step):
+            in_chunk = np.where(
+                (last_idx >= c0) & (last_idx < c0 + step), last_idx - c0, 0
+            ).astype(np.int32)
+            lgts, cache = self.engine._prefill_rows(
+                self.model.params, cache,
+                jax.lax.dynamic_slice_in_dim(embeds_dev, c0, step, axis=1),
+                jax.lax.dynamic_slice_in_dim(pos_dev, c0, step, axis=2),
+                jnp.asarray(in_chunk),
+            )
+            chunk_logits.append((c0, lgts))
+        # per-row logits come from the chunk containing that row's last token
+        parts = []
+        for i in range(n_pad):
+            c_sel = (last_idx[i] // step) * step
+            parts.append([lg for c0, lg in chunk_logits if c0 == c_sel][0][i])
+        logits = jnp.stack(parts)
         sp = {
             "temp": jnp.asarray(
                 [r.sampling.temp for r in reqs] + [0.0] * (n_pad - n), jnp.float32

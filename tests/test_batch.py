@@ -148,3 +148,26 @@ class TestBatchGenerateAPI:
         )
         assert len(res.texts) == 2
         assert res.stats["generation_tokens"] == 8
+
+
+class TestChunkedBatchedAdmission:
+    def test_mixed_long_prompts_match_single_stream(self, model):
+        """Prompts longer than prefill_step admit in ONE chunked batched
+        prefill (round-1 fell back to serial admission) and the outputs
+        still equal single-stream greedy decoding."""
+        prompts = [
+            (np.arange(100, dtype=np.int32) * 5 % 200)[None],
+            (np.arange(73, dtype=np.int32) * 3 % 200)[None],
+        ]
+        max_tokens = 5
+        expected = [_single_stream_tokens(model, p, max_tokens)
+                    for p in prompts]
+        gen = BatchGenerator(model, num_slots=4, capacity=512, block_size=3,
+                             prefill_step_size=64, dtype=jnp.float32)
+        for uid, p in enumerate(prompts):
+            gen.insert(BatchRequest(uid=uid,
+                                    inputs_embeds=_embeds(model, p),
+                                    max_tokens=max_tokens))
+        outs = _drain(gen, range(len(prompts)))
+        for uid, exp in enumerate(expected):
+            assert outs[uid] == exp, f"row {uid}: {outs[uid]} != {exp}"
