@@ -1,0 +1,3 @@
+from .paddleocr_vl import Model, ModelConfig, TextConfig, VisionConfig
+
+__all__ = ["Model", "ModelConfig", "TextConfig", "VisionConfig"]
