@@ -107,6 +107,47 @@ class LanguageModel:
         h = self._norm(mp["norm"], h, self.args.rms_norm_eps)
         return h, cache.with_arrays(cys, S), hiddens
 
+    def forward_masked(self, params, inputs_embeds, cache, position_ids,
+                       block_mask):
+        """Read-only forward with a CUSTOM in-block attention mask.
+
+        Tree-verified speculative decoding (speculative/ddtree.py): the S
+        new tokens attend to the cache below the cursor plus the given
+        [S, S] ancestor mask; their K/V are used in-flight and never
+        written, so no rollback is needed.
+        """
+        B, S, _ = inputs_embeds.shape
+        cos, sin = self.rope.cos_sin(position_ids)
+        C = cache.capacity
+        cache_part = (jnp.arange(C) < cache.offset)[None, None, None, :]
+        mask = jnp.concatenate(
+            [jnp.broadcast_to(cache_part, (B, 1, S, C)),
+             jnp.broadcast_to(block_mask[None, None], (B, 1, S, S))],
+            axis=-1)
+        h = inputs_embeds
+        mp = params["model"]
+
+        def layer(h, xs):
+            lp, cxs = xs
+            x = self._norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
+            q, k, v = self._qkv(lp["self_attn"], x)
+            q, k = apply_rope(q, k, cos, sin)
+            from ...ops.attention import sdpa
+
+            keys = jnp.concatenate([cxs[0], k.astype(cxs[0].dtype)], axis=2)
+            vals = jnp.concatenate([cxs[1], v.astype(cxs[1].dtype)], axis=2)
+            o = sdpa(q, keys, vals, self.scale, mask)
+            o = o.transpose(0, 2, 1, 3).reshape(B, S, -1)
+            h = h + self.residual_scale * linear(lp["self_attn"]["o_proj"],
+                                                o)
+            x = self._norm(lp["post_attention_layernorm"], h,
+                           self.args.rms_norm_eps)
+            h = h + self.residual_scale * self._mlp(lp["mlp"], x)
+            return h, None
+
+        h, _ = jax.lax.scan(layer, h, (mp["layers"], cache.scan_arrays()))
+        return self._norm(mp["norm"], h, self.args.rms_norm_eps), None
+
     def _mlp(self, p, x):
         return swiglu_mlp(p, x)
 

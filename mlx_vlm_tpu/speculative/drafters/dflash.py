@@ -207,6 +207,69 @@ class DFlashDrafter:
         self._draft_fns[key] = draft
         return draft
 
+    def draft_logits_fn(self, target_lm, block_size: int):
+        """Like draft_fn but returns the full per-depth logits
+        [B, block_size-1, V] — feeds DDTree construction
+        (speculative/ddtree.py build_ddtree)."""
+        key = (id(target_lm), block_size, "logits")
+        if key in self._draft_fns:
+            return self._draft_fns[key]
+        argmax_key = (id(target_lm), block_size)
+        # share the block forward with draft_fn via a logits-returning twin
+        c = self.config
+        bs = block_size
+        base = self.draft_fn(target_lm, bs)
+        del base, argmax_key
+
+        @jax.jit
+        def draft_logits(tparams, dparams, cache, bonus):
+            B = bonus.shape[0]
+            tlp = tparams["language_model"]
+            block = jnp.concatenate(
+                [bonus[:, None],
+                 jnp.full((B, bs - 1), c.mask_token_id, jnp.int32)], axis=1)
+            h = target_lm.embed(tlp, block)
+            pos = cache.offset + jnp.arange(bs, dtype=jnp.int32)
+            pos = jnp.broadcast_to(pos[None], (B, bs))
+            cos, sin = self.rope.cos_sin(pos)
+            C = cache.capacity
+            mask = jnp.concatenate(
+                [jnp.arange(C) < cache.offset, jnp.ones((bs,), bool)]
+            )[None, None, None, :]
+
+            def layer(h, xs):
+                lp, kc, vc = xs
+                y = rms_norm(lp["input_layernorm"], h, c.rms_norm_eps)
+                q = linear(lp["self_attn"]["q_proj"], y).reshape(
+                    B, bs, self.n_heads, self.head_dim)
+                q = rms_norm(lp["self_attn"]["q_norm"], q, c.rms_norm_eps)
+                q = q.transpose(0, 2, 1, 3)
+                pk = linear(lp["self_attn"]["k_proj"], y).reshape(
+                    B, bs, self.n_kv_heads, self.head_dim)
+                pk = rms_norm(lp["self_attn"]["k_norm"], pk, c.rms_norm_eps)
+                pk = pk.transpose(0, 2, 1, 3)
+                pv = linear(lp["self_attn"]["v_proj"], y).reshape(
+                    B, bs, self.n_kv_heads, self.head_dim).transpose(
+                    0, 2, 1, 3)
+                q, pk = apply_rope(q, pk, cos, sin)
+                keys = jnp.concatenate([kc, pk.astype(kc.dtype)], axis=2)
+                vals = jnp.concatenate([vc, pv.astype(vc.dtype)], axis=2)
+                o = sdpa(q, keys, vals, self.scale, mask)
+                o = o.transpose(0, 2, 1, 3).reshape(B, bs, -1)
+                h = h + linear(lp["self_attn"]["o_proj"], o)
+                y2 = rms_norm(lp["post_attention_layernorm"], h,
+                              c.rms_norm_eps)
+                h = h + swiglu_mlp(lp["mlp"], y2)
+                return h, None
+
+            h, _ = jax.lax.scan(layer, h,
+                                (dparams["layers"], cache.k, cache.v))
+            h = rms_norm(dparams["norm"], h, c.rms_norm_eps)
+            return target_lm.logits(tlp, h[:, 1:]).astype(jnp.float32)
+
+        self._draft_fns[key] = draft_logits
+        return draft_logits
+
 
 def next_block_size(stats, ceiling: int, remaining: int,
                     window: int = 8) -> int:

@@ -220,3 +220,70 @@ class TestDFlashLoader:
         out = [int(t[0]) for t, _ in dflash_generate_step(
             _embeds(target, ids), target, drafter, loaded, max_tokens=8)]
         assert out == ref
+
+
+class TestDDTree:
+    def test_build_tree_ordering_and_budget(self):
+        from mlx_vlm_tpu.speculative.ddtree import build_ddtree
+
+        rng = np.random.default_rng(0)
+        logits = rng.standard_normal((3, 10)).astype(np.float32)
+        tree = build_ddtree(logits, budget=6)
+        assert len(tree) == 6
+        # descending factorized log-prob
+        lps = [n.log_prob for n in tree]
+        assert lps == sorted(lps, reverse=True)
+        # prefix-closed: every node's parent appears earlier
+        for i, n in enumerate(tree):
+            assert n.parent < i
+        # the first node is the depth-1 argmax
+        assert tree[0].depth == 1
+        assert tree[0].token_ids[0] == int(np.argmax(logits[0]))
+
+    def test_ancestor_mask(self):
+        from mlx_vlm_tpu.speculative.ddtree import (build_ddtree,
+                                                    tree_ancestor_mask)
+
+        logits = np.random.default_rng(1).standard_normal((2, 6)).astype(
+            np.float32)
+        tree = build_ddtree(logits, budget=4)
+        m = tree_ancestor_mask(tree)
+        assert m.shape == (5, 5)
+        assert m[:, 0].all()  # bonus visible to all
+        for i, n in enumerate(tree):
+            if n.parent >= 0:
+                assert m[i + 1, n.parent + 1]
+            # non-ancestor siblings invisible
+            for j in range(len(tree)):
+                anc = []
+                p = n.parent
+                while p != -1:
+                    anc.append(p)
+                    p = tree[p].parent
+                if j != i and j not in anc:
+                    assert not m[i + 1, j + 1]
+
+    def test_walk_tree(self):
+        from mlx_vlm_tpu.speculative.ddtree import DDTreeNode, walk_tree
+
+        # tree: n0=(tokA, d1), n1=(tokB, d1), n2=(tokC, d2 child of n0)
+        tree = [DDTreeNode((1,), (5,), -0.1, 1, -1),
+                DDTreeNode((2,), (7,), -0.5, 1, -1),
+                DDTreeNode((1, 1), (5, 9), -0.7, 2, 0)]
+        # greedy after bonus = 5 -> n0; greedy after n0 = 9 -> n2; after n2
+        # = anything not in tree -> stop
+        greedy = np.asarray([5, 9, 0, 3])
+        assert walk_tree(tree, greedy) == [0, 2]
+        # no match at root
+        assert walk_tree(tree, np.asarray([9, 9, 9, 9])) == []
+
+    def test_tree_generate_lossless(self, target):
+        from mlx_vlm_tpu.speculative.ddtree import tree_generate_step
+
+        drafter, dparams = _tiny_dflash(target)
+        ids = (np.arange(9, dtype=np.int32) * 5 % 200)[None]
+        ref = _plain_greedy(target, ids, 12)
+        out = [int(t[0]) for t, _ in tree_generate_step(
+            _embeds(target, ids), target, drafter, dparams,
+            max_tokens=12, tree_budget=6)]
+        assert out == ref, f"{out} != {ref}"
