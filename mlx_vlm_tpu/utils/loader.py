@@ -46,6 +46,10 @@ MODEL_REMAPPING = {
     "qwen3_moe": "qwen2_moe",  # same MoE decoder; q/k norms picked up
     "deepseek_v3": "deepseek_v2",  # MLA + noaux_tc routing in one module
     "qwen3_5_moe": "qwen3_5",  # same hybrid decoder; MoE via experts keys
+    "deepseekocr": "deepseekocr",
+    "deepseekocr_2": "deepseekocr",  # same SAM+CLIP towers, newer decoder
+    "unlimited-ocr": "deepseekocr",  # deepseekocr.language-based (ref)
+    "unlimited_ocr": "deepseekocr",
     "phi3": "phi3_v",  # same decoder; vision path simply unused
     "cohere": "cohere2",
     # plain-llama-architecture text families (biases/norm variants are
