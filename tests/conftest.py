@@ -20,3 +20,19 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# The full suite compiles thousands of XLA programs; keeping them all live
+# in one process has produced native crashes (SIGSEGV) near the end of the
+# run.  Dropping compiled-program caches between modules bounds live
+# executables; the persistent disk cache makes re-compiles cheap.
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
+    gc.collect()
