@@ -16,11 +16,13 @@ import jax.numpy as jnp
 
 from .quant import (
     ChannelQuantizedTensor,
+    Int4GroupedTensor,
     NVFP4Tensor,
     QuantizedTensor,
     activation_quant_enabled,
     channel_quantized_matmul,
     channel_quantized_matmul_int8,
+    int4_grouped_matmul,
     nvfp4_matmul,
     quantized_matmul,
 )
@@ -38,6 +40,8 @@ __all__ = [
 
 def _matmul_wT(x: jax.Array, w) -> jax.Array:
     """x @ w.T for a dense or quantized weight in HF [out, in] layout."""
+    if isinstance(w, Int4GroupedTensor):
+        return int4_grouped_matmul(x, w)
     if isinstance(w, ChannelQuantizedTensor):
         if activation_quant_enabled():
             return channel_quantized_matmul_int8(x, w)

@@ -471,3 +471,101 @@ def quantize_activations(model):
             "(load with MLX_VLM_TPU_RUNTIME_QUANT=w8chan)")
     set_activation_quant(True)
     return model
+
+
+# ------------------------------------------------- grouped int4 (bitcast)
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["qp", "scales", "biases"],
+    meta_fields=["out_dtype"],
+)
+@dataclasses.dataclass
+class Int4GroupedTensor:
+    """Group-affine int4 weight in the XLA-fusable bitcast layout.
+
+    Codes stay BIT-EXACT from the checkpoint (unlike the w8chan requant).
+    CAVEAT (measured on v5e): XLA does NOT fuse the int4 unpack into
+    dot_general operands — it materializes the dequantized bf16 weight,
+    so the plain-XLA path here runs ~10x slower than w8chan in-model.
+    Use this layout for bit-exactness (conversion/export, parity tests)
+    or with a Pallas kernel that unpacks in VMEM; w8chan is the perf
+    default.
+
+    qp:     uint8 [G, g, N/2] — two signed int4 per byte, low nibble first,
+            value = code - 8 (affine bias absorbs the +8)
+    scales: [G, 1, N] in out_dtype
+    biases: [G, 1, N] in out_dtype (checkpoint bias + 8 * scale)
+    """
+
+    qp: jax.Array
+    scales: jax.Array
+    biases: jax.Array
+    out_dtype: str = "bfloat16"
+
+    @property
+    def shape(self):
+        *lead, G, g, n2 = self.qp.shape
+        return tuple(lead) + (n2 * 2, G * g)  # logical HF [out, in]
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.out_dtype)
+
+    @property
+    def ndim(self):
+        return self.qp.ndim + 1  # logical [out, in] rank bookkeeping
+
+
+def to_int4_grouped(t: QuantizedTensor) -> Int4GroupedTensor:
+    """Bit-exact host repack of an mlx-affine 4-bit tensor [N, K]."""
+    if t.bits != 4:
+        raise ValueError("Int4GroupedTensor requires a 4-bit source")
+    q = np.asarray(t.q)
+    N, K2 = q.shape
+    codes = np.empty((N, K2 * 2), np.uint8)
+    codes[:, 0::2] = q & 0xF
+    codes[:, 1::2] = q >> 4
+    K = K2 * 2
+    g = t.group_size
+    G = K // g
+    signed = codes.astype(np.int16) - 8  # [-8, 7]
+    w = signed.T.reshape(G, g, N)  # [K, N] grouped
+    qp = ((w[..., 0::2] & 0xF) | ((w[..., 1::2] & 0xF) << 4)).astype(
+        np.uint8)
+    s = np.asarray(t.scales, np.float32).T.reshape(G, 1, N)
+    b = np.asarray(t.biases, np.float32).T.reshape(G, 1, N) + 8.0 * s
+    dt = jnp.bfloat16 if t.out_dtype == "bfloat16" else np.dtype(t.out_dtype)
+    return Int4GroupedTensor(
+        qp=jnp.asarray(qp),
+        scales=jnp.asarray(s, dt),
+        biases=jnp.asarray(b, dt),
+        out_dtype=t.out_dtype,
+    )
+
+
+def int4_grouped_matmul(x: jax.Array, t: Int4GroupedTensor) -> jax.Array:
+    """x [..., K] @ dequant(t).T -> [..., N], dequant fused in-loop."""
+    G, g, n2 = t.qp.shape
+    N = n2 * 2
+    w4 = jax.lax.bitcast_convert_type(t.qp, jnp.int4)  # [G, g, N/2, 2]
+    w = w4.reshape(G, g, N).astype(x.dtype) * t.scales.astype(x.dtype) \
+        + t.biases.astype(x.dtype)
+    *lead, K = x.shape
+    xg = x.reshape(*lead, G, g)
+    nd = xg.ndim
+    return jax.lax.dot_general(
+        xg, w, (((nd - 2, nd - 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def int4_grouped_dequantize(t: Int4GroupedTensor, dtype=None) -> jax.Array:
+    """Dense [N, K] weight (for fusing / export paths)."""
+    dtype = dtype or t.dtype
+    G, g, n2 = t.qp.shape
+    N = n2 * 2
+    w4 = jax.lax.bitcast_convert_type(t.qp, jnp.int4)
+    w = w4.reshape(G, g, N).astype(jnp.float32) * t.scales.astype(
+        jnp.float32) + t.biases.astype(jnp.float32)
+    return w.reshape(G * g, N).T.astype(dtype)

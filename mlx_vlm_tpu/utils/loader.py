@@ -28,10 +28,12 @@ import jax.numpy as jnp
 
 from ..core.quant import (
     ChannelQuantizedTensor,
+    Int4GroupedTensor,
     NVFP4Tensor,
     QuantizedTensor,
     from_mlx_packed,
     to_channel_quantized,
+    to_int4_grouped,
 )
 
 logger = logging.getLogger("mlx_vlm_tpu.loader")
@@ -167,6 +169,16 @@ def _stack_layers(flat: dict, patterns) -> dict:
                     group_size=vals[0].group_size,
                     out_dtype=vals[0].out_dtype,
                 )
+            elif isinstance(vals[0], Int4GroupedTensor):
+                stacked = Int4GroupedTensor(
+                    qp=jnp.moveaxis(jnp.stack([t.qp for t in vals]), 0,
+                                    dest),
+                    scales=jnp.moveaxis(
+                        jnp.stack([t.scales for t in vals]), 0, dest),
+                    biases=jnp.moveaxis(
+                        jnp.stack([t.biases for t in vals]), 0, dest),
+                    out_dtype=vals[0].out_dtype,
+                )
             elif isinstance(vals[0], NVFP4Tensor):
                 stacked = NVFP4Tensor(
                     q=jnp.moveaxis(jnp.stack([t.q for t in vals]), 0, dest),
@@ -210,7 +222,7 @@ def unstack_params(model, params: dict) -> dict:
             if isinstance(v, dict):
                 walk(v, path)
             elif isinstance(v, (QuantizedTensor, ChannelQuantizedTensor,
-                                NVFP4Tensor)):
+                                NVFP4Tensor, Int4GroupedTensor)):
                 raise ValueError(
                     f"cannot export quantized tensor at {path}; dequantize "
                     "before saving or use the converter")
@@ -235,17 +247,25 @@ def unstack_params(model, params: dict) -> dict:
 def runtime_quant_mode() -> str:
     """How quantized weights execute on device.
 
-    "w8chan" (default): requantize group-affine weights to per-channel int8
-    in transposed [K, N] layout at load — XLA fuses the dequant into its
-    memory-bound matvec (int8 HBM roofline, ~1.9x bf16 decode on v5e).
-    "exact": keep the checkpoint's group-affine codes bit-exact and
-    dequantize at matmul time (Pallas fused kernel / XLA dequant).
+    "w8chan" (default): requantize group-affine weights to per-channel
+    int8 in transposed [K, N] layout.  XLA fuses the bare int8->bf16
+    convert into the matvec (scales factor out to the output), so decode
+    runs at the int8 HBM roofline — measured ~700 GB/s effective on v5e.
+    "w4grp": keep the checkpoint's group-affine int4 codes BIT-EXACT in
+    the [G, g, N/2] packed layout (core/quant.py Int4GroupedTensor).
+    NOTE: XLA does NOT fuse sub-byte unpack into dots on TPU (it
+    materializes the dequantized weight; measured ~10x slower in-model),
+    so this mode is only useful with the Pallas grouped-int4 kernel path.
+    "exact": keep group-affine codes and dequantize at matmul time
+    (Pallas fused kernel / XLA dequant).
     """
     import os
 
     mode = os.environ.get("MLX_VLM_TPU_RUNTIME_QUANT", "w8chan")
-    if mode not in ("w8chan", "exact"):
-        raise ValueError(f"MLX_VLM_TPU_RUNTIME_QUANT must be w8chan|exact, got {mode}")
+    if mode not in ("w4grp", "w8chan", "exact"):
+        raise ValueError(
+            f"MLX_VLM_TPU_RUNTIME_QUANT must be w4grp|w8chan|exact, "
+            f"got {mode}")
     return mode
 
 
@@ -255,7 +275,7 @@ def _fold_quantized(flat: dict, qcfg: dict) -> dict:
     quantized checkpoint loading."""
     bits = qcfg.get("bits", 4)
     group_size = qcfg.get("group_size", 64)
-    to_channel = runtime_quant_mode() == "w8chan"
+    mode = runtime_quant_mode()
     out = {}
     handled = set()
     for k in list(flat.keys()):
@@ -278,7 +298,12 @@ def _fold_quantized(flat: dict, qcfg: dict) -> dict:
         if biases is None:
             biases = np.zeros_like(flat[k])
         qt = from_mlx_packed(w, flat[k], biases, b, g)
-        if to_channel and qt.q.ndim == 2:
+        # embedding tables need gather access -> channel layout always
+        is_embed = "embed_tokens" in base or "wte" in base
+        if (mode == "w4grp" and b == 4 and qt.q.ndim == 2
+                and not is_embed and (qt.q.shape[1] * 2) % g == 0):
+            qt = to_int4_grouped(qt)
+        elif mode in ("w8chan", "w4grp") and qt.q.ndim == 2:
             qt = to_channel_quantized(qt)
         out[wk] = qt
         handled.update({wk, k, bk})
@@ -291,7 +316,8 @@ def _fold_quantized(flat: dict, qcfg: dict) -> dict:
 def _to_device(flat: dict, dtype, zeros_on_device: bool = False) -> dict:
     def put(v):
         if zeros_on_device and not isinstance(
-            v, (QuantizedTensor, ChannelQuantizedTensor)
+            v, (QuantizedTensor, ChannelQuantizedTensor, Int4GroupedTensor,
+                NVFP4Tensor)
         ):
             v = np.asarray(v)
             if np.issubdtype(v.dtype, np.floating):
@@ -312,6 +338,20 @@ def _to_device(flat: dict, dtype, zeros_on_device: bool = False) -> dict:
                 scales=jnp.asarray(v.scales, dtype=dtype),
                 biases=jnp.asarray(v.biases, dtype=dtype),
                 src_bits=v.src_bits,
+                out_dtype=jnp.dtype(dtype).name,
+            )
+        if isinstance(v, Int4GroupedTensor):
+            if zeros_on_device:
+                return Int4GroupedTensor(
+                    qp=jnp.zeros(v.qp.shape, jnp.uint8),
+                    scales=jnp.zeros(v.scales.shape, dtype),
+                    biases=jnp.zeros(v.biases.shape, dtype),
+                    out_dtype=jnp.dtype(dtype).name,
+                )
+            return Int4GroupedTensor(
+                qp=jnp.asarray(v.qp),
+                scales=jnp.asarray(v.scales, dtype=dtype),
+                biases=jnp.asarray(v.biases, dtype=dtype),
                 out_dtype=jnp.dtype(dtype).name,
             )
         if isinstance(v, NVFP4Tensor):

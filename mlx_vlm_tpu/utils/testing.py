@@ -727,3 +727,35 @@ def channel_quantize_lm_weights(weights: dict) -> dict:
             out_dtype="bfloat16",
         )
     return out
+
+
+def int4_grouped_lm_weights(weights: dict, group_size: int = 64) -> dict:
+    """Swap 2-D language-model linear weights for zero-filled grouped-int4
+    shells (Int4GroupedTensor) — the DEFAULT runtime layout 4-bit
+    checkpoints load into (w4grp).  For throughput benches: identical HBM
+    traffic and compute to a real quantized load, no host quantization.
+    """
+    from ..core.quant import Int4GroupedTensor
+
+    out = {}
+    for k, v in weights.items():
+        is_lm_linear = (
+            k.startswith(("model.layers.", "lm_head."))
+            and k.endswith(".weight")
+            and getattr(v, "ndim", 0) == 2
+            and "layernorm" not in k
+            and v.shape[1] >= 64
+            and v.shape[1] % group_size == 0
+        )
+        if not is_lm_linear:
+            out[k] = v
+            continue
+        n, kk = v.shape
+        g = group_size
+        out[k] = Int4GroupedTensor(
+            qp=np.zeros((kk // g, g, n // 2), np.uint8),
+            scales=np.zeros((kk // g, 1, n), np.float32),
+            biases=np.zeros((kk // g, 1, n), np.float32),
+            out_dtype="bfloat16",
+        )
+    return out

@@ -175,3 +175,108 @@ class TestEndToEnd:
         # small deviation from requantization, far below logit scale
         denom = np.abs(l_exact).max()
         assert np.abs(l_chan - l_exact).max() / denom < 0.05
+
+
+class TestInt4Grouped:
+    def _src(self, N=24, K=128, gs=32, seed=0):
+        from mlx_vlm_tpu.core.quant import quantize
+
+        rng = np.random.default_rng(seed)
+        w = jnp.asarray(rng.standard_normal((N, K)) * 0.1, jnp.float32)
+        return quantize(w, bits=4, group_size=gs)
+
+    def test_bit_exact_dequant(self):
+        from mlx_vlm_tpu.core.quant import (dequantize,
+                                            int4_grouped_dequantize,
+                                            to_int4_grouped)
+
+        t = self._src()
+        g = to_int4_grouped(t)
+        ref = np.asarray(dequantize(t, jnp.float32))
+        got = np.asarray(int4_grouped_dequantize(g, jnp.float32))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_matmul_matches_dequant(self):
+        from mlx_vlm_tpu.core.quant import (dequantize, int4_grouped_matmul,
+                                            to_int4_grouped)
+
+        t = self._src(seed=2)
+        g = to_int4_grouped(t)
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((3, 128)),
+                        jnp.float32)
+        ref = np.asarray(x) @ np.asarray(dequantize(t, jnp.float32)).T
+        got = np.asarray(int4_grouped_matmul(x, g))
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    def test_linear_dispatch(self):
+        from mlx_vlm_tpu.core.layers import linear
+        from mlx_vlm_tpu.core.quant import dequantize, to_int4_grouped
+
+        t = self._src(seed=3)
+        g = to_int4_grouped(t)
+        x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 128)),
+                        jnp.float32)
+        ref = np.asarray(x) @ np.asarray(dequantize(t, jnp.float32)).T
+        got = np.asarray(linear({"weight": g}, x))
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    def test_loader_folds_w4grp(self, monkeypatch):
+        from mlx_vlm_tpu.core.quant import Int4GroupedTensor, quantize
+        from mlx_vlm_tpu.utils.loader import _fold_quantized
+
+        monkeypatch.setenv("MLX_VLM_TPU_RUNTIME_QUANT", "w4grp")
+        t = self._src()
+        u32 = np.asarray(t.q).view(np.uint32)
+        flat = {"l.weight": u32, "l.scales": np.asarray(t.scales),
+                "l.biases": np.asarray(t.biases),
+                "model.embed_tokens.weight": u32,
+                "model.embed_tokens.scales": np.asarray(t.scales),
+                "model.embed_tokens.biases": np.asarray(t.biases)}
+        out = _fold_quantized(flat, {"bits": 4, "group_size": 32})
+        assert isinstance(out["l.weight"], Int4GroupedTensor)
+        # embedding tables stay gatherable (channel layout)
+        from mlx_vlm_tpu.core.quant import ChannelQuantizedTensor
+
+        assert isinstance(out["model.embed_tokens.weight"],
+                          ChannelQuantizedTensor)
+
+    def test_generation_with_w4grp_model(self, monkeypatch):
+        """End-to-end: a 4-bit checkpoint loads into the grouped layout and
+        greedy generation matches the exact dequant path."""
+        import os
+
+        from mlx_vlm_tpu.generate.ar import generate_step
+        from mlx_vlm_tpu.utils.loader import load_model_from_weights
+        from mlx_vlm_tpu.utils.testing import (llama_hf_weights,
+                                               tiny_llama_config)
+        from mlx_vlm_tpu.core.quant import quantize
+
+        cfg = tiny_llama_config()
+        cfg = dict(cfg, quantization={"bits": 4, "group_size": 32})
+        base = llama_hf_weights(dict(cfg), 0)
+        w = {}
+        for k, v in base.items():
+            if (k.startswith("model.layers") and v.ndim == 2
+                    and "norm" not in k):
+                t = quantize(jnp.asarray(v), 4, 32)
+                w[k.replace(".weight", "") + ".weight"] = np.asarray(
+                    t.q).view(np.uint32)
+                w[k.replace(".weight", "") + ".scales"] = np.asarray(
+                    t.scales)
+                w[k.replace(".weight", "") + ".biases"] = np.asarray(
+                    t.biases)
+            else:
+                w[k] = v
+
+        def toks(mode):
+            monkeypatch.setenv("MLX_VLM_TPU_RUNTIME_QUANT", mode)
+            m = load_model_from_weights(dict(cfg), dict(w), jnp.float32)
+            ids = (np.arange(8, dtype=np.int32) * 3 % 200)[None]
+            import jax as _jax
+
+            e = _jax.jit(m.get_input_embeddings)(m.params,
+                                                 jnp.asarray(ids))
+            return [int(t[0]) for t, _ in generate_step(e, m,
+                                                        max_tokens=6)]
+
+        assert toks("w4grp") == toks("exact")

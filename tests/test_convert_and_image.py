@@ -35,7 +35,8 @@ class TestConvert:
             assert out_cfg["quantization"] == {"bits": 4, "group_size": 32}
 
             model = load_model(dst, dtype=jnp.float32)
-            from mlx_vlm_tpu.core.quant import ChannelQuantizedTensor
+            from mlx_vlm_tpu.core.quant import (ChannelQuantizedTensor,
+                                                Int4GroupedTensor)
 
             qt = model.params["language_model"]["model"]["layers"]["self_attn"]["q_proj"]["weight"]
             # default runtime mode requantizes to the per-channel int8 layout
