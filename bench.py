@@ -5,7 +5,8 @@ Runs on the session's real accelerator (TPU v5e via axon).
 Headline: single-stream decode tokens/sec on Qwen2-VL-7B dims with 4-bit
 weights in the runtime layout (per-channel int8; the bare int8->bf16
 convert fuses into the XLA matvec at HBM roofline — see core/quant.py
-ChannelQuantizedTensor).  This is the
+ChannelQuantizedTensor; ops/int4_matvec.py documents why true int4
+decode loses on this stack).  This is the
 BASELINE.json north-star config (Qwen2-VL-7B-4bit on one chip).
 
 Baseline: mlx-vlm on an M3 Ultra decodes Qwen2-VL-7B-4bit at roughly

@@ -40,8 +40,18 @@ __all__ = [
 
 def _matmul_wT(x: jax.Array, w) -> jax.Array:
     """x @ w.T for a dense or quantized weight in HF [out, in] layout."""
+    from .quant_scan import Int4ScanRef, resolve_scan_ref
+
+    if isinstance(w, Int4ScanRef):
+        # stacked-in-scan quantized weight: no-copy scalar-prefetch kernel
+        from ..ops.int4_matvec import int4_matvec
+
+        t, idx = resolve_scan_ref(w)
+        return int4_matvec(x, t, idx)
     if isinstance(w, Int4GroupedTensor):
-        return int4_grouped_matmul(x, w)
+        from ..ops.int4_matvec import int4_matvec
+
+        return int4_matvec(x, w)
     if isinstance(w, ChannelQuantizedTensor):
         if activation_quant_enabled():
             return channel_quantized_matmul_int8(x, w)

@@ -473,40 +473,46 @@ def quantize_activations(model):
     return model
 
 
-# ------------------------------------------------- grouped int4 (bitcast)
+# ----------------------------------------- grouped int4 (Pallas matvec)
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qp", "scales", "biases"],
-    meta_fields=["out_dtype"],
+    data_fields=["qp", "sl", "sh", "bl", "bh"],
+    meta_fields=["n", "group_size", "out_dtype"],
 )
 @dataclasses.dataclass
 class Int4GroupedTensor:
-    """Group-affine int4 weight in the XLA-fusable bitcast layout.
+    """Group-affine int4 weight in the halves-packed decode-kernel layout.
 
     Codes stay BIT-EXACT from the checkpoint (unlike the w8chan requant).
-    CAVEAT (measured on v5e): XLA does NOT fuse the int4 unpack into
-    dot_general operands — it materializes the dequantized bf16 weight,
-    so the plain-XLA path here runs ~10x slower than w8chan in-model.
-    Use this layout for bit-exactness (conversion/export, parity tests)
-    or with a Pallas kernel that unpacks in VMEM; w8chan is the perf
-    default.
+    The layout is designed for ops/int4_matvec.py: nibbles never need
+    lane-reordering in VMEM — the low-nibble plane covers output columns
+    [0, N2p) and the high-nibble plane columns [N2p, 2*N2p), so the
+    kernel dequantizes each plane in place and writes two contiguous
+    column halves.  (Plain-XLA dots can't fuse sub-byte unpack on TPU —
+    measured ~10x slower than w8chan — hence the dedicated kernel.)
 
-    qp:     uint8 [G, g, N/2] — two signed int4 per byte, low nibble first,
-            value = code - 8 (affine bias absorbs the +8)
-    scales: [G, 1, N] in out_dtype
-    biases: [G, 1, N] in out_dtype (checkpoint bias + 8 * scale)
+    qp: uint8 [.., K, N2p] — byte at [k, j] holds code(col j) in the low
+        nibble and code(col N2p + j) in the high nibble; columns >= N are
+        zero padding (N2p = padded half-width, lane-tile aligned)
+    sl/sh: [.., G, 1, N2p] f32 — per-(K-group, column) scales for the
+        low/high planes; bl/bh the matching affine biases
+    n: logical output-feature count N; group_size: along K
     """
 
     qp: jax.Array
-    scales: jax.Array
-    biases: jax.Array
+    sl: jax.Array
+    sh: jax.Array
+    bl: jax.Array
+    bh: jax.Array
+    n: int = 0
+    group_size: int = 64
     out_dtype: str = "bfloat16"
 
     @property
     def shape(self):
-        *lead, G, g, n2 = self.qp.shape
-        return tuple(lead) + (n2 * 2, G * g)  # logical HF [out, in]
+        *lead, K, _ = self.qp.shape
+        return tuple(lead) + (self.n, K)  # logical HF [out, in]
 
     @property
     def dtype(self):
@@ -514,7 +520,15 @@ class Int4GroupedTensor:
 
     @property
     def ndim(self):
-        return self.qp.ndim + 1  # logical [out, in] rank bookkeeping
+        return self.qp.ndim  # logical [out, in] rank bookkeeping
+
+
+def _int4_half_width(N: int) -> int:
+    """Padded half-width: lane-tile (128) aligned, 512-aligned for large N
+    so the kernel can use 512-wide column tiles."""
+    half = (N + 1) // 2
+    align = 512 if N >= 1024 else 128
+    return ((half + align - 1) // align) * align
 
 
 def to_int4_grouped(t: QuantizedTensor) -> Int4GroupedTensor:
@@ -529,43 +543,50 @@ def to_int4_grouped(t: QuantizedTensor) -> Int4GroupedTensor:
     K = K2 * 2
     g = t.group_size
     G = K // g
-    signed = codes.astype(np.int16) - 8  # [-8, 7]
-    w = signed.T.reshape(G, g, N)  # [K, N] grouped
-    qp = ((w[..., 0::2] & 0xF) | ((w[..., 1::2] & 0xF) << 4)).astype(
-        np.uint8)
-    s = np.asarray(t.scales, np.float32).T.reshape(G, 1, N)
-    b = np.asarray(t.biases, np.float32).T.reshape(G, 1, N) + 8.0 * s
-    dt = jnp.bfloat16 if t.out_dtype == "bfloat16" else np.dtype(t.out_dtype)
+    n2p = _int4_half_width(N)
+    ct = codes.T  # [K, N] unsigned codes
+    cp = np.zeros((K, 2 * n2p), np.uint8)
+    cp[:, :N] = ct
+    qp = (cp[:, :n2p] | (cp[:, n2p:] << 4)).astype(np.uint8)
+    s = np.zeros((N_p := 2 * n2p, G), np.float32)
+    b = np.zeros((N_p, G), np.float32)
+    s[:N] = np.asarray(t.scales, np.float32)
+    b[:N] = np.asarray(t.biases, np.float32)
+    s = s.T.reshape(G, 1, N_p)
+    b = b.T.reshape(G, 1, N_p)
     return Int4GroupedTensor(
         qp=jnp.asarray(qp),
-        scales=jnp.asarray(s, dt),
-        biases=jnp.asarray(b, dt),
+        sl=jnp.asarray(s[..., :n2p]),
+        sh=jnp.asarray(s[..., n2p:]),
+        bl=jnp.asarray(b[..., :n2p]),
+        bh=jnp.asarray(b[..., n2p:]),
+        n=N,
+        group_size=g,
         out_dtype=t.out_dtype,
     )
 
 
+def int4_grouped_dequantize(t: Int4GroupedTensor, dtype=None) -> jax.Array:
+    """Dense [N, K] weight (prefill / export / fallback paths)."""
+    dtype = dtype or t.dtype
+    K, n2p = t.qp.shape
+    G = t.sl.shape[0]
+    g = K // G
+    qi = t.qp.astype(jnp.int32)
+    lo = (qi & 0xF).astype(jnp.float32).reshape(G, g, n2p)
+    hi = (qi >> 4).astype(jnp.float32).reshape(G, g, n2p)
+    w = jnp.concatenate([lo * t.sl + t.bl, hi * t.sh + t.bh], axis=-1)
+    return w.reshape(K, 2 * n2p)[:, : t.n].T.astype(dtype)
+
+
 def int4_grouped_matmul(x: jax.Array, t: Int4GroupedTensor) -> jax.Array:
-    """x [..., K] @ dequant(t).T -> [..., N], dequant fused in-loop."""
-    G, g, n2 = t.qp.shape
-    N = n2 * 2
-    w4 = jax.lax.bitcast_convert_type(t.qp, jnp.int4)  # [G, g, N/2, 2]
-    w = w4.reshape(G, g, N).astype(x.dtype) * t.scales.astype(x.dtype) \
-        + t.biases.astype(x.dtype)
-    *lead, K = x.shape
-    xg = x.reshape(*lead, G, g)
-    nd = xg.ndim
+    """x [..., K] @ dequant(t).T -> [..., N].
+
+    XLA fallback (dequant materializes, fine for compute-bound prefill);
+    the decode hot path goes through ops/int4_matvec.py instead.
+    """
+    w = int4_grouped_dequantize(t, x.dtype)  # [N, K]
     return jax.lax.dot_general(
-        xg, w, (((nd - 2, nd - 1), (0, 1)), ((), ())),
+        x, w, (((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
-
-
-def int4_grouped_dequantize(t: Int4GroupedTensor, dtype=None) -> jax.Array:
-    """Dense [N, K] weight (for fusing / export paths)."""
-    dtype = dtype or t.dtype
-    G, g, n2 = t.qp.shape
-    N = n2 * 2
-    w4 = jax.lax.bitcast_convert_type(t.qp, jnp.int4)
-    w = w4.reshape(G, g, N).astype(jnp.float32) * t.scales.astype(
-        jnp.float32) + t.biases.astype(jnp.float32)
-    return w.reshape(G * g, N).T.astype(dtype)

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from ...core import cache as cache_lib
 from ...core.layers import embedding, embedding_as_linear, linear, rms_norm, swiglu_mlp
+from ...core.quant_scan import scan_layers
 from ...core.mask import causal_cache_mask
 from ...core.rope import apply_rope, make_rope
 from ...ops.attention import sdpa
@@ -63,14 +64,13 @@ class LanguageModel:
                 h = h + self.residual_scale * self._mlp(lp["mlp"], x)
                 return h, None
 
-            body = jax.checkpoint(layer_nc) if self.remat else layer_nc
-            h, _ = jax.lax.scan(body, h, mp["layers"])
+            h, _ = scan_layers(layer_nc, h, mp["layers"],
+                               remat=self.remat)
             return self._norm(mp["norm"], h, self.args.rms_norm_eps), None
 
         mask = causal_cache_mask(cache.offset, cache.left_pad, S, cache.capacity)
 
-        def layer(h, xs):
-            lp, cxs = xs
+        def layer(h, lp, cxs):
             x = self._norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
             attn, cxs = self._attention(lp["self_attn"], x, cos, sin, mask, cache, cxs)
             h = h + self.residual_scale * attn
@@ -78,7 +78,7 @@ class LanguageModel:
             h = h + self.residual_scale * self._mlp(lp["mlp"], x)
             return h, cxs
 
-        h, cys = jax.lax.scan(layer, h, (mp["layers"], cache.scan_arrays()))
+        h, cys = scan_layers(layer, h, mp["layers"], cache.scan_arrays())
         h = self._norm(mp["norm"], h, self.args.rms_norm_eps)
         return h, cache.with_arrays(cys, S)
 
@@ -92,8 +92,7 @@ class LanguageModel:
         h = inputs_embeds
         mp = params["model"]
 
-        def layer(h, xs):
-            lp, cxs = xs
+        def layer(h, lp, cxs):
             x = self._norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
             attn, cxs = self._attention(lp["self_attn"], x, cos, sin, mask, cache, cxs)
             h = h + self.residual_scale * attn
@@ -101,8 +100,8 @@ class LanguageModel:
             h = h + self.residual_scale * self._mlp(lp["mlp"], x)
             return h, (cxs, h)
 
-        h, (cys, hiddens) = jax.lax.scan(
-            layer, h, (mp["layers"], cache.scan_arrays())
+        h, (cys, hiddens) = scan_layers(
+            layer, h, mp["layers"], cache.scan_arrays()
         )
         h = self._norm(mp["norm"], h, self.args.rms_norm_eps)
         return h, cache.with_arrays(cys, S), hiddens
@@ -127,8 +126,7 @@ class LanguageModel:
         h = inputs_embeds
         mp = params["model"]
 
-        def layer(h, xs):
-            lp, cxs = xs
+        def layer(h, lp, cxs):
             x = self._norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
             q, k, v = self._qkv(lp["self_attn"], x)
             q, k = apply_rope(q, k, cos, sin)
@@ -145,7 +143,7 @@ class LanguageModel:
             h = h + self.residual_scale * self._mlp(lp["mlp"], x)
             return h, None
 
-        h, _ = jax.lax.scan(layer, h, (mp["layers"], cache.scan_arrays()))
+        h, _ = scan_layers(layer, h, mp["layers"], cache.scan_arrays())
         return self._norm(mp["norm"], h, self.args.rms_norm_eps), None
 
     def _mlp(self, p, x):

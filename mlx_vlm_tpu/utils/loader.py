@@ -170,13 +170,16 @@ def _stack_layers(flat: dict, patterns) -> dict:
                     out_dtype=vals[0].out_dtype,
                 )
             elif isinstance(vals[0], Int4GroupedTensor):
+                # always stacked on the LEADING axis: ops/int4_matvec.py
+                # flattens [L, K, N2p] -> [L*K, N2p] for layer indexing
                 stacked = Int4GroupedTensor(
-                    qp=jnp.moveaxis(jnp.stack([t.qp for t in vals]), 0,
-                                    dest),
-                    scales=jnp.moveaxis(
-                        jnp.stack([t.scales for t in vals]), 0, dest),
-                    biases=jnp.moveaxis(
-                        jnp.stack([t.biases for t in vals]), 0, dest),
+                    qp=jnp.stack([t.qp for t in vals]),
+                    sl=jnp.stack([t.sl for t in vals]),
+                    sh=jnp.stack([t.sh for t in vals]),
+                    bl=jnp.stack([t.bl for t in vals]),
+                    bh=jnp.stack([t.bh for t in vals]),
+                    n=vals[0].n,
+                    group_size=vals[0].group_size,
                     out_dtype=vals[0].out_dtype,
                 )
             elif isinstance(vals[0], NVFP4Tensor):
@@ -252,10 +255,11 @@ def runtime_quant_mode() -> str:
     convert into the matvec (scales factor out to the output), so decode
     runs at the int8 HBM roofline — measured ~700 GB/s effective on v5e.
     "w4grp": keep the checkpoint's group-affine int4 codes BIT-EXACT in
-    the [G, g, N/2] packed layout (core/quant.py Int4GroupedTensor).
-    NOTE: XLA does NOT fuse sub-byte unpack into dots on TPU (it
-    materializes the dequantized weight; measured ~10x slower in-model),
-    so this mode is only useful with the Pallas grouped-int4 kernel path.
+    the halves-packed layout (core/quant.py Int4GroupedTensor) and decode
+    through the Pallas VMEM-unpack kernel (ops/int4_matvec.py).  Slower
+    in-model than w8chan on the current stack (per-pallas-call launch
+    overhead — see the kernel docstring for the measured matrix); use it
+    for bit-exact parity with mlx checkpoints.
     "exact": keep group-affine codes and dequantize at matmul time
     (Pallas fused kernel / XLA dequant).
     """
@@ -344,14 +348,20 @@ def _to_device(flat: dict, dtype, zeros_on_device: bool = False) -> dict:
             if zeros_on_device:
                 return Int4GroupedTensor(
                     qp=jnp.zeros(v.qp.shape, jnp.uint8),
-                    scales=jnp.zeros(v.scales.shape, dtype),
-                    biases=jnp.zeros(v.biases.shape, dtype),
+                    sl=jnp.zeros(v.sl.shape, jnp.float32),
+                    sh=jnp.zeros(v.sh.shape, jnp.float32),
+                    bl=jnp.zeros(v.bl.shape, jnp.float32),
+                    bh=jnp.zeros(v.bh.shape, jnp.float32),
+                    n=v.n, group_size=v.group_size,
                     out_dtype=jnp.dtype(dtype).name,
                 )
             return Int4GroupedTensor(
                 qp=jnp.asarray(v.qp),
-                scales=jnp.asarray(v.scales, dtype=dtype),
-                biases=jnp.asarray(v.biases, dtype=dtype),
+                sl=jnp.asarray(v.sl, jnp.float32),
+                sh=jnp.asarray(v.sh, jnp.float32),
+                bl=jnp.asarray(v.bl, jnp.float32),
+                bh=jnp.asarray(v.bh, jnp.float32),
+                n=v.n, group_size=v.group_size,
                 out_dtype=jnp.dtype(dtype).name,
             )
         if isinstance(v, NVFP4Tensor):

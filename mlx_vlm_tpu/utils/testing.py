@@ -735,7 +735,7 @@ def int4_grouped_lm_weights(weights: dict, group_size: int = 64) -> dict:
     checkpoints load into (w4grp).  For throughput benches: identical HBM
     traffic and compute to a real quantized load, no host quantization.
     """
-    from ..core.quant import Int4GroupedTensor
+    from ..core.quant import Int4GroupedTensor, _int4_half_width
 
     out = {}
     for k, v in weights.items():
@@ -752,10 +752,15 @@ def int4_grouped_lm_weights(weights: dict, group_size: int = 64) -> dict:
             continue
         n, kk = v.shape
         g = group_size
+        n2p = _int4_half_width(n)
         out[k] = Int4GroupedTensor(
-            qp=np.zeros((kk // g, g, n // 2), np.uint8),
-            scales=np.zeros((kk // g, 1, n), np.float32),
-            biases=np.zeros((kk // g, 1, n), np.float32),
+            qp=np.zeros((kk, n2p), np.uint8),
+            sl=np.zeros((kk // g, 1, n2p), np.float32),
+            sh=np.zeros((kk // g, 1, n2p), np.float32),
+            bl=np.zeros((kk // g, 1, n2p), np.float32),
+            bh=np.zeros((kk // g, 1, n2p), np.float32),
+            n=n,
+            group_size=g,
             out_dtype="bfloat16",
         )
     return out
