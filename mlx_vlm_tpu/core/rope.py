@@ -112,7 +112,18 @@ def apply_rope(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array):
 
     q,k: [B, H, S, D]; cos/sin: [B, S, D/2] (or broadcastable). The cos/sin
     are duplicated to D (concat) per the HF convention.
+
+    Partial rotary (glm4_moe / phi-style): when cos covers fewer than D/2
+    angle slots, only the first 2*slots lanes rotate and the tail passes
+    through — a static split XLA fuses away.
     """
+    rot = 2 * cos.shape[-1]
+    if rot < q.shape[-1]:
+        q_r, q_p = q[..., :rot], q[..., rot:]
+        k_r, k_p = k[..., :rot], k[..., rot:]
+        q_r, k_r = apply_rope(q_r, k_r, cos, sin)
+        return (jnp.concatenate([q_r, q_p], axis=-1),
+                jnp.concatenate([k_r, k_p], axis=-1))
     cos = jnp.concatenate([cos, cos], axis=-1)[:, None, :, :]
     sin = jnp.concatenate([sin, sin], axis=-1)[:, None, :, :]
     dtype = q.dtype

@@ -54,6 +54,7 @@ MODEL_REMAPPING = {
     "unlimited_ocr": "deepseekocr",
     "phi3": "phi3_v",  # same decoder; vision path simply unused
     "cohere": "cohere2",
+    "solar_open": "glm4_moe",  # reference solar_open reuses glm4_moe
     # plain-llama-architecture text families (biases/norm variants are
     # picked up from the checkpoint keys directly)
     "ernie4_5": "llama",
