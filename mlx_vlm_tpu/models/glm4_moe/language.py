@@ -89,8 +89,13 @@ class LanguageModel(_Base):
         kd = self.args.first_k_dense_replace
 
         if cache is None:
-            zero = jnp.zeros((), jnp.int32)
-            mask = causal_cache_mask(zero, jnp.zeros((B,), jnp.int32), S, S)
+            if causal:
+                zero = jnp.zeros((), jnp.int32)
+                mask = causal_cache_mask(zero, jnp.zeros((B,), jnp.int32),
+                                         S, S)
+            else:
+                # bidirectional full-sequence attention (diffusion LMs)
+                mask = jnp.ones((B, 1, S, S), bool)
 
             def dense_nc(h, lp):
                 h, _ = self._block(lp, h, cos, sin, mask, None, None, False)
