@@ -184,6 +184,8 @@ class LanguageModel:
         )
         sections = tuple(args.rope_scaling["mrope_section"])
         self.section_map = jnp.asarray(mrope_section_map(sections, "chunked"))
+        # glm_ocr rides this decoder without the sandwich norms
+        self.sandwich = True
 
     def __call__(self, params, inputs_embeds, cache, position_ids):
         args = self.args
@@ -211,12 +213,16 @@ class LanguageModel:
                                      flash_ok=False)
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, -1)
             attn = linear(lp["self_attn"]["o_proj"], attn)
-            h = h + rms_norm(lp["post_self_attn_layernorm"], attn, eps)
+            if self.sandwich:
+                attn = rms_norm(lp["post_self_attn_layernorm"], attn, eps)
+            h = h + attn
             x = rms_norm(lp["post_attention_layernorm"], h, eps)
             gu = linear(lp["mlp"]["gate_up_proj"], x)
             g, u = jnp.split(gu, 2, axis=-1)
             r = linear(lp["mlp"]["down_proj"], jax.nn.silu(g) * u)
-            h = h + rms_norm(lp["post_mlp_layernorm"], r, eps)
+            if self.sandwich:
+                r = rms_norm(lp["post_mlp_layernorm"], r, eps)
+            h = h + r
             return h, cxs
 
         h, cys = jax.lax.scan(layer, h, (mp["layers"], cache.scan_arrays()))
