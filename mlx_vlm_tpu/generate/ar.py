@@ -279,6 +279,10 @@ def generate_step(
     # ---- chunked prefill over the uncached suffix (reference ar.py:420-456;
     # APC warm prefixes land via prompt_cache with offset=prefix_len)
     suffix = S - prefix_len
+    if getattr(model, "no_chunked_prefill", False):
+        # models whose prefill mask/positions depend on the WHOLE prompt
+        # (e.g. falcon_ocr image-block bidirectional mask) run one chunk
+        prefill_step_size = max(prefill_step_size, suffix)
     step_sz = min(prefill_step_size, round_up(suffix, CACHE_BUCKET))
     S_pad = round_up(suffix, step_sz)
     # padded writes must fit the buffer past the warm prefix — a clamped
