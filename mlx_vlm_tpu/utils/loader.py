@@ -57,6 +57,8 @@ MODEL_REMAPPING = {
     "solar_open": "glm4_moe",  # reference solar_open reuses glm4_moe
     # plain-llama-architecture text families (biases/norm variants are
     # picked up from the checkpoint keys directly)
+    "qwen3": "llama",  # qk-norm + head_dim picked up from keys/config
+    "qwen2": "llama",  # text-only qwen2 checkpoints (biases via keys)
     "ernie4_5": "llama",
     "helium": "llama",
     "seed_oss": "llama",
