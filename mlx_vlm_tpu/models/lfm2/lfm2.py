@@ -146,9 +146,7 @@ class LanguageModel:
             r, cv = self._short_conv(lp["conv"], x, cv, valid)
             h = h + r
             x = rms_norm(lp["ffn_norm"], h, eps)
-            g = linear(lp["feed_forward"]["w1"], x)
-            u = linear(lp["feed_forward"]["w3"], x)
-            h = h + linear(lp["feed_forward"]["w2"], jax.nn.silu(g) * u)
+            h = h + self._ffn(lp["feed_forward"], x)
             return h, cv
 
         def attn_body(h, xs):
@@ -158,9 +156,7 @@ class LanguageModel:
                                         cache.offset, kb, vb)
             h = h + r
             x = rms_norm(lp["ffn_norm"], h, eps)
-            g = linear(lp["feed_forward"]["w1"], x)
-            u = linear(lp["feed_forward"]["w3"], x)
-            h = h + linear(lp["feed_forward"]["w2"], jax.nn.silu(g) * u)
+            h = h + self._ffn(lp["feed_forward"], x)
             return h, (kb, vb)
 
         for t, start, n in self.runs:
@@ -192,6 +188,11 @@ class LanguageModel:
             conv=conv_new, k=k_new, v=v_new,
             offset=cache.offset + S, left_pad=cache.left_pad,
         )
+
+    def _ffn(self, p, x):
+        g = linear(p["w1"], x)
+        u = linear(p["w3"], x)
+        return linear(p["w2"], jax.nn.silu(g) * u)
 
     def _short_conv(self, p, x, conv_state, valid):
         """Reference ShortConv:95-132 — gated depthwise causal conv."""
