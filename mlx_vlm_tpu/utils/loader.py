@@ -47,6 +47,7 @@ MODEL_REMAPPING = {
     "llava_next": "llava",  # CLIP tower + llama decoder path
     "qwen3_moe": "qwen2_moe",  # same MoE decoder; q/k norms picked up
     "deepseek_v3": "deepseek_v2",  # MLA + noaux_tc routing in one module
+    "mistral4": "deepseek_v2",  # MLA + softmax-topk MoE, same key layout
     "qwen3_5_moe": "qwen3_5",  # same hybrid decoder; MoE via experts keys
     "deepseekocr": "deepseekocr",
     "deepseekocr_2": "deepseekocr",  # same SAM+CLIP towers, newer decoder

@@ -52,3 +52,46 @@ class TestLlama4Text:
             w[k] = v
         m = load_model_from_weights(flat, w, jnp.float32)
         assert len(_gen(m)) == 3
+
+
+class TestErnie45MoeText:
+    def test_flat_text_checkpoint(self):
+        from test_ernie4_5_moe_vl import tiny_ernie_config, tiny_ernie_weights
+
+        vl_cfg = tiny_ernie_config()
+        flat = dict(vl_cfg["text_config"])
+        flat["model_type"] = "ernie4_5_moe"
+        # single text expert group: int counts, no vision experts
+        flat["moe_num_experts"] = 4
+        flat["moe_intermediate_size"] = 16
+        w = {}
+        n_text = 4
+        for k, v in tiny_ernie_weights(vl_cfg).items():
+            if k.startswith(("vision_model.", "model.resampler_model",
+                             "resampler_model")):
+                continue
+            import re
+
+            m = re.match(r"^(model\.layers\.\d+\.mlp)\.experts\.(\d+)\.(.+)$",
+                         k)
+            if m and int(m.group(2)) >= n_text:
+                continue  # drop the vision expert group
+            if "mlp.gate.weight_1" in k:  # vision router
+                continue
+            w[k] = v
+        m = load_model_from_weights(flat, w, jnp.float32)
+        assert len(_gen(m)) == 3
+
+
+class TestMistral4Remap:
+    def test_remap_and_generate(self):
+        from mlx_vlm_tpu.utils.loader import MODEL_REMAPPING
+        from test_deepseek_v2 import tiny_dsv2_config, tiny_dsv2_weights
+
+        assert MODEL_REMAPPING.get("mistral4") == "deepseek_v2"
+        cfg = tiny_dsv2_config()
+        cfg["model_type"] = "mistral4"
+        cfg["topk_method"] = "greedy"  # mistral4 routes softmax-then-topk
+        m = load_model_from_weights(cfg, tiny_dsv2_weights(cfg),
+                                    jnp.float32)
+        assert len(_gen(m)) == 3
