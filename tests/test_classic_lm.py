@@ -288,3 +288,56 @@ class TestQwen3Remap:
             w[p + "mlp.down_proj.weight"] = rand(D, 64)
         m = load_model_from_weights(cfg, w, jnp.float32)
         assert len(_gen(m)) == 3
+
+
+class TestPhi:
+    def test_generate(self):
+        rand = rand_fn(11)
+        D, V = 32, 128
+        cfg = {"model_type": "phi", "hidden_size": D,
+               "num_hidden_layers": 2, "num_attention_heads": 4,
+               "intermediate_size": 64, "vocab_size": V,
+               "partial_rotary_factor": 0.5}
+        w = {"model.embed_tokens.weight": rand(V, D),
+             "model.final_layernorm.weight": np.ones(D, np.float32),
+             "model.final_layernorm.bias": np.zeros(D, np.float32),
+             "lm_head.weight": rand(V, D), "lm_head.bias": rand(V)}
+        for i in range(2):
+            p = f"model.layers.{i}."
+            w[p + "input_layernorm.weight"] = np.ones(D, np.float32)
+            w[p + "input_layernorm.bias"] = np.zeros(D, np.float32)
+            for nm in ("q_proj", "k_proj", "v_proj", "dense"):
+                w[p + f"self_attn.{nm}.weight"] = rand(D, D)
+                w[p + f"self_attn.{nm}.bias"] = rand(D)
+            w[p + "mlp.fc1.weight"] = rand(64, D)
+            w[p + "mlp.fc1.bias"] = rand(64)
+            w[p + "mlp.fc2.weight"] = rand(D, 64)
+            w[p + "mlp.fc2.bias"] = rand(D)
+        m = load_model_from_weights(cfg, w, jnp.float32)
+        assert m.config.parallel and m.config.parallel_shared_ln
+        assert len(_gen(m)) == 3
+
+
+class TestQwen1:
+    def test_generate(self):
+        rand = rand_fn(12)
+        D, V, I2 = 32, 128, 32  # intermediate // 2
+        cfg = {"model_type": "qwen", "hidden_size": D,
+               "num_hidden_layers": 2, "num_attention_heads": 4,
+               "kv_channels": 8, "intermediate_size": 64,
+               "vocab_size": V}
+        w = {"transformer.wte.weight": rand(V, D),
+             "transformer.ln_f.weight": np.ones(D, np.float32),
+             "lm_head.weight": rand(V, D)}
+        for i in range(2):
+            p = f"transformer.h.{i}."
+            w[p + "ln_1.weight"] = np.ones(D, np.float32)
+            w[p + "ln_2.weight"] = np.ones(D, np.float32)
+            w[p + "attn.c_attn.weight"] = rand(3 * D, D)
+            w[p + "attn.c_attn.bias"] = rand(3 * D)
+            w[p + "attn.c_proj.weight"] = rand(D, D)
+            w[p + "mlp.w1.weight"] = rand(I2, D)
+            w[p + "mlp.w2.weight"] = rand(I2, D)
+            w[p + "mlp.c_proj.weight"] = rand(D, I2)
+        m = load_model_from_weights(cfg, w, jnp.float32)
+        assert len(_gen(m)) == 3
