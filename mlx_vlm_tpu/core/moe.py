@@ -51,26 +51,34 @@ def switch_mlp(
     indices: jax.Array,  # [N, k]
     weights: jax.Array,  # [N, k]
     act=None,
+    biases=None,  # optional (bu [E, I], bd [E, D]) expert biases
 ) -> jax.Array:
     """Top-k expert 2-layer MLP (no gate branch) via masked scan over
     experts — reference SwitchMLP with configurable activation (nemotron_h
-    relu^2 experts)."""
+    relu^2 experts; phixtral biased gelu experts)."""
     if act is None:
         act = lambda v: jnp.square(jax.nn.relu(v))  # noqa: E731
     N, D = x.shape
     dtype = x.dtype
+    E, d_out = up_proj.shape[0], down_proj.shape[1]
+    if biases is None:
+        bu = jnp.zeros((E, up_proj.shape[1]), dtype)
+        bd = jnp.zeros((E, d_out), dtype)
+    else:
+        bu, bd = biases
 
     def body(acc, xs):
-        e_idx, wu, wd = xs
+        e_idx, wu, wd, bue, bde = xs
         sel = (indices == e_idx).astype(jnp.float32) * weights.astype(jnp.float32)
         w_tok = jnp.sum(sel, axis=-1)
-        out = _expert_matmul(act(_expert_matmul(x, wu)), wd)
+        out = _expert_matmul(
+            act(_expert_matmul(x, wu) + bue.astype(dtype)), wd
+        ) + bde.astype(dtype)
         return acc + w_tok[:, None].astype(dtype) * out, None
 
-    E, d_out = up_proj.shape[0], down_proj.shape[1]
     e_ids = jnp.arange(E, dtype=indices.dtype)
     acc0 = jnp.zeros((N, d_out), dtype)
-    acc, _ = jax.lax.scan(body, acc0, (e_ids, up_proj, down_proj))
+    acc, _ = jax.lax.scan(body, acc0, (e_ids, up_proj, down_proj, bu, bd))
     return acc
 
 

@@ -341,3 +341,35 @@ class TestQwen1:
             w[p + "mlp.c_proj.weight"] = rand(D, I2)
         m = load_model_from_weights(cfg, w, jnp.float32)
         assert len(_gen(m)) == 3
+
+
+class TestPhixtral:
+    def test_generate(self):
+        rand = rand_fn(21)
+        D, V, E = 32, 128, 4
+        cfg = {"model_type": "phixtral", "model_dim": D, "num_layers": 2,
+               "num_heads": 4, "num_vocab": V, "rotary_dim": 4,
+               "num_local_experts": E, "num_experts_per_tok": 2}
+        w = {"transformer.embd.wte.weight": rand(V, D),
+             "lm_head.ln.weight": np.ones(D, np.float32),
+             "lm_head.ln.bias": np.zeros(D, np.float32),
+             "lm_head.linear.weight": rand(V, D),
+             "lm_head.linear.bias": rand(V)}
+        for i in range(2):
+            p = f"transformer.h.{i}."
+            w[p + "ln.weight"] = np.ones(D, np.float32)
+            w[p + "ln.bias"] = np.zeros(D, np.float32)
+            w[p + "mixer.Wqkv.weight"] = rand(3 * D, D)
+            w[p + "mixer.Wqkv.bias"] = rand(3 * D)
+            w[p + "mixer.out_proj.weight"] = rand(D, D)
+            w[p + "mixer.out_proj.bias"] = rand(D)
+            w[p + "moe.gate.weight"] = rand(E, D)
+            for e in range(E):
+                w[p + f"moe.mlp.{e}.fc1.weight"] = rand(4 * D, D)
+                w[p + f"moe.mlp.{e}.fc1.bias"] = rand(4 * D)
+                w[p + f"moe.mlp.{e}.fc2.weight"] = rand(D, 4 * D)
+                w[p + f"moe.mlp.{e}.fc2.bias"] = rand(D)
+        m = load_model_from_weights(cfg, w, jnp.float32)
+        ex = m.params["language_model"]["model"]["layers"]["mlp"]["fc1"]
+        assert ex["weight"].shape == (2, 4, 128, 32)  # [L, E, I, D]
+        assert len(_gen(m)) == 3
