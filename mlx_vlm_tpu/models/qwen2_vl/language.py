@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ...core import cache as cache_lib
 from ...core.layers import embedding, embedding_as_linear, linear, rms_norm, swiglu_mlp
 from ...core.mask import causal_cache_mask
+from ...core.quant_scan import scan_layers
 from ...core.rope import make_rope
 from ...ops.attention import sdpa
 from .config import ModelConfig, TextConfig
@@ -77,16 +78,15 @@ class LanguageModel:
                 h = h + swiglu_mlp(lp["mlp"], x)
                 return h, None
 
-            body = (jax.checkpoint(layer_nc)
-                    if getattr(self, "remat", False) else layer_nc)
-            h, _ = jax.lax.scan(body, h, mp["layers"])
+            h, _ = scan_layers(
+                layer_nc, h, mp["layers"],
+                remat=getattr(self, "remat", False))
             h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
             return h, None
 
         mask = causal_cache_mask(cache.offset, cache.left_pad, S, cache.capacity)
 
-        def layer(h, xs):
-            lp, cxs = xs
+        def layer(h, lp, cxs):
             x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
             attn_out, cxs = self._attention(lp["self_attn"], x, cos, sin, mask, cache, cxs)
             h = h + attn_out
@@ -94,7 +94,7 @@ class LanguageModel:
             h = h + swiglu_mlp(lp["mlp"], x)
             return h, cxs
 
-        h, cys = jax.lax.scan(layer, h, (mp["layers"], cache.scan_arrays()))
+        h, cys = scan_layers(layer, h, mp["layers"], cache.scan_arrays())
         h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
         return h, cache.with_arrays(cys, S)
 
