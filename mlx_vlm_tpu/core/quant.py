@@ -524,11 +524,14 @@ class Int4GroupedTensor:
 
 
 def _int4_half_width(N: int) -> int:
-    """Padded half-width: lane-tile (128) aligned, 512-aligned for large N
-    so the kernel can use 512-wide column tiles."""
+    """Padded half-width: lane-tile (128) aligned.
+
+    128 alignment only — coarser (512) alignment wasted up to 14% of
+    packed bytes on shapes like 3584 (half 1792 -> 2048), and at the HBM
+    roofline every padded byte is decode latency.  Kernels pick the
+    largest column tile that divides the 128-aligned width instead."""
     half = (N + 1) // 2
-    align = 512 if N >= 1024 else 128
-    return ((half + align - 1) // align) * align
+    return ((half + 127) // 128) * 128
 
 
 def to_int4_grouped(t: QuantizedTensor) -> Int4GroupedTensor:

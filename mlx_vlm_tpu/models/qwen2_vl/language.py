@@ -33,6 +33,9 @@ STACK_PREFIX = "model.layers"
 
 
 class LanguageModel:
+    # eligible for the whole-stack fused int4 decode path (w4grp loads)
+    supports_fused_decode = True
+
     def __init__(self, args: TextConfig, config: Optional[ModelConfig] = None):
         self.args = args
         self.config = config
@@ -65,6 +68,33 @@ class LanguageModel:
         cos, sin = self.rope.cos_sin(position_ids)  # [B, S, hd/2]
         h = inputs_embeds
         mp = params["model"]
+
+        if (B == 1 and S == 1 and "fused_decode" in params
+                and type(cache).__name__ == "KVCache"):
+            # whole-stack fused int4 decode step (ops/fused_decode.py):
+            # one Pallas call streams every weight byte of the step
+            from ...ops.fused_decode import fused_decode_step
+
+            h_out, k_new, v_new = fused_decode_step(
+                params["fused_decode"], inputs_embeds, cos[0, 0], sin[0, 0],
+                cache.k, cache.v, cache.offset)
+            h = rms_norm(mp["norm"], h_out.astype(inputs_embeds.dtype),
+                         self.args.rms_norm_eps)
+            L, _, H, _, hd = cache.k.shape
+            zero = jnp.zeros((), jnp.int32)
+            idx = (zero, zero, zero, cache.offset, zero)
+            k_buf = jax.lax.dynamic_update_slice(
+                cache.k,
+                k_new[:, :H].reshape(L, 1, H, 1, hd).astype(cache.k.dtype),
+                idx)
+            v_buf = jax.lax.dynamic_update_slice(
+                cache.v,
+                v_new[:, :H].reshape(L, 1, H, 1, hd).astype(cache.v.dtype),
+                idx)
+            import dataclasses as _dc
+
+            return h, _dc.replace(
+                cache, k=k_buf, v=v_buf, offset=cache.offset + 1)
 
         if cache is None:
             zero = jnp.zeros((), jnp.int32)

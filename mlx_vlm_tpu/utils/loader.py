@@ -518,7 +518,37 @@ def load_model_from_weights(
     params = _nest(_to_device(weights, dtype, zeros_on_device))
     model.params = params
     model.config_dict = config
+    _maybe_attach_fused_decode(model)
     return model
+
+
+def _maybe_attach_fused_decode(model) -> None:
+    """Build the whole-stack fused-decode weight pack (ops/fused_decode.py)
+    when the language model's layer linears are stacked Int4GroupedTensor
+    (w4grp mode).  The pack rides inside params so it reaches jitted decode
+    programs as an argument, never as a baked-in constant."""
+    import os
+
+    if os.environ.get("MLX_VLM_TPU_FUSED_DECODE", "1") in ("0", "false"):
+        return
+    lm = getattr(model, "language_model", None)
+    lp = model.params.get("language_model") if isinstance(
+        model.params, dict) else None
+    if lm is None or not isinstance(lp, dict) or "model" not in lp:
+        return
+    if not getattr(lm, "supports_fused_decode", False):
+        return
+    args = getattr(lm, "args", None)
+    if args is None or not hasattr(args, "num_key_value_heads"):
+        return
+    try:
+        from ..ops.fused_decode import build_fused_pack
+
+        pack = build_fused_pack(lp["model"], args)
+    except Exception:
+        return
+    if pack is not None:
+        lp["fused_decode"] = pack
 
 
 def load_model(

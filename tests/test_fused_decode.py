@@ -1,0 +1,111 @@
+"""Whole-stack fused int4 decode (ops/fused_decode.py) parity tests.
+
+The fused Pallas step must reproduce the per-linear scan path on the same
+Int4GroupedTensor weights.  Runs in interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mlx_vlm_tpu.core.quant import quantize, to_int4_grouped
+from mlx_vlm_tpu.utils.loader import load_model_from_weights
+from mlx_vlm_tpu.utils.testing import tiny_qwen2_vl_config, qwen2_vl_hf_weights
+
+
+def _tiny_int4_model(seed=0, fused=True):
+    cfg = tiny_qwen2_vl_config()
+    # kernel-legal dims: K and I multiples of group 64
+    cfg["hidden_size"] = 128
+    cfg["intermediate_size"] = 256
+    cfg["num_attention_heads"] = 4
+    cfg["num_key_value_heads"] = 2
+    cfg["num_hidden_layers"] = 3
+    cfg["rope_scaling"] = {"type": "mrope", "mrope_section": [4, 6, 6]}
+    cfg["vision_config"]["hidden_size"] = 32
+    weights = qwen2_vl_hf_weights(cfg, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    for k in list(weights.keys()):
+        if (k.startswith("model.layers.") and k.endswith(".weight")
+                and "layernorm" not in k and weights[k].ndim == 2):
+            w = rng.standard_normal(weights[k].shape).astype(np.float32) * 0.1
+            weights[k] = to_int4_grouped(
+                quantize(jnp.asarray(w), bits=4, group_size=64))
+    model = load_model_from_weights(cfg, weights, jnp.float32)
+    lp = model.params["language_model"]
+    if fused:
+        assert "fused_decode" in lp, "pack should attach for int4 layers"
+    else:
+        lp.pop("fused_decode", None)
+    return model, cfg
+
+
+def _decode_tokens(model, steps=4, seed=3):
+    from mlx_vlm_tpu.generate.ar import generate_step
+
+    D = model.config.text_config.hidden_size
+    rng = np.random.default_rng(seed)
+    embeds = jnp.asarray(
+        rng.standard_normal((1, 8, D)).astype(np.float32) * 0.3)
+    toks, lps = [], []
+    for tok, lp in generate_step(
+        embeds, model, max_tokens=steps, prefill_step_size=8,
+        block_size=2, seed=0,
+    ):
+        toks.append(int(tok[0]))
+        lps.append(float(lp[0]))
+    return toks, lps
+
+
+def test_pack_attaches_and_decodes():
+    model, _ = _tiny_int4_model(fused=True)
+    toks, _ = _decode_tokens(model)
+    assert len(toks) == 4
+
+
+def test_fused_matches_unfused_decode():
+    fused, _ = _tiny_int4_model(fused=True)
+    ref, _ = _tiny_int4_model(fused=False)
+    t_f, lp_f = _decode_tokens(fused)
+    t_r, lp_r = _decode_tokens(ref)
+    assert t_f == t_r, (t_f, t_r)
+    np.testing.assert_allclose(lp_f, lp_r, atol=0.08)
+
+
+def test_fused_step_logits_close():
+    """Direct forward: single decode step logits, fused vs scan path."""
+    fused, cfg = _tiny_int4_model(fused=True)
+    ref, _ = _tiny_int4_model(fused=False)
+    D = cfg["hidden_size"]
+    lm = fused.language_model
+    rng = np.random.default_rng(7)
+    embeds = jnp.asarray(
+        rng.standard_normal((1, 1, D)).astype(np.float32) * 0.3)
+    pos = jnp.full((3, 1, 1), 5, jnp.int32)
+
+    def step(model):
+        p = model.params["language_model"]
+        cache = model.language_model.init_cache(1, 64, jnp.float32)
+        import dataclasses
+        rngk = np.random.default_rng(11)
+        kfill = jnp.asarray(rngk.standard_normal(cache.k.shape) * 0.2,
+                            jnp.float32)
+        vfill = jnp.asarray(rngk.standard_normal(cache.v.shape) * 0.2,
+                            jnp.float32)
+        cache = dataclasses.replace(
+            cache, k=kfill, v=vfill, offset=jnp.asarray(5, jnp.int32))
+        h, newc = model.language_model(p, embeds, cache, pos)
+        logits = model.language_model.logits(p, h)
+        return np.asarray(logits, np.float32), np.asarray(newc.k), int(
+            np.asarray(newc.offset))
+
+    lf, kf, of = step(fused)
+    lr, kr, orr = step(ref)
+    assert of == orr == 6
+    # kernel dots run bf16 (the production dtype); the f32 reference path
+    # differs by bf16 rounding
+    np.testing.assert_allclose(kf, kr, atol=4e-2)
+    np.testing.assert_allclose(lf, lr, atol=8e-2, rtol=0.05)
+    # ranking must agree at the top
+    assert np.argmax(lf) == np.argmax(lr)
