@@ -41,7 +41,9 @@ logger = logging.getLogger("mlx_vlm_tpu.loader")
 # model_type -> module name overrides (reference utils.py:32)
 MODEL_REMAPPING = {
     "llava-qwen2": "llava_bunny",
+    "llava_qwen2": "llava_bunny",
     "bunny-llama": "llava_bunny",
+    "lfm2-vl": "lfm2_vl",
     "qwen2_5_vl": "qwen2_5_vl",
     "smolvlm": "idefics3",
     "llava_next": "llava",  # CLIP tower + llama decoder path

@@ -331,6 +331,17 @@ def _builtin_processor(model_type: str, tokenizer, model=None):
         from ..models.florence2.processing import Florence2Processor
 
         return Florence2Processor(tokenizer)
+    if model_type in ("llava-qwen2", "bunny-llama"):
+        from ..models.llava_bunny.processing import BunnyProcessor
+
+        cfg = getattr(model, "config", None)
+        vc = getattr(cfg, "vision_config", None)
+        return BunnyProcessor(
+            tokenizer,
+            image_token_index=getattr(cfg, "image_token_index", -200),
+            image_size=getattr(vc, "image_size", 384),
+            patch_size=getattr(vc, "patch_size", 14),
+        )
     if model_type == "moondream2":
         from ..models.moondream2.processing import MoondreamProcessor
 
