@@ -3,40 +3,42 @@
 Role parity: the reference's decode hot path is `mx.quantized_matmul`
 (fused Metal qmv) called per-linear inside per-layer modules
 (reference mlx_vlm/generate/ar.py:325 `_step`).  On TPU the analogous
-per-linear kernel is ops/int4_matvec.py, but at M=1 the decode step is
-purely HBM-bandwidth-bound and every kernel boundary drains the DMA
-pipeline: 7 linears x 28 layers = ~200 boundaries cost ~35% of the
-roofline.  The TPU-native answer is a single gridless `pallas_call`
-that walks the whole stack with MANUAL double-buffered DMA:
+per-linear kernel is ops/int4_matvec.py, but at M=1 decode is purely
+HBM-bandwidth-bound and every kernel boundary drains the DMA pipeline:
+7 linears x 28 layers = ~200 boundaries cost ~35% of the roofline.
 
-    fori over layers; per layer a statically-unrolled item list
-      [qkv tiles | kv-hist | o tiles | gate_up tiles | down K-tiles]
-    each item: start DMA(next item) -> wait DMA(this item) -> compute
+v2 design (2026-08, measured on the axon chip via tools/probe_stream):
+a single `pallas_call` whose GRID walks every weight tile of every
+layer; Mosaic's BlockSpec pipeline streams tiles from HBM, fetching
+tile t+1 while tile t computes.  Four independently-blocked weight
+streams (qkv / o / gate|up / down) advance on their own schedules via
+index maps — each ref's next tile is prefetched while other kinds
+compute, so exactly one ~1-2 MB DMA is in flight per grid step.
+Layer-boundary work (attention, residuals, norms, swiglu) runs inside
+`pl.when` branches keyed on the within-layer step.
 
-Measured motivation (v5e via axon, 7B shapes, 2026-08): Mosaic's
-automatic BlockSpec pipeline SERIALIZES compute after DMA on this stack
-(per-phase ablations: DMA-only floor 4.84 ms, +dequant 5.63, +dots 8.52
-— exactly additive), while a hand-rolled early-issue double buffer
-overlaps them and the raw DMA floor is ~1265 GB/s (tools/probe_overlap).
-Manual DMA puts the step at max(DMA, compute) instead of their sum.
+Measured motivation:
+- the round-2 manual-DMA megakernel (hand double-buffered copies +
+  semaphores inside one gridless kernel) ran 8.5 ms/step at 7B: the
+  item-serialized structure stalls both VPU and MXU behind DMA waits.
+- an auto-pipelined tile stream with identical math runs at the DMA
+  floor when scales ship as f32 (no in-kernel f16 decode): 1152 GB/s
+  vs the 755-1495 GB/s pure-DMA envelope (tools/probe_stream.py).
+- per-group (batched) dots, int8 MXU dots, native int4 dtypes, and a
+  scratch-mediated dequant/dot software pipeline all measured SLOWER
+  (tools/probe_i8dot2.py, probe_ops.py); plain bf16 dequant + two big
+  [8,K]x[K,TN] dots is the fastest exact formulation at M=1.
 
-- Weight bytes stream exactly once per step, double-buffered against
-  compute; scales ride a parallel slot pool per stream.
-- The KV-cache history for layer l is DMA'd one layer ahead (issued in
-  layer l-1's gate/up run); scores are masked by the `offset` scalar,
-  and the current token's k/v (computed earlier in the same kernel)
-  contribute one extra attention column.
-- Activations (hidden, normed x, qkv halves, attention out, gate/up
-  halves) live in f32 VMEM scratch that persists across the whole step;
-  the only HBM activation traffic per decode step is h_in, h_out, and
-  the L per-layer k/v vectors.
-- Scales/biases are stored f16 (the mlx checkpoint's own precision),
-  shipped as uint16 bit patterns and decoded in-kernel (Mosaic has no
-  f16 vectors); packed [G, 4, N2p] = (sl, sh, bl, bh).
+- Scales/biases ship as f32 (exactly decoded from the checkpoint's f16
+  at pack time — f32 is a superset, so weights stay bit-exact); the
+  ~12% extra DMA beats every in-kernel decode variant measured.
+- Activations ride f32 VMEM scratch across the whole step; the only
+  HBM activation traffic per step is h_in, h_out and L k/v vectors.
+- The KV history for layer l streams on its own blocked ref, its index
+  map flipping to l+1 right after layer l's attention step (prefetch).
 
 Weight layout matches core/quant.py Int4GroupedTensor halves-packing;
-q|k|v and gate|up are concatenated along packed columns at pack-build
-time, which the layout supports without any nibble reshuffling.
+q|k|v and gate|up concatenate along packed columns at pack-build time.
 """
 
 from __future__ import annotations
@@ -88,11 +90,10 @@ def _pick_tk(K: int, g: int, width: int, budget: int = 1 << 20) -> int:
 class FusedDecodePack:
     """Per-model fused weight pack (built once after load).
 
-    TILE-MAJOR layout: every DMA tile is contiguous in HBM (column-sliced
-    tiles would DMA in 384-512B row segments, measurably slower).
+    TILE-MAJOR layout: every pipelined block is contiguous in HBM.
 
     qkv_qp: u8 [L, NQ, K, TNQ]  NQ*TNQ = nq2+nk2+nv2 (half-widths)
-    qkv_sc: u16 [L, NQ, G, 4, TNQ]  rows: sl, sh, bl, bh (f16 bits)
+    qkv_sc: f32 [L, NQ, G, 4, TNQ]  rows: sl, sh, bl, bh
     qkv_bias: f32 [L, 2, Cq]   lo/hi-plane bias (zeros when absent)
     o_qp:  u8 [L, NO, K, TNO];  o_sc [L, NO, G, 4, TNO]
     gu_qp: u8 [L, NGU, K, TNG]  gate|up along packed columns
@@ -129,7 +130,7 @@ class FusedDecodePack:
 def _cat_tensors(ts):
     """Concatenate stacked Int4GroupedTensors along packed columns.
 
-    Returns (qp [L,K,C], sc_f16 [L,G,4,C], half_widths)."""
+    Returns (qp [L,K,C], sc_f32 [L,G,4,C], half_widths)."""
     qp = jnp.concatenate([t.qp for t in ts], axis=-1)
     rows = []
     for name in ("sl", "sh", "bl", "bh"):
@@ -147,7 +148,7 @@ def _plane_bias(bias, n, n2p):
     return b[:, :n2p], b[:, n2p:]
 
 
-def build_fused_pack(mp: dict, args, scale_dtype=jnp.float16
+def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32
                      ) -> Optional[FusedDecodePack]:
     """Build the pack from stacked layer params `mp = params["model"]`.
 
@@ -183,17 +184,12 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float16
     gu_qp, gu_sc, (ng2, _) = _cat_tensors([wg, wu])
     o_qp, o_sc, (no2,) = _cat_tensors([wo])
     dn_qp, dn_sc, (nd2,) = _cat_tensors([wd])
-    if scale_dtype == jnp.float16:
-        # Mosaic has no f16 vectors: ship the exact f16 bit patterns as
-        # uint16 and decode to f32 in-kernel (integer ops, see _f16_to_f32)
-        qkv_sc, gu_sc, o_sc, dn_sc = (
-            jax.lax.bitcast_convert_type(a.astype(jnp.float16), jnp.uint16)
-            for a in (qkv_sc, gu_sc, o_sc, dn_sc))
-    else:
-        qkv_sc, gu_sc, o_sc, dn_sc = (
-            a.astype(scale_dtype) for a in (qkv_sc, gu_sc, o_sc, dn_sc))
+    # scales ship as f32: exact superset of the checkpoint's f16, and the
+    # in-kernel f16 decode was the dominant exposed compute (module doc)
+    qkv_sc, gu_sc, o_sc, dn_sc = (
+        a.astype(scale_dtype) for a in (qkv_sc, gu_sc, o_sc, dn_sc))
 
-    # tile-major relayout: one contiguous HBM region per DMA tile
+    # tile-major relayout: one contiguous HBM region per pipelined block
     import os
 
     tiles = os.environ.get("FUSED_DECODE_TILES", "")
@@ -221,7 +217,6 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float16
     dn_qp = dn_qp.reshape(Ld, nd, TKD, Cd)
     dn_sc = dn_sc.reshape(Ld, nd, TKD // g, 4, Cd)
 
-    zeros = jnp.zeros((L, 1), jnp.bfloat16)
     parts = []
     for w, t in ((wq, attn["q_proj"]), (wk, attn["k_proj"]),
                  (wv, attn["v_proj"])):
@@ -252,67 +247,6 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float16
     )
 
 
-def _f16_to_f32(u):
-    """Decode f16 bit patterns (held in an integer array) to f32.
-
-    Integer-only VPU path because Mosaic has no f16 vector type.  Handles
-    normals and subnormals; exp=31 (inf/nan) maps to a large finite value,
-    which real quantization scales never contain."""
-    u = u.astype(jnp.int32)
-    sign = jnp.where((u >> 15) & 1 != 0, -1.0, 1.0).astype(jnp.float32)
-    exp = (u >> 10) & 0x1F
-    mant = u & 0x3FF
-    normal = jax.lax.bitcast_convert_type(
-        ((exp + 112) << 23) | (mant << 13), jnp.float32)
-    sub = mant.astype(jnp.float32) * jnp.float32(5.9604645e-8)
-    return sign * jnp.where(exp == 0, sub, normal)
-
-
-_ABLATE = frozenset(
-    __import__("os").environ.get("FUSED_DECODE_ABLATE", "").split(","))
-
-
-def _mv(x, qp, sc, g):
-    """x [8, TK] f32 @ dequant(tile) -> (ylo, yhi) [8, TN] f32.
-
-    qp tile [TK, TN] u8 (read from a DMA slot); sc [gt, 4, TN]."""
-    TK, TN = qp.shape
-    M = x.shape[0]
-    gt = TK // g
-    if "mv" in _ABLATE:  # touch one lane of the tile, no math
-        z = qp[0:8, 0:128].astype(jnp.int32).astype(jnp.float32)
-        zz = jnp.sum(z) * 0.0
-        return (jnp.zeros((M, TN), jnp.float32) + zz,
-                jnp.zeros((M, TN), jnp.float32))
-    qi = qp.astype(jnp.int32)
-    lo = (qi & 0xF).astype(jnp.float32).reshape(gt, g, TN)
-    hi = (qi >> 4).astype(jnp.float32).reshape(gt, g, TN)
-    if "scdec" in _ABLATE or sc.dtype != jnp.uint16:
-        sc = sc.astype(jnp.float32)  # [gt, 4, TN]
-    else:
-        sc = _f16_to_f32(sc)  # [gt, 4, TN]
-    sl = sc[:, 0:1, :]
-    sh = sc[:, 1:2, :]
-    bl = sc[:, 2:3, :]
-    bh = sc[:, 3:4, :]
-    # bf16 operands: f32 MXU passes are ~4x slower and become the grid
-    # bottleneck; bf16 weights match the XLA dequant path's precision
-    w_lo = (lo * sl + bl).reshape(TK, TN).astype(jnp.bfloat16)
-    w_hi = (hi * sh + bh).reshape(TK, TN).astype(jnp.bfloat16)
-    if "dot" in _ABLATE:
-        zl = jnp.sum(w_lo[0:8, 0:128].astype(jnp.float32)) * 0.0
-        zh = jnp.sum(w_hi[0:8, 0:128].astype(jnp.float32)) * 0.0
-        return (jnp.zeros((M, TN), jnp.float32) + zl,
-                jnp.zeros((M, TN), jnp.float32) + zh)
-    xb = x.astype(jnp.bfloat16)
-    dims = (((1,), (0,)), ((), ()))
-    ylo = jax.lax.dot_general(xb, w_lo, dims,
-                              preferred_element_type=jnp.float32)
-    yhi = jax.lax.dot_general(xb, w_hi, dims,
-                              preferred_element_type=jnp.float32)
-    return ylo, yhi
-
-
 def _rope_rows(x, cos, sin):
     """x [R, hd] f32, cos/sin [1, hd] (duplicated-half convention)."""
     hd = x.shape[-1]
@@ -327,230 +261,59 @@ def _halves(lo, hi, n):
     return jnp.concatenate([lo, hi], axis=-1)[:, :n]
 
 
-def make_kernel(plan):
-    """Kernel body closure over the static plan (manual-DMA design)."""
-    p = plan
-    D, I, g = p.dim, p.inter, p.group_size
-    nh, nkv, hd = p.n_heads, p.n_kv, p.head_dim
-    gq = nh // nkv
-    n_q, n_k = nh * hd, nkv * hd
-    # per-layer consumption order of weight tiles: (kind, tile_index)
-    SEQ = ([("qkv", j) for j in range(p.NQ)]
-           + [("o", j) for j in range(p.NO)]
-           + [("gu", j) for j in range(p.NGU)]
-           + [("dn", j) for j in range(p.ND)])
-    KIND_N = {"qkv": p.NQ, "o": p.NO, "gu": p.NGU, "dn": p.ND}
+import os
 
-    def kernel(off_ref, h_in_ref, cossin_ref, qkv_b_ref, norms_ref,
-               qkv_qp_hbm, qkv_sc_hbm, o_qp_hbm, o_sc_hbm,
-               gu_qp_hbm, gu_sc_hbm, dn_qp_hbm, dn_sc_hbm,
-               k_hist_hbm, v_hist_hbm,
-               h_out_ref, k_new_ref, v_new_ref,
-               sc_h, sc_xn, sc_qlo, sc_qhi, sc_attn, sc_qh, sc_kvh, sc_oh,
-               sc_glo, sc_ghi, sc_act, sc_dlo, sc_dhi,
-               sl_qkv_qp, sl_qkv_sc, sl_o_qp, sl_o_sc,
-               sl_gu_qp, sl_gu_sc, sl_dn_qp, sl_dn_sc, sl_k, sl_v,
-               sem_qkv_qp, sem_qkv_sc, sem_o_qp, sem_o_sc,
-               sem_gu_qp, sem_gu_sc, sem_dn_qp, sem_dn_sc,
-               sem_k, sem_v):
-        hbm = {"qkv": (qkv_qp_hbm, qkv_sc_hbm), "o": (o_qp_hbm, o_sc_hbm),
-               "gu": (gu_qp_hbm, gu_sc_hbm), "dn": (dn_qp_hbm, dn_sc_hbm)}
-        slots = {"qkv": (sl_qkv_qp, sl_qkv_sc), "o": (sl_o_qp, sl_o_sc),
-                 "gu": (sl_gu_qp, sl_gu_sc), "dn": (sl_dn_qp, sl_dn_sc)}
-        sems = {"qkv": (sem_qkv_qp, sem_qkv_sc), "o": (sem_o_qp, sem_o_sc),
-                "gu": (sem_gu_qp, sem_gu_sc), "dn": (sem_dn_qp, sem_dn_sc)}
+_CHUNK_K = int(os.environ.get("FUSED_DECODE_CHUNK_K", "0"))
+# dev-only ablation switch for tools/probe_fused.py: comma list of
+# nodot (skip MXU dots) / nodeq (skip dequant+dot, DMA only) /
+# noattn (skip attention math) — NOT for production use
+_ABLATE = set(filter(None, os.environ.get(
+    "FUSED_DECODE_ABLATE", "").split(",")))
 
-        def tile_dmas(kind, l, j):
-            """(qp_dma, sc_dma, slot) for tile j of `kind` in layer l."""
-            qp_hbm, sc_hbm = hbm[kind]
-            qp_sl, sc_sl = slots[kind]
-            qp_sem, sc_sem = sems[kind]
-            slot = jax.lax.rem(l * KIND_N[kind] + j, 2)
-            qp_src = qp_hbm.at[l, j]
-            sc_src = sc_hbm.at[l, j]
-            return (pltpu.make_async_copy(qp_src, qp_sl.at[slot],
-                                          qp_sem.at[slot]),
-                    pltpu.make_async_copy(sc_src, sc_sl.at[slot],
-                                          sc_sem.at[slot]),
-                    slot)
 
-        def issue(kind, l, j):
-            if "nodma" in _ABLATE:
-                return
-            qp_dma, sc_dma, _ = tile_dmas(kind, l, j)
-            qp_dma.start()
-            sc_dma.start()
+def _mv2(x, qp, sc, g):
+    """x [8, TK] f32 @ dequant(tile) -> (ylo, yhi) [8, TN] f32.
 
-        def kv_dmas(l):
-            slot = jax.lax.rem(l, 2)
-            return (pltpu.make_async_copy(k_hist_hbm.at[l, 0],
-                                          sl_k.at[slot], sem_k.at[slot]),
-                    pltpu.make_async_copy(v_hist_hbm.at[l, 0],
-                                          sl_v.at[slot], sem_v.at[slot]),
-                    slot)
+    qp [TK, TN] u8 (two nibble planes); sc [gt, 4, TN] f32.
+    FUSED_DECODE_CHUNK_K>0 processes the contraction in row chunks so the
+    dequantized f32 intermediates stay small (less VMEM pressure against
+    the streaming DMA)."""
+    TK, TN = qp.shape
+    gt = TK // g
+    if "nodeq" in _ABLATE:
+        z = (qp[0:8, :].astype(jnp.int32).astype(jnp.float32) * 1e-9
+             + sc[0, 0:1, :] * 1e-9 + x[:, 0:1] * 0.0)
+        return z, z
+    xb = x.astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    ck = _CHUNK_K if _CHUNK_K and TK % _CHUNK_K == 0 and _CHUNK_K % g == 0 \
+        else TK
 
-        def issue_kv(l):
-            if "nodma" in _ABLATE:
-                return
-            kd, vd, _ = kv_dmas(l)
-            kd.start()
-            vd.start()
-
-        def issue_next(l, i):
-            """Start DMA for consumption item i+1 (wrapping into l+1)."""
-            if i + 1 < len(SEQ):
-                kind, j = SEQ[i + 1]
-                issue(kind, l, j)
-            else:
-                @pl.when(l + 1 < p.n_layers)
-                def _():
-                    issue("qkv", l + 1, 0)
-
-        def wait_tile(kind, l, j):
-            qp_sl, sc_sl = slots[kind]
-            if "nodma" in _ABLATE:
-                return qp_sl[0], sc_sl[0]
-            qp_dma, sc_dma, slot = tile_dmas(kind, l, j)
-            qp_dma.wait()
-            sc_dma.wait()
-            return qp_sl[slot], sc_sl[slot]
-
-        def attention(l):
-            if "nodma" in _ABLATE:
-                slot = 0
-            else:
-                kd, vd, slot = kv_dmas(l)
-                kd.wait()
-                vd.wait()
-            # one head-major relayout per layer; per-kv-head math then
-            # touches only sublane slices (no lane<->sublane moves)
-            lb = qkv_b_ref[pl.ds(l, 1)][0]  # [2, Cq]
-            lo = sc_qlo[0:1, :] + lb[0:1, :]
-            hi = sc_qhi[0:1, :] + lb[1:2, :]
-            cos = cossin_ref[0:1, :]
-            sin = cossin_ref[1:2, :]
-            q = _halves(lo[:, : p.nq2], hi[:, : p.nq2], n_q).reshape(nh, hd)
-            sc_qh[0:nh, :] = _rope_rows(q, cos, sin) * (hd ** -0.5)
-            ks = p.nq2
-            k = _halves(lo[:, ks: ks + p.nk2],
-                        hi[:, ks: ks + p.nk2], n_k).reshape(nkv, hd)
-            k = _rope_rows(k, cos, sin)
-            sc_kvh[0:nkv, :] = k
-            k_new_ref[pl.ds(l, 1), 0:nkv, :] = k[None]
-            vs = p.nq2 + p.nk2
-            v = _halves(lo[:, vs: vs + p.nv2],
-                        hi[:, vs: vs + p.nv2], n_k).reshape(nkv, hd)
-            sc_kvh[p.nkv8: p.nkv8 + nkv, :] = v
-            v_new_ref[pl.ds(l, 1), 0:nkv, :] = v[None]
-
-            off = off_ref[0]
-            C = p.capacity
-            for a in range(nkv):
-                qg = sc_qh[a * gq:(a + 1) * gq, :]       # [gq, hd]
-                kf = sl_k[slot, a].astype(jnp.bfloat16)  # [C, hd]
-                vf = sl_v[slot, a].astype(jnp.bfloat16)
-                dims = (((1,), (1,)), ((), ()))
-                s_hist = jax.lax.dot_general(
-                    qg.astype(jnp.bfloat16), kf, dims,
-                    preferred_element_type=jnp.float32)
-                ids = jax.lax.broadcasted_iota(jnp.int32, (gq, C), 1)
-                s_hist = jnp.where(ids < off, s_hist, -jnp.inf)
-                kc = sc_kvh[a, :][None, :]               # [1, hd]
-                vc = sc_kvh[p.nkv8 + a, :][None, :]
-                s_cur = jnp.sum(qg * kc, axis=-1, keepdims=True)  # [gq, 1]
-                m = jnp.maximum(
-                    jnp.max(s_hist, axis=-1, keepdims=True), s_cur)
-                ph_ = jnp.exp(s_hist - m)
-                pc = jnp.exp(s_cur - m)
-                denom = jnp.sum(ph_, axis=-1, keepdims=True) + pc
-                out = jax.lax.dot_general(
-                    ph_.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                out = (out + pc * vc) / denom            # [gq, hd]
-                sc_oh[a * gq:(a + 1) * gq, :] = out
-
-        def layer_body(l, carry):
-            ln = norms_ref[pl.ds(l, 1)][0]  # [2, D]
-
-            @pl.when(l == 0)
-            def _():
-                sc_h[:] = h_in_ref[:].astype(jnp.float32)
-
-            xf = sc_h[:]
-            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-            sc_xn[:] = xf * jax.lax.rsqrt(var + p.eps) * ln[0:1, :]
-
-            i = 0
-            # ---- qkv tiles
-            for j in range(p.NQ):
-                issue_next(l, i)
-                qp, sc = wait_tile("qkv", l, j)
-                ylo, yhi = _mv(sc_xn[:], qp, sc, g)
-                sc_qlo[:, j * p.TNQ:(j + 1) * p.TNQ] = ylo
-                sc_qhi[:, j * p.TNQ:(j + 1) * p.TNQ] = yhi
-                i += 1
-
-            # ---- attention (kv hist DMA'd a layer ahead)
-            attention(l)
-
-            # ---- o tiles
-            for j in range(p.NO):
-                if j == 0:
-                    @pl.when(l + 1 < p.n_layers)
-                    def _():
-                        issue_kv(l + 1)
-
-                issue_next(l, i)
-                qp, sc = wait_tile("o", l, j)
-                if j == 0:
-                    sc_attn[:] = jnp.zeros_like(sc_attn)
-                    sc_attn[0:1, :n_q] = sc_oh[0:nh, :].reshape(1, n_q)
-                ylo, yhi = _mv(sc_attn[:], qp, sc, g)
-                sc_dlo[:, j * p.TNO:(j + 1) * p.TNO] = ylo
-                sc_dhi[:, j * p.TNO:(j + 1) * p.TNO] = yhi
-                i += 1
-
-            # close attention residual; norm2
-            sc_h[:] += _halves(sc_dlo[:, : p.no2], sc_dhi[:, : p.no2], D)
-            xf2 = sc_h[:]
-            var2 = jnp.mean(xf2 * xf2, axis=-1, keepdims=True)
-            sc_xn[:] = xf2 * jax.lax.rsqrt(var2 + p.eps) * ln[1:2, :]
-
-            # ---- gate|up tiles
-            for j in range(p.NGU):
-                issue_next(l, i)
-                qp, sc = wait_tile("gu", l, j)
-                ylo, yhi = _mv(sc_xn[:], qp, sc, g)
-                sc_glo[:, j * p.TNG:(j + 1) * p.TNG] = ylo
-                sc_ghi[:, j * p.TNG:(j + 1) * p.TNG] = yhi
-                i += 1
-
-            gate = _halves(sc_glo[:, : p.ng2], sc_ghi[:, : p.ng2], I)
-            up = _halves(sc_glo[:, p.ng2:], sc_ghi[:, p.ng2:], I)
-            sc_act[:] = gate * jax.nn.sigmoid(gate) * up
-            sc_dlo[:] = jnp.zeros_like(sc_dlo)
-            sc_dhi[:] = jnp.zeros_like(sc_dhi)
-
-            # ---- down K-tiles
-            for j in range(p.ND):
-                issue_next(l, i)
-                qp, sc = wait_tile("dn", l, j)
-                x = sc_act[:, j * p.TKD:(j + 1) * p.TKD]
-                ylo, yhi = _mv(x, qp, sc, g)
-                sc_dlo[:, : p.nd2] += ylo
-                sc_dhi[:, : p.nd2] += yhi
-                i += 1
-
-            sc_h[:] += _halves(sc_dlo[:, : p.nd2], sc_dhi[:, : p.nd2], D)
-            return carry
-
-        # prologue: first weight tile + layer-0 kv history
-        issue("qkv", 0, 0)
-        issue_kv(0)
-        jax.lax.fori_loop(0, p.n_layers, layer_body, 0)
-        h_out_ref[:] = sc_h[:]
-
-    return kernel
+    ylo = jnp.zeros((x.shape[0], TN), jnp.float32)
+    yhi = jnp.zeros((x.shape[0], TN), jnp.float32)
+    gc = ck // g
+    for c in range(TK // ck):
+        qi = qp[c * ck:(c + 1) * ck].astype(jnp.int32)
+        scc = sc[c * gc:(c + 1) * gc]
+        lo = (qi & 0xF).astype(jnp.float32).reshape(gc, g, TN)
+        hi = (qi >> 4).astype(jnp.float32).reshape(gc, g, TN)
+        # bf16 operand dots: f32 MXU passes are ~4x slower; bf16 weights
+        # match the XLA dequant path's precision
+        w_lo = (lo * scc[:, 0:1] + scc[:, 2:3]
+                ).reshape(ck, TN).astype(jnp.bfloat16)
+        w_hi = (hi * scc[:, 1:2] + scc[:, 3:4]
+                ).reshape(ck, TN).astype(jnp.bfloat16)
+        xc = xb[:, c * ck:(c + 1) * ck]
+        if "nodot" in _ABLATE:
+            ylo = ylo + w_lo[0:8, :].astype(jnp.float32) * 1e-9 \
+                + xc[:, 0:1].astype(jnp.float32) * 0.0
+            yhi = yhi + w_hi[0:8, :].astype(jnp.float32) * 1e-9
+        else:
+            ylo = ylo + jax.lax.dot_general(
+                xc, w_lo, dims, preferred_element_type=jnp.float32)
+            yhi = yhi + jax.lax.dot_general(
+                xc, w_hi, dims, preferred_element_type=jnp.float32)
+    return ylo, yhi
 
 
 @dataclasses.dataclass(frozen=True)
@@ -581,9 +344,12 @@ class _Plan:
     nh8: int
     nkv8: int
 
+    @property
+    def TPL(self) -> int:  # grid steps per layer
+        return self.NQ + self.NO + self.NGU + self.ND
+
 
 def _make_plan(pack: FusedDecodePack, capacity: int) -> _Plan:
-    # tile sizes live in the tile-major pack shapes
     return _Plan(
         dim=pack.dim, inter=pack.inter, n_layers=pack.n_layers,
         n_heads=pack.n_heads, n_kv=pack.n_kv, head_dim=pack.head_dim,
@@ -596,6 +362,167 @@ def _make_plan(pack: FusedDecodePack, capacity: int) -> _Plan:
         ND=pack.dn_qp.shape[1], TKD=pack.dn_qp.shape[2],
         nh8=max(pack.n_heads, 8), nkv8=max(pack.n_kv, 8),
     )
+
+
+def make_kernel(plan):
+    """Kernel body closure over the static plan (pipelined-grid design)."""
+    p = plan
+    D, I, g = p.dim, p.inter, p.group_size
+    nh, nkv, hd = p.n_heads, p.n_kv, p.head_dim
+    gq = nh // nkv
+    n_q, n_k = nh * hd, nkv * hd
+    B1 = p.NQ               # first o step (attention runs here)
+    B2 = p.NQ + p.NO        # first gu step (o residual + norm2 here)
+    B3 = B2 + p.NGU         # first dn step (swiglu here)
+    TPL = p.TPL
+
+    def kernel(off_ref, h_in_ref, cossin_ref, qkv_b_ref, norms_ref,
+               qkv_qp, qkv_sc, o_qp, o_sc, gu_qp, gu_sc, dn_qp, dn_sc,
+               k_hist, v_hist,
+               h_out_ref, k_new_ref, v_new_ref,
+               sc_h, sc_xn, sc_attn, sc_qlo, sc_qhi,
+               sc_qh, sc_kvh, sc_oh,
+               sc_yq, sc_yo, sc_yg, sc_act3, sc_flo, sc_fhi):
+        t = pl.program_id(0)
+        l = t // TPL
+        s = t - l * TPL
+
+        # ---- layer entry: residual comes in via sc_h; norm1
+        @pl.when(s == 0)
+        def _():
+            @pl.when(l == 0)
+            def _():
+                sc_h[:] = h_in_ref[:].astype(jnp.float32)
+
+            ln = norms_ref[pl.ds(l, 1)][0]  # [2, D]
+            xf = sc_h[:]
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            sc_xn[:] = xf * jax.lax.rsqrt(var + p.eps) * ln[0:1, :]
+
+        # ---- qkv tiles
+        @pl.when(s < B1)
+        def _():
+            ylo, yhi = _mv2(sc_xn[:], qkv_qp[0, 0], qkv_sc[0, 0], g)
+            sc_yq[pl.ds(s, 1), :, : p.TNQ] = ylo[None]
+            sc_yq[pl.ds(s, 1), :, p.TNQ:] = yhi[None]
+
+        # ---- attention (first o step, before its dot)
+        @pl.when(s == B1)
+        def _():
+            for j in range(p.NQ):  # flatten tile outputs (row 0 only)
+                sc_qlo[0:1, j * p.TNQ:(j + 1) * p.TNQ] = sc_yq[j, 0:1, :p.TNQ]
+                sc_qhi[0:1, j * p.TNQ:(j + 1) * p.TNQ] = sc_yq[j, 0:1, p.TNQ:]
+            lb = qkv_b_ref[pl.ds(l, 1)][0]  # [2, Cq]
+            lo = sc_qlo[0:1, :] + lb[0:1, :]
+            hi = sc_qhi[0:1, :] + lb[1:2, :]
+            cos = cossin_ref[0:1, :]
+            sin = cossin_ref[1:2, :]
+            q = _halves(lo[:, : p.nq2], hi[:, : p.nq2], n_q).reshape(nh, hd)
+            sc_qh[0:nh, :] = _rope_rows(q, cos, sin) * (hd ** -0.5)
+            ks = p.nq2
+            k = _halves(lo[:, ks: ks + p.nk2],
+                        hi[:, ks: ks + p.nk2], n_k).reshape(nkv, hd)
+            k = _rope_rows(k, cos, sin)
+            sc_kvh[0:nkv, :] = k
+            k_new_ref[pl.ds(l, 1), 0:nkv, :] = k[None]
+            vs = p.nq2 + p.nk2
+            v = _halves(lo[:, vs: vs + p.nv2],
+                        hi[:, vs: vs + p.nv2], n_k).reshape(nkv, hd)
+            sc_kvh[p.nkv8: p.nkv8 + nkv, :] = v
+            v_new_ref[pl.ds(l, 1), 0:nkv, :] = v[None]
+
+            off = off_ref[0]
+            C = p.capacity
+            for a in range(nkv if "noattn" not in _ABLATE else 0):
+                qg = sc_qh[a * gq:(a + 1) * gq, :]       # [gq, hd]
+                kf = k_hist[0, a].astype(jnp.bfloat16)   # [C, hd]
+                vf = v_hist[0, a].astype(jnp.bfloat16)
+                dims = (((1,), (1,)), ((), ()))
+                s_hist = jax.lax.dot_general(
+                    qg.astype(jnp.bfloat16), kf, dims,
+                    preferred_element_type=jnp.float32)
+                ids = jax.lax.broadcasted_iota(jnp.int32, (gq, C), 1)
+                s_hist = jnp.where(ids < off, s_hist, -jnp.inf)
+                kc = sc_kvh[a, :][None, :]               # [1, hd]
+                vc = sc_kvh[p.nkv8 + a, :][None, :]
+                s_cur = jnp.sum(qg * kc, axis=-1, keepdims=True)  # [gq, 1]
+                m = jnp.maximum(
+                    jnp.max(s_hist, axis=-1, keepdims=True), s_cur)
+                ph_ = jnp.exp(s_hist - m)
+                pc = jnp.exp(s_cur - m)
+                denom = jnp.sum(ph_, axis=-1, keepdims=True) + pc
+                out = jax.lax.dot_general(
+                    ph_.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out = (out + pc * vc) / denom            # [gq, hd]
+                sc_oh[a * gq:(a + 1) * gq, :] = out
+
+            sc_attn[:] = jnp.zeros_like(sc_attn)
+            sc_attn[0:1, :n_q] = sc_oh[0:nh, :].reshape(1, n_q)
+
+        # ---- o tiles
+        @pl.when((s >= B1) & (s < B2))
+        def _():
+            ylo, yhi = _mv2(sc_attn[:], o_qp[0, 0], o_sc[0, 0], g)
+            sc_yo[pl.ds(s - B1, 1), :, : p.TNO] = ylo[None]
+            sc_yo[pl.ds(s - B1, 1), :, p.TNO:] = yhi[None]
+
+        # ---- o residual + norm2 (first gu step, before its dot)
+        @pl.when(s == B2)
+        def _():
+            for j in range(p.NO):
+                sc_flo[:, j * p.TNO:(j + 1) * p.TNO] = sc_yo[j, :, :p.TNO]
+                sc_fhi[:, j * p.TNO:(j + 1) * p.TNO] = sc_yo[j, :, p.TNO:]
+            sc_h[:] += _halves(sc_flo[:, : p.no2], sc_fhi[:, : p.no2], D)
+            ln = norms_ref[pl.ds(l, 1)][0]
+            xf2 = sc_h[:]
+            var2 = jnp.mean(xf2 * xf2, axis=-1, keepdims=True)
+            sc_xn[:] = xf2 * jax.lax.rsqrt(var2 + p.eps) * ln[1:2, :]
+
+        # ---- gate|up tiles
+        @pl.when((s >= B2) & (s < B3))
+        def _():
+            ylo, yhi = _mv2(sc_xn[:], gu_qp[0, 0], gu_sc[0, 0], g)
+            sc_yg[pl.ds(s - B2, 1), :, : p.TNG] = ylo[None]
+            sc_yg[pl.ds(s - B2, 1), :, p.TNG:] = yhi[None]
+
+        # ---- swiglu (first dn step, before its dot)
+        @pl.when(s == B3)
+        def _():
+            # flatten gu planes into (lo | hi) packed-column order via the
+            # f-scratches reused as [8, ng2] views
+            for j in range(p.NGU):
+                jl = j * p.TNG
+                sc_flo[:, jl: jl + p.TNG] = sc_yg[j, :, : p.TNG]
+                sc_fhi[:, jl: jl + p.TNG] = sc_yg[j, :, p.TNG:]
+            glo = sc_flo[:, : 2 * p.ng2]
+            ghi = sc_fhi[:, : 2 * p.ng2]
+            gate = _halves(glo[:, : p.ng2], ghi[:, : p.ng2], I)
+            up = _halves(glo[:, p.ng2:], ghi[:, p.ng2:], I)
+            act = gate * jax.nn.sigmoid(gate) * up       # [8, I]
+            for j in range(p.ND):
+                sc_act3[j] = act[:, j * p.TKD:(j + 1) * p.TKD]
+            sc_flo[:] = jnp.zeros_like(sc_flo)
+            sc_fhi[:] = jnp.zeros_like(sc_fhi)
+
+        # ---- down K-tiles (accumulate)
+        @pl.when(s >= B3)
+        def _():
+            x = sc_act3[pl.ds(s - B3, 1)][0]             # [8, TKD]
+            ylo, yhi = _mv2(x, dn_qp[0, 0], dn_sc[0, 0], g)
+            sc_flo[:, : p.nd2] += ylo
+            sc_fhi[:, : p.nd2] += yhi
+
+        # ---- close the mlp residual; emit h at the very end
+        @pl.when(s == TPL - 1)
+        def _():
+            sc_h[:] += _halves(sc_flo[:, : p.nd2], sc_fhi[:, : p.nd2], D)
+
+            @pl.when(l == p.n_layers - 1)
+            def _():
+                h_out_ref[:] = sc_h[:]
+
+    return kernel
 
 
 def fused_decode_step(pack: FusedDecodePack, h: jax.Array,
@@ -617,7 +544,9 @@ def fused_decode_step(pack: FusedDecodePack, h: jax.Array,
     plan = _make_plan(pack, C)
     p = plan
     D = p.dim
-    G = p.dim // p.group_size  # groups along K for D-contraction weights
+    TPL = p.TPL
+    B1, B2, B3 = p.NQ, p.NQ + p.NO, p.NQ + p.NO + p.NGU
+    Lm1 = L - 1
 
     cs = jnp.concatenate([cos.reshape(1, -1), sin.reshape(1, -1)], axis=0)
     cs = jnp.concatenate([cs, cs], axis=-1).astype(jnp.float32)  # [2, hd]
@@ -632,60 +561,90 @@ def fused_decode_step(pack: FusedDecodePack, h: jax.Array,
         jax.ShapeDtypeStruct((L, nkv8, hd), jnp.float32),
     ]
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    any_ = pl.BlockSpec(memory_space=pl.ANY)
-    out_specs = [vmem, vmem, vmem]
-    sdt = pack.qkv_sc.dtype
-    kvdt = k_cache.dtype
+
+    # ---- weight-stream index maps: each kind walks its own tile schedule;
+    # outside its active window a ref points at the NEXT tile it will
+    # consume, so the pipeline prefetches during other kinds' compute.
+    def qkv_idx(t):
+        l = t // TPL
+        s = t - l * TPL
+        nl = jnp.where(s < B1, l, jnp.minimum(l + 1, Lm1))
+        nj = jnp.where(s < B1, s, 0)
+        return (nl, nj, 0, 0)
+
+    def o_idx(t):
+        l = t // TPL
+        s = t - l * TPL
+        nl = jnp.where(s < B2, l, jnp.minimum(l + 1, Lm1))
+        nj = jnp.where((s >= B1) & (s < B2), s - B1, 0)
+        return (nl, nj, 0, 0)
+
+    def gu_idx(t):
+        l = t // TPL
+        s = t - l * TPL
+        nl = jnp.where(s < B3, l, jnp.minimum(l + 1, Lm1))
+        nj = jnp.where((s >= B2) & (s < B3), s - B2, 0)
+        return (nl, nj, 0, 0)
+
+    def dn_idx(t):
+        l = t // TPL
+        s = t - l * TPL
+        nj = jnp.where(s >= B3, s - B3, 0)
+        return (l, nj, 0, 0)
+
+    def kv_idx(t):
+        l = t // TPL
+        s = t - l * TPL
+        return (jnp.where(s <= B1, l, jnp.minimum(l + 1, Lm1)), 0, 0, 0)
+
+    def sc5(idx):
+        return lambda t: idx(t) + (0,)
+
+    G = D // p.group_size
+    gtd = p.TKD // p.group_size
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # offset
         vmem,                                   # h_in
         vmem,                                   # cos/sin
         vmem,                                   # qkv bias [L, 2, Cq]
         vmem,                                   # norms [L, 2, D]
-        any_, any_, any_, any_,                 # qkv/o qp+sc (HBM)
-        any_, any_, any_, any_,                 # gu/dn qp+sc (HBM)
-        any_, any_,                             # k/v hist (HBM)
+        pl.BlockSpec((1, 1, D, p.TNQ), qkv_idx),
+        pl.BlockSpec((1, 1, G, 4, p.TNQ), sc5(qkv_idx)),
+        pl.BlockSpec((1, 1, D, p.TNO), o_idx),
+        pl.BlockSpec((1, 1, G, 4, p.TNO), sc5(o_idx)),
+        pl.BlockSpec((1, 1, D, p.TNG), gu_idx),
+        pl.BlockSpec((1, 1, G, 4, p.TNG), sc5(gu_idx)),
+        pl.BlockSpec((1, 1, p.TKD, pack.dn_qp.shape[-1]), dn_idx),
+        pl.BlockSpec((1, 1, gtd, 4, pack.dn_qp.shape[-1]), sc5(dn_idx)),
+        pl.BlockSpec((1, Hkv, C, hd), kv_idx),
+        pl.BlockSpec((1, Hkv, C, hd), kv_idx),
     ]
-    gtd = p.TKD // p.group_size
+    out_specs = [
+        pl.BlockSpec((M_ROWS, D), lambda t: (0, 0)),
+        pl.BlockSpec((L, nkv8, hd), lambda t: (0, 0, 0)),
+        pl.BlockSpec((L, nkv8, hd), lambda t: (0, 0, 0)),
+    ]
+    fmax = max(p.no2, p.nd2, 2 * p.ng2)
     scratch = [
-        pltpu.VMEM((M_ROWS, D), jnp.float32),          # sc_h
-        pltpu.VMEM((M_ROWS, D), jnp.float32),          # sc_xn
-        pltpu.VMEM((M_ROWS, p.NQ * p.TNQ), jnp.float32),   # sc_qlo
-        pltpu.VMEM((M_ROWS, p.NQ * p.TNQ), jnp.float32),   # sc_qhi
-        pltpu.VMEM((M_ROWS, D), jnp.float32),          # sc_attn
-        pltpu.VMEM((p.nh8, hd), jnp.float32),          # sc_qh
-        pltpu.VMEM((2 * p.nkv8, hd), jnp.float32),     # sc_kvh
-        pltpu.VMEM((p.nh8, hd), jnp.float32),          # sc_oh
-        pltpu.VMEM((M_ROWS, p.ng2 * 2), jnp.float32),  # sc_glo
-        pltpu.VMEM((M_ROWS, p.ng2 * 2), jnp.float32),  # sc_ghi
-        pltpu.VMEM((M_ROWS, p.inter), jnp.float32),    # sc_act
-        pltpu.VMEM((M_ROWS, max(p.no2, p.nd2)), jnp.float32),  # sc_dlo
-        pltpu.VMEM((M_ROWS, max(p.no2, p.nd2)), jnp.float32),  # sc_dhi
-        # double-buffered DMA slots (qp + scales per stream, kv hist)
-        pltpu.VMEM((2, D, p.TNQ), jnp.uint8),          # sl_qkv_qp
-        pltpu.VMEM((2, G, 4, p.TNQ), sdt),             # sl_qkv_sc
-        pltpu.VMEM((2, D, p.TNO), jnp.uint8),          # sl_o_qp
-        pltpu.VMEM((2, G, 4, p.TNO), sdt),             # sl_o_sc
-        pltpu.VMEM((2, D, p.TNG), jnp.uint8),          # sl_gu_qp
-        pltpu.VMEM((2, G, 4, p.TNG), sdt),             # sl_gu_sc
-        pltpu.VMEM((2, p.TKD, pack.dn_qp.shape[-1]), jnp.uint8),  # sl_dn_qp
-        pltpu.VMEM((2, gtd, 4, pack.dn_qp.shape[-1]), sdt),       # sl_dn_sc
-        pltpu.VMEM((2, Hkv, C, hd), kvdt),             # sl_k
-        pltpu.VMEM((2, Hkv, C, hd), kvdt),             # sl_v
-        pltpu.SemaphoreType.DMA((2,)),                 # sem_qkv_qp
-        pltpu.SemaphoreType.DMA((2,)),                 # sem_qkv_sc
-        pltpu.SemaphoreType.DMA((2,)),                 # sem_o_qp
-        pltpu.SemaphoreType.DMA((2,)),                 # sem_o_sc
-        pltpu.SemaphoreType.DMA((2,)),                 # sem_gu_qp
-        pltpu.SemaphoreType.DMA((2,)),                 # sem_gu_sc
-        pltpu.SemaphoreType.DMA((2,)),                 # sem_dn_qp
-        pltpu.SemaphoreType.DMA((2,)),                 # sem_dn_sc
-        pltpu.SemaphoreType.DMA((2,)),                 # sem_k
-        pltpu.SemaphoreType.DMA((2,)),                 # sem_v
+        pltpu.VMEM((M_ROWS, D), jnp.float32),            # sc_h
+        pltpu.VMEM((M_ROWS, D), jnp.float32),            # sc_xn
+        pltpu.VMEM((M_ROWS, D), jnp.float32),            # sc_attn
+        pltpu.VMEM((M_ROWS, p.NQ * p.TNQ), jnp.float32),  # sc_qlo
+        pltpu.VMEM((M_ROWS, p.NQ * p.TNQ), jnp.float32),  # sc_qhi
+        pltpu.VMEM((p.nh8, hd), jnp.float32),            # sc_qh
+        pltpu.VMEM((2 * p.nkv8, hd), jnp.float32),       # sc_kvh
+        pltpu.VMEM((p.nh8, hd), jnp.float32),            # sc_oh
+        pltpu.VMEM((p.NQ, M_ROWS, 2 * p.TNQ), jnp.float32),   # sc_yq
+        pltpu.VMEM((p.NO, M_ROWS, 2 * p.TNO), jnp.float32),   # sc_yo
+        pltpu.VMEM((p.NGU, M_ROWS, 2 * p.TNG), jnp.float32),  # sc_yg
+        pltpu.VMEM((p.ND, M_ROWS, p.TKD), jnp.float32),       # sc_act3
+        pltpu.VMEM((M_ROWS, fmax), jnp.float32),         # sc_flo
+        pltpu.VMEM((M_ROWS, fmax), jnp.float32),         # sc_fhi
     ]
 
     h_out, k_new, v_new = pl.pallas_call(
         kernel,
+        grid=(L * TPL,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -699,6 +658,6 @@ def fused_decode_step(pack: FusedDecodePack, h: jax.Array,
         h8, cs, pack.qkv_bias, pack.norms,
         pack.qkv_qp, pack.qkv_sc, pack.o_qp, pack.o_sc,
         pack.gu_qp, pack.gu_sc, pack.dn_qp, pack.dn_sc,
-        k_cache, v_cache,
+        k_cache[:, 0], v_cache[:, 0],
     )
     return h_out[0:1, None, :], k_new, v_new
