@@ -18,7 +18,10 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["make_sampler", "make_logits_processors", "top_p_sampling"]
+__all__ = [
+    "make_sampler", "make_logits_processors", "top_p_sampling",
+    "make_batched_sampler", "batched_filter_logits", "batched_filtered_probs",
+]
 
 _NEG_INF = -jnp.inf
 
@@ -143,35 +146,65 @@ def make_batched_sampler():
 
     def sample(logits: jax.Array, params: dict, key: jax.Array) -> jax.Array:
         x = logits.astype(jnp.float32)
-        B, V = x.shape
-        temp = params["temp"].reshape(B, 1)
-        top_p = params["top_p"].reshape(B, 1)
-        min_p = params["min_p"].reshape(B, 1)
-        top_k = params["top_k"].reshape(B, 1)
-
-        order = jnp.argsort(-x, axis=-1)
-        sorted_x = jnp.take_along_axis(x, order, axis=-1)
-        ranks = jnp.argsort(order, axis=-1)  # rank of each vocab entry
-
-        # top-k: keep rank < k (k<=0 disables)
-        keep = (top_k <= 0) | (ranks < top_k)
-        # top-p on sorted probs
-        probs_sorted = jax.nn.softmax(sorted_x, axis=-1)
-        cum = jnp.cumsum(probs_sorted, axis=-1)
-        keep_sorted = (cum - probs_sorted) < jnp.where(top_p > 0, top_p, 1.0)
-        keep &= jnp.take_along_axis(keep_sorted, ranks, axis=-1)
-        # min-p
-        probs = jax.nn.softmax(x, axis=-1)
-        pmax = probs.max(axis=-1, keepdims=True)
-        keep &= (min_p <= 0) | (probs >= min_p * pmax)
-
-        filtered = jnp.where(keep, x, _NEG_INF)
+        filtered = batched_filter_logits(x, params)
+        temp = params["temp"].reshape(-1, 1)
         safe_temp = jnp.where(temp > 0, temp, 1.0)
         drawn = jax.random.categorical(key, filtered / safe_temp, axis=-1)
         greedy = jnp.argmax(x, axis=-1)
         return jnp.where(temp.reshape(-1) > 0, drawn, greedy).astype(jnp.int32)
 
     return sample
+
+
+def batched_filter_logits(x: jax.Array, params: dict) -> jax.Array:
+    """Apply per-row top-k/top-p/min-p filters (no temperature draw).
+
+    x: [B, V] f32 logits; params: dict of [B] arrays as in
+    make_batched_sampler.  Returns filtered logits with -inf holes."""
+    B, V = x.shape
+    top_p = params["top_p"].reshape(B, 1)
+    min_p = params["min_p"].reshape(B, 1)
+    top_k = params["top_k"].reshape(B, 1)
+
+    order = jnp.argsort(-x, axis=-1)
+    sorted_x = jnp.take_along_axis(x, order, axis=-1)
+    ranks = jnp.argsort(order, axis=-1)  # rank of each vocab entry
+
+    # top-k: keep rank < k (k<=0 disables)
+    keep = (top_k <= 0) | (ranks < top_k)
+    # top-p on sorted probs
+    probs_sorted = jax.nn.softmax(sorted_x, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    keep_sorted = (cum - probs_sorted) < jnp.where(top_p > 0, top_p, 1.0)
+    keep &= jnp.take_along_axis(keep_sorted, ranks, axis=-1)
+    # min-p
+    probs = jax.nn.softmax(x, axis=-1)
+    pmax = probs.max(axis=-1, keepdims=True)
+    keep &= (min_p <= 0) | (probs >= min_p * pmax)
+
+    return jnp.where(keep, x, _NEG_INF)
+
+
+def batched_filtered_probs(logits: jax.Array, params: dict) -> jax.Array:
+    """Per-row filtered token distributions for rejection sampling
+    (reference speculative/common.py:135 uses the same processed
+    distributions on both draft and target sides).
+
+    logits: [B, T, V]; params: dict of [B] arrays.  Rows with temp==0
+    return a one-hot argmax distribution, so the speculative rejection
+    walk reduces exactly to greedy token matching."""
+    B, T, V = logits.shape
+    x = logits.astype(jnp.float32).reshape(B * T, V)
+    rep = {k: jnp.repeat(v, T) for k, v in params.items()}
+    filtered = batched_filter_logits(x, rep)
+    temp = rep["temp"].reshape(-1, 1)
+    safe_temp = jnp.where(temp > 0, temp, 1.0)
+    soft = jax.nn.softmax(filtered / safe_temp, axis=-1)
+    onehot = (
+        jnp.arange(V, dtype=jnp.int32)[None, :]
+        == jnp.argmax(x, axis=-1, keepdims=True)
+    ).astype(jnp.float32)
+    return jnp.where(temp > 0, soft, onehot).reshape(B, T, V)
 
 
 def make_logits_processors(

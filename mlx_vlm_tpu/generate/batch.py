@@ -56,6 +56,8 @@ class BatchRequest:
     prompt_cache: Any = None  # prefilled row cache with offset=prefix_len
     prefix_len: int = 0
     prompt_cache_callback: Optional[Callable] = None  # harvest hook
+    # token ids [1, S] — needed by drafter prefill in speculative serving
+    input_ids: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -390,9 +392,9 @@ class BatchGenerator:
     def num_active(self) -> int:
         return sum(s is not None for s in self.slots)
 
-    def next(self) -> Dict[Any, List[Tuple[int, float]]]:
-        """One scheduling cycle -> {uid: [(token, logprob), ...]} newly
-        produced (includes the prompt's first sampled token on admission)."""
+    def _admit_and_first(self) -> Dict[Any, List[Tuple[int, float]]]:
+        """Admission phase: admit queued requests, return their first
+        sampled tokens and free any slots finished by them."""
         out: Dict[Any, List[Tuple[int, float]]] = {}
         # admit as many as fit (prefill phase): cold prompts in one batched
         # program when >=2 are waiting, the rest one at a time
@@ -414,7 +416,12 @@ class BatchGenerator:
                     s.done = True
                     self.slots[i] = None
                     self.active[i] = False
+        return out
 
+    def next(self) -> Dict[Any, List[Tuple[int, float]]]:
+        """One scheduling cycle -> {uid: [(token, logprob), ...]} newly
+        produced (includes the prompt's first sampled token on admission)."""
+        out = self._admit_and_first()
         if not self.active.any():
             return out
 

@@ -113,8 +113,11 @@ class ResponseGenerator:
         self.processor = processor
         self.apc = apc
         self.vision_cache = vision_cache
-        # speculative serving (reference --draft-model + _run_speculative,
-        # generation.py:1902): greedy requests run draft/verify rounds
+        # speculative serving (reference --draft-model +
+        # run_speculative_server_rounds, speculative/utils.py:118): with a
+        # draft model the whole slot set advances through shared batched
+        # draft/verify rounds — concurrent requests at any temperature,
+        # nothing blocks the batch loop
         self.draft_model = draft_model
         self.num_draft = num_draft
         self.eos_ids = tuple(_get_eos_ids(model, processor))
@@ -129,10 +132,19 @@ class ResponseGenerator:
             ),
             jnp.bfloat16,
         )
-        self.batch = BatchGenerator(
-            model, num_slots=num_slots, capacity=capacity,
-            block_size=block_size, dtype=dtype,
-        )
+        if draft_model is not None:
+            from ..speculative.batch import SpeculativeBatchGenerator
+
+            self.batch = SpeculativeBatchGenerator(
+                model, draft_model, num_draft=num_draft,
+                num_slots=num_slots, capacity=capacity,
+                block_size=block_size, dtype=dtype,
+            )
+        else:
+            self.batch = BatchGenerator(
+                model, num_slots=num_slots, capacity=capacity,
+                block_size=block_size, dtype=dtype,
+            )
         self.metrics = ServerMetricsStore()
         self._requests: "queue.Queue" = queue.Queue()
         self._cancel: set = set()
@@ -282,12 +294,6 @@ class ResponseGenerator:
             "stop": args.stop,
             "tail": "",
         }
-        if self.draft_model is not None and args.temperature == 0:
-            # kept only for _run_speculative; popped when the request ends
-            self._meta[args.request_id].update(
-                input_ids=ids, embeds=embeds, pos=pos, deltas=deltas,
-                max_tokens=args.max_tokens,
-            )
         return BatchRequest(
             uid=args.request_id,
             inputs_embeds=embeds,
@@ -302,6 +308,7 @@ class ResponseGenerator:
             prompt_cache=prompt_cache,
             prefix_len=prefix_len,
             prompt_cache_callback=harvest,
+            input_ids=ids,
         )
 
     def _make_detok(self):
@@ -309,88 +316,6 @@ class ResponseGenerator:
 
         tok = getattr(self.processor, "tokenizer", self.processor)
         return make_detokenizer(tok, skip_special_tokens=True)
-
-    def _run_speculative(self, rid: str):
-        """Serve one greedy request with draft/verify rounds (reference
-        server _run_speculative, generation.py:1902 — v1 is per-request;
-        batched rounds ride the same queue sequentially)."""
-        from ..speculative.utils import SpecStats, speculative_generate_step
-
-        meta = self._meta[rid]
-        q = self._queues.get(rid)
-        stats = SpecStats()
-        try:
-            gen = speculative_generate_step(
-                meta["embeds"], self.model, self.draft_model,
-                input_ids=meta["input_ids"],
-                position_ids=meta["pos"],
-                rope_deltas=meta["deltas"],
-                max_tokens=meta["max_tokens"],
-                num_draft=self.num_draft,
-                stats=stats,
-            )
-            n = 0
-            finish = None
-            for tok_arr, _lp in gen:
-                with self._cancel_lock:
-                    if rid in self._cancel:
-                        self._cancel.discard(rid)
-                        finish = "stop"
-                        break
-                tok = int(np.asarray(tok_arr)[0])
-                n += 1
-                if meta["t_first"] is None:
-                    meta["t_first"] = time.time()
-                if tok in self.eos_ids:
-                    finish = "stop"
-                    break
-                meta["detok"].add_token(tok)
-                text = meta["detok"].last_segment()
-                stop_hit = None
-                if meta["stop"] and text:
-                    prev_tail = meta["tail"]
-                    combined = prev_tail + text
-                    for stop_s in meta["stop"]:
-                        idx = combined.find(stop_s)
-                        if idx != -1:
-                            stop_hit = stop_s
-                            text = text[: max(0, idx - len(prev_tail))]
-                            break
-                    keep = max(len(stop_s) for stop_s in meta["stop"]) - 1
-                    meta["tail"] = (
-                        combined[len(combined) - keep:] if keep > 0 else ""
-                    )
-                if q:
-                    q.put(StreamingToken(token=tok, text=text))
-                if stop_hit:
-                    finish = "stop"
-                    break
-            if finish is None:
-                finish = "length"
-            if q:
-                tail = meta["detok"].finalize() if finish == "length" else ""
-                q.put(StreamingToken(token=None, text=tail, finish_reason=finish))
-            now = time.time()
-            self.metrics.record({
-                "request_id": rid,
-                "prompt_tokens": meta["prompt_tokens"],
-                "generation_tokens": n,
-                "ttft_s": (meta["t_first"] or now) - meta["t_submit"],
-                "generation_tps": (n - 1) / max(now - (meta["t_first"] or now), 1e-9),
-                "speculative": {
-                    "rounds": stats.rounds,
-                    "drafted": stats.drafted,
-                    "accepted": stats.accepted,
-                    "acceptance_rate": round(stats.acceptance_rate, 4),
-                },
-            })
-        except Exception as e:  # noqa: BLE001
-            logger.exception("speculative request failed")
-            if q:
-                q.put(StreamingToken(token=None, finish_reason="error",
-                                     error=str(e)))
-        finally:
-            self._meta.pop(rid, None)
 
     def _run(self):
         while not self._stop.is_set():
@@ -409,9 +334,6 @@ class ResponseGenerator:
                     continue
                 try:
                     req = self._prepare(args)
-                    if self.draft_model is not None and args.temperature == 0:
-                        self._run_speculative(args.request_id)
-                        continue
                     self.batch.insert(req)
                 except Exception as e:  # noqa: BLE001
                     logger.exception("prepare failed")
@@ -494,7 +416,7 @@ class ResponseGenerator:
                     finished = True
                 if finished:
                     decode_s = now - (meta["t_first"] or now)
-                    self.metrics.record({
+                    env = {
                         "request_id": rid,
                         "prompt_tokens": meta["prompt_tokens"],
                         "generation_tokens": meta["generated"],
@@ -506,5 +428,15 @@ class ResponseGenerator:
                             if decode_s > 1e-6
                             else 0.0
                         ),
-                    })
+                    }
+                    pop_stats = getattr(self.batch, "pop_stats", None)
+                    st = pop_stats(rid) if pop_stats is not None else None
+                    if st is not None and st.rounds:
+                        env["speculative"] = {
+                            "rounds": st.rounds,
+                            "drafted": st.drafted,
+                            "accepted": st.accepted,
+                            "acceptance_rate": round(st.acceptance_rate, 4),
+                        }
+                    self.metrics.record(env)
                     self._meta.pop(rid, None)

@@ -362,3 +362,38 @@ class TestSpeculativeServing:
             "max_tokens": 4, "temperature": 0.7,
         })
         assert resp["choices"][0]["finish_reason"] in ("stop", "length")
+
+    def test_concurrent_speculative_requests(self, spec_servers):
+        """2+ concurrent speculative requests advance through SHARED
+        batched rounds (reference run_speculative_server_rounds,
+        speculative/utils.py:118) — speculation must not serialize the
+        batch.  Outputs stay identical to the plain server's."""
+        plain_url, spec_url = spec_servers
+        bodies = [{
+            "messages": [{"role": "user", "content": f"concurrent {i}"}],
+            "max_tokens": 8, "temperature": 0.0,
+        } for i in range(2)]
+        expected = [
+            _post(plain_url, "/v1/chat/completions", b)[1] for b in bodies
+        ]
+
+        results = [None, None]
+
+        def go(i):
+            results[i] = _post(spec_url, "/v1/chat/completions", bodies[i])[1]
+
+        threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(2):
+            assert results[i] is not None, "request hung"
+            assert (
+                results[i]["choices"][0]["message"]["content"]
+                == expected[i]["choices"][0]["message"]["content"]
+            )
+        _, metrics = _get(spec_url, "/metrics")
+        spec_entries = [r for r in metrics["recent"] if "speculative" in r]
+        assert len(spec_entries) >= 2
+        assert all(e["speculative"]["accepted"] >= 1 for e in spec_entries)
