@@ -253,25 +253,32 @@ def unstack_params(model, params: dict) -> dict:
     return flat
 
 
-def runtime_quant_mode() -> str:
+def runtime_quant_mode(default: str = "w8chan") -> str:
     """How quantized weights execute on device.
 
-    "w8chan" (default): requantize group-affine weights to per-channel
-    int8 in transposed [K, N] layout.  XLA fuses the bare int8->bf16
-    convert into the matvec (scales factor out to the output), so decode
-    runs at the int8 HBM roofline — measured ~700 GB/s effective on v5e.
-    "w4grp": keep the checkpoint's group-affine int4 codes BIT-EXACT in
-    the halves-packed layout (core/quant.py Int4GroupedTensor) and decode
-    through the Pallas VMEM-unpack kernel (ops/int4_matvec.py).  Slower
-    in-model than w8chan on the current stack (per-pallas-call launch
-    overhead — see the kernel docstring for the measured matrix); use it
-    for bit-exact parity with mlx checkpoints.
+    "w4grp" (default for int4 checkpoints whose language model supports
+    the whole-stack fused decode kernel): keep the checkpoint's
+    group-affine int4 codes BIT-EXACT in the halves-packed layout
+    (core/quant.py Int4GroupedTensor).  Decode streams every weight byte
+    of the step through ONE Pallas call (ops/fused_decode.py) — measured
+    7.3 ms/step on Qwen2-VL-7B dims (~136 tok/s) vs 10.0 ms for w8chan,
+    because it reads half the weight bytes on a bandwidth-bound step.
+    Models without the fused path fall back to the per-linear kernel
+    (ops/int4_matvec.py), which loses to w8chan on launch overhead — so
+    "auto" only picks w4grp when the fused pack will actually attach.
+    "w8chan" (default otherwise): requantize group-affine weights to
+    per-channel int8 in transposed [K, N] layout.  XLA fuses the bare
+    int8->bf16 convert into the matvec (scales factor out to the
+    output), so decode runs at the int8 HBM roofline — measured
+    ~700 GB/s effective on v5e.
     "exact": keep group-affine codes and dequantize at matmul time
     (Pallas fused kernel / XLA dequant).
+
+    MLX_VLM_TPU_RUNTIME_QUANT overrides the automatic choice.
     """
     import os
 
-    mode = os.environ.get("MLX_VLM_TPU_RUNTIME_QUANT", "w8chan")
+    mode = os.environ.get("MLX_VLM_TPU_RUNTIME_QUANT", "") or default
     if mode not in ("w4grp", "w8chan", "exact"):
         raise ValueError(
             f"MLX_VLM_TPU_RUNTIME_QUANT must be w4grp|w8chan|exact, "
@@ -279,13 +286,14 @@ def runtime_quant_mode() -> str:
     return mode
 
 
-def _fold_quantized(flat: dict, qcfg: dict) -> dict:
+def _fold_quantized(flat: dict, qcfg: dict,
+                    default_mode: str = "w8chan") -> dict:
     """Fold mlx-style (weight: packed uint32, scales, biases) triples into
     QuantizedTensor leaves.  Reference: nn.quantize at utils.py:657 and
     quantized checkpoint loading."""
     bits = qcfg.get("bits", 4)
     group_size = qcfg.get("group_size", 64)
-    mode = runtime_quant_mode()
+    mode = runtime_quant_mode(default_mode)
     out = {}
     handled = set()
     for k in list(flat.keys()):
@@ -515,7 +523,17 @@ def load_model_from_weights(
         weights = model.sanitize(weights)
     qcfg = config.get("quantization")
     if qcfg:
-        weights = _fold_quantized(weights, qcfg)
+        # int4 checkpoints whose LM has the whole-stack fused decode path
+        # default to the bit-exact w4grp layout (reads half the bytes of
+        # the int8 fallback on the bandwidth-bound decode step)
+        lm = getattr(model, "language_model", None)
+        fused_ok = (
+            getattr(lm, "supports_fused_decode", False)
+            and qcfg.get("bits", 4) == 4
+        )
+        weights = _fold_quantized(
+            weights, qcfg, default_mode="w4grp" if fused_ok else "w8chan"
+        )
     weights = _stack_layers(weights, tuple(model.stack_patterns))
     params = _nest(_to_device(weights, dtype, zeros_on_device))
     model.params = params

@@ -280,3 +280,69 @@ class TestInt4Grouped:
                                                         max_tokens=6)]
 
         assert toks("w4grp") == toks("exact")
+
+
+class TestAutoQuantMode:
+    """Default runtime layout selection (no env override): int4
+    checkpoints whose LM supports the whole-stack fused decode kernel
+    fold to the bit-exact w4grp layout; others keep w8chan."""
+
+    def _pack_layers(self, weights, bits=4, g=64):
+        from mlx_vlm_tpu.core.quant import quantize
+
+        rng = np.random.default_rng(5)
+        out = {}
+        for k, v in weights.items():
+            if (k.startswith("model.layers.") and k.endswith(".weight")
+                    and "norm" not in k and v.ndim == 2
+                    and v.shape[1] % g == 0):
+                w = rng.standard_normal(v.shape).astype(np.float32) * 0.1
+                t = quantize(jnp.asarray(w), bits=bits, group_size=g)
+                p = k[: -len(".weight")]
+                out[f"{p}.weight"] = np.asarray(t.q).view(np.uint32)
+                out[f"{p}.scales"] = np.asarray(t.scales)
+                out[f"{p}.biases"] = np.asarray(t.biases)
+            else:
+                out[k] = v
+        return out
+
+    def test_qwen2_vl_int4_defaults_to_fused_w4grp(self, monkeypatch):
+        from mlx_vlm_tpu.core.quant import Int4GroupedTensor
+        from mlx_vlm_tpu.utils.loader import load_model_from_weights
+        from mlx_vlm_tpu.utils.testing import (qwen2_vl_hf_weights,
+                                               tiny_qwen2_vl_config)
+
+        monkeypatch.delenv("MLX_VLM_TPU_RUNTIME_QUANT", raising=False)
+        cfg = tiny_qwen2_vl_config()
+        cfg["hidden_size"] = 128
+        cfg["intermediate_size"] = 256
+        cfg["num_attention_heads"] = 4
+        cfg["num_key_value_heads"] = 2
+        cfg["num_hidden_layers"] = 2
+        cfg["rope_scaling"] = {"type": "mrope", "mrope_section": [4, 6, 6]}
+        cfg["vision_config"]["hidden_size"] = 32
+        cfg["quantization"] = {"bits": 4, "group_size": 64}
+        w = self._pack_layers(qwen2_vl_hf_weights(cfg, seed=2))
+        m = load_model_from_weights(cfg, w, jnp.float32)
+        lp = m.params["language_model"]
+        assert "fused_decode" in lp
+        assert isinstance(
+            lp["model"]["layers"]["mlp"]["gate_proj"]["weight"],
+            Int4GroupedTensor)
+
+    def test_llama_int4_defaults_to_w8chan(self, monkeypatch):
+        from mlx_vlm_tpu.core.quant import ChannelQuantizedTensor
+        from mlx_vlm_tpu.utils.loader import load_model_from_weights
+        from mlx_vlm_tpu.utils.testing import (llama_hf_weights,
+                                               tiny_llama_config)
+
+        monkeypatch.delenv("MLX_VLM_TPU_RUNTIME_QUANT", raising=False)
+        cfg = tiny_llama_config()
+        cfg = dict(cfg, quantization={"bits": 4, "group_size": 64})
+        w = self._pack_layers(llama_hf_weights(dict(cfg), 0))
+        m = load_model_from_weights(dict(cfg), w, jnp.float32)
+        lp = m.params["language_model"]
+        assert "fused_decode" not in lp
+        assert isinstance(
+            lp["model"]["layers"]["mlp"]["gate_proj"]["weight"],
+            ChannelQuantizedTensor)
