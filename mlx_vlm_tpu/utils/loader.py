@@ -40,6 +40,7 @@ logger = logging.getLogger("mlx_vlm_tpu.loader")
 
 # model_type -> module name overrides (reference utils.py:32)
 MODEL_REMAPPING = {
+    "rf-detr": "rfdetr",
     "llava-qwen2": "llava_bunny",
     "llava_qwen2": "llava_bunny",
     "bunny-llama": "llava_bunny",
