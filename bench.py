@@ -2,20 +2,28 @@
 
 Runs on the session's real accelerator (TPU v5e via axon).
 
-Headline: single-stream decode tokens/sec on Qwen2-VL-7B dims with 4-bit
-weights in the runtime layout (per-channel int8; the bare int8->bf16
-convert fuses into the XLA matvec at HBM roofline — see core/quant.py
-ChannelQuantizedTensor; ops/int4_matvec.py documents why true int4
-decode loses on this stack).  This is the
-BASELINE.json north-star config (Qwen2-VL-7B-4bit on one chip).
+Headline: single-stream decode tokens/sec on Qwen2-VL-7B dims with the
+checkpoint's TRUE 4-bit weights in the default runtime layout
+(Int4GroupedTensor, bit-exact group-affine codes) decoded through the
+whole-stack fused Pallas kernel (ops/fused_decode.py — one kernel call
+streams every weight byte of the step).  This is the BASELINE.json
+north-star config (Qwen2-VL-7B-4bit on one chip).
 
 Baseline: mlx-vlm on an M3 Ultra decodes Qwen2-VL-7B-4bit at roughly
 ~100 tok/s single-stream (estimate: 819 GB/s unified-memory roofline over
 ~4.3 GB of 4-bit weights at mlx's measured ~55% matvec efficiency; no
 published number exists).  vs_baseline = value / 100.0.
 
-Extras carry the 2B variants (int4-runtime + bf16) and a 1k-token prefill
-TTFT measurement.
+Physics note: this chip's sustained HBM bandwidth measures ~775 GB/s
+(tools/probe_overlap2.py); a 7B int4 step must read ~3.9 GB (weights +
+f32 scale planes + KV), so the zero-overhead roofline is ~195 tok/s.
+
+Extras:
+- ttft_image_7b_s: image-prefill TTFT through the REAL Qwen2-VL vision
+  tower on a COCO-sized (644x476) image — the north star's second metric.
+- parity: greedy-token equality of the fused int4 decode path vs the
+  per-linear path on a tiny real-weight checkpoint, run on this chip.
+- 2B int4 decode + 1k-token text prefill TTFT.
 """
 
 from __future__ import annotations
@@ -39,16 +47,23 @@ BLOCK = 32
 def build_model(cfg, quantized: bool):
     from mlx_vlm_tpu.utils.loader import load_model_from_weights
     from mlx_vlm_tpu.utils.testing import (
-        channel_quantize_lm_weights,
+        int4_grouped_lm_weights,
         qwen2_vl_hf_weights,
     )
 
     weights = qwen2_vl_hf_weights(cfg, zeros=True)
     if quantized:
-        weights = channel_quantize_lm_weights(weights)
+        # zero-filled Int4GroupedTensor shells: identical HBM traffic and
+        # compute to a real 4-bit load, no host quantization cost.  The
+        # loader attaches the fused whole-stack decode pack.
+        weights = int4_grouped_lm_weights(weights)
     model = load_model_from_weights(
         cfg, weights, jnp.bfloat16, zeros_on_device=True
     )
+    if quantized:
+        assert "fused_decode" in model.params["language_model"], (
+            "fused int4 decode pack failed to attach — headline path broken"
+        )
     return model
 
 
@@ -83,8 +98,100 @@ def measure(model, cfg, *, s_prompt=128, n_decode=320):
     return decode_tps, prefill_tps, ttft
 
 
+def measure_image_ttft(model, cfg, *, img_hw=(476, 644), n_text=40):
+    """TTFT for a COCO-sized image prompt THROUGH the vision tower:
+    embed (ViT + merge) + chunked prefill + first sampled token."""
+    from mlx_vlm_tpu.generate.ar import generate_step
+
+    vc = cfg["vision_config"]
+    patch = vc["patch_size"]
+    merge = vc["spatial_merge_size"]
+    tps = vc.get("temporal_patch_size", 2)
+    H = img_hw[0] // (patch * merge) * merge
+    W = img_hw[1] // (patch * merge) * merge
+    grid = np.asarray([[1, H, W]], np.int64)
+    n_patches = H * W
+    n_merged = n_patches // (merge * merge)
+    pdim = vc["in_channels"] * tps * patch * patch
+    pv = np.zeros((n_patches, pdim), np.float32)
+
+    image_token = cfg["image_token_id"]
+    ids = np.full((1, n_text + n_merged), 11, np.int32)
+    ids[0, 8 : 8 + n_merged] = image_token
+    aux = model.vision_aux_inputs(grid)
+    aux_dev = {k: jnp.asarray(v) for k, v in aux.items()}
+    pos, _ = model.prepare_position_ids(ids, grid)
+
+    def once():
+        t0 = time.time()
+        embeds = jax.jit(model.get_input_embeddings)(
+            model.params, jnp.asarray(ids), jnp.asarray(pv), **aux_dev
+        )
+        gen = generate_step(
+            embeds, model, max_tokens=2, prefill_step_size=512,
+            block_size=1, position_ids=pos,
+        )
+        next(gen)
+        return time.time() - t0, ids.shape[1]
+
+    once()  # compile
+    best = min(once()[0] for _ in range(3))
+    return best, int(ids.shape[1]), int(n_merged)
+
+
+def parity_gate():
+    """Greedy-token parity of the fused whole-stack int4 kernel vs the
+    per-linear path on a tiny REAL-weight model, on this accelerator
+    (the CPU version of this check is tests/test_fused_decode.py)."""
+    from mlx_vlm_tpu.core.quant import quantize, to_int4_grouped
+    from mlx_vlm_tpu.generate.ar import generate_step
+    from mlx_vlm_tpu.utils.loader import load_model_from_weights
+    from mlx_vlm_tpu.utils.testing import (
+        qwen2_vl_hf_weights,
+        tiny_qwen2_vl_config,
+    )
+
+    # head_dim must be 128 for the real-TPU fused kernel lowering
+    cfg = tiny_qwen2_vl_config()
+    cfg["hidden_size"] = 256
+    cfg["intermediate_size"] = 256
+    cfg["num_attention_heads"] = 2
+    cfg["num_key_value_heads"] = 2
+    cfg["num_hidden_layers"] = 2
+    cfg["rope_scaling"] = {"type": "mrope", "mrope_section": [16, 24, 24]}
+    cfg["vision_config"]["hidden_size"] = 32
+    weights = qwen2_vl_hf_weights(cfg, seed=0)
+    rng = np.random.default_rng(1)
+    for k in list(weights.keys()):
+        if (k.startswith("model.layers.") and k.endswith(".weight")
+                and "layernorm" not in k and weights[k].ndim == 2):
+            w = rng.standard_normal(weights[k].shape).astype(np.float32) * 0.1
+            weights[k] = to_int4_grouped(
+                quantize(jnp.asarray(w), bits=4, group_size=64))
+
+    def toks(fused):
+        m = load_model_from_weights(dict(cfg), dict(weights), jnp.float32)
+        lp = m.params["language_model"]
+        assert "fused_decode" in lp
+        if not fused:
+            lp.pop("fused_decode")
+        D = cfg["hidden_size"]
+        e = jnp.asarray(
+            np.random.default_rng(3).standard_normal((1, 8, D)) * 0.3,
+            jnp.float32)
+        return [
+            int(t[0]) for t, _ in generate_step(
+                e, m, max_tokens=8, prefill_step_size=8, block_size=2,
+                seed=0)
+        ]
+
+    return toks(True) == toks(False)
+
+
 def main():
     from mlx_vlm_tpu.utils.testing import qwen2_vl_2b_config, qwen2_vl_7b_config
+
+    import gc
 
     extras = {"device": str(jax.devices()[0])}
 
@@ -97,18 +204,34 @@ def main():
     tps7, prefill7, _ = measure(model7, cfg7)
     extras["bench_7b_s"] = round(time.time() - t0, 1)
 
-    # 1k-token prompt: prefill throughput + TTFT (north-star second metric)
+    # COCO-sized image prefill TTFT through the real ViT (north-star #2)
+    ttft_img, s_img, n_img_tok = measure_image_ttft(model7, cfg7)
+    extras["ttft_image_7b_s"] = round(ttft_img, 3)
+    extras["image_prompt_tokens"] = s_img
+    extras["image_tokens"] = n_img_tok
+
+    # 1k-token text prompt: prefill throughput + TTFT
     _, prefill_1k, ttft_1k = measure(model7, cfg7, s_prompt=1024, n_decode=8)
     extras["prefill_tps_7b_1k"] = round(prefill_1k, 1)
     extras["ttft_7b_1k_s"] = round(ttft_1k, 3)
     del model7
+    gc.collect()
+    jax.clear_caches()
 
     cfg2 = qwen2_vl_2b_config()
     model2 = build_model(cfg2, quantized=True)
     tps2q, _, _ = measure(model2, cfg2)
     extras["decode_tps_qwen2vl_2b_int4_b1"] = round(tps2q, 1)
     del model2
+    gc.collect()
+    jax.clear_caches()
     # 2B bf16 reference (same harness, r01): 220.5 tok/s decode
+
+    # parity gate LAST: its jit caches + tiny models would otherwise sit
+    # in HBM under the 7B build (model + fused pack ~8 GB on a 16 GB chip)
+    t0 = time.time()
+    extras["parity_fused_vs_unfused"] = "pass" if parity_gate() else "FAIL"
+    extras["parity_s"] = round(time.time() - t0, 1)
 
     result = {
         "metric": "decode_tps_qwen2vl_7b_int4_b1",

@@ -557,12 +557,14 @@ def to_int4_grouped(t: QuantizedTensor) -> Int4GroupedTensor:
     b[:N] = np.asarray(t.biases, np.float32)
     s = s.T.reshape(G, 1, N_p)
     b = b.T.reshape(G, 1, N_p)
+    # stays HOST-side (numpy): the loader transfers after layer stacking,
+    # and the fused-decode pack relayout also runs on host (loader.py)
     return Int4GroupedTensor(
-        qp=jnp.asarray(qp),
-        sl=jnp.asarray(s[..., :n2p]),
-        sh=jnp.asarray(s[..., n2p:]),
-        bl=jnp.asarray(b[..., :n2p]),
-        bh=jnp.asarray(b[..., n2p:]),
+        qp=qp,
+        sl=np.ascontiguousarray(s[..., :n2p]),
+        sh=np.ascontiguousarray(s[..., n2p:]),
+        bl=np.ascontiguousarray(b[..., :n2p]),
+        bh=np.ascontiguousarray(b[..., n2p:]),
         n=N,
         group_size=g,
         out_dtype=t.out_dtype,

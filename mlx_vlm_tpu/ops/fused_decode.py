@@ -127,24 +127,30 @@ class FusedDecodePack:
     nd2: int = 0
 
 
-def _cat_tensors(ts):
+def _cat_tensors(ts, xp):
     """Concatenate stacked Int4GroupedTensors along packed columns.
 
     Returns (qp [L,K,C], sc_f32 [L,G,4,C], half_widths)."""
-    qp = jnp.concatenate([t.qp for t in ts], axis=-1)
+    qp = xp.concatenate([t.qp for t in ts], axis=-1)
     rows = []
     for name in ("sl", "sh", "bl", "bh"):
-        rows.append(jnp.concatenate(
+        rows.append(xp.concatenate(
             [getattr(t, name) for t in ts], axis=-1))  # [L, G, 1, C]
-    sc = jnp.concatenate(rows, axis=2)  # [L, G, 4, C] f32
+    sc = xp.concatenate(rows, axis=2)  # [L, G, 4, C] f32
     return qp, sc, [t.qp.shape[-1] for t in ts]
 
 
-def _plane_bias(bias, n, n2p):
+def _plane_bias(bias, n, n2p, xp):
     """[L, n] bias -> ([L, n2p] lo, [L, n2p] hi) plane layout."""
+    import numpy as _np
+
     L = bias.shape[0]
-    b = jnp.zeros((L, 2 * n2p), jnp.float32)
-    b = b.at[:, :n].set(bias.astype(jnp.float32))
+    if xp is _np:
+        b = _np.zeros((L, 2 * n2p), _np.float32)
+        b[:, :n] = _np.asarray(bias, _np.float32)
+    else:
+        b = jnp.zeros((L, 2 * n2p), jnp.float32)
+        b = b.at[:, :n].set(bias.astype(jnp.float32))
     return b[:, :n2p], b[:, n2p:]
 
 
@@ -152,6 +158,9 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32
                      ) -> Optional[FusedDecodePack]:
     """Build the pack from stacked layer params `mp = params["model"]`.
 
+    Runs HOST-side (numpy) when the weights are still numpy — the relayout
+    transients of a 7B model (~4 GB of concats + tile transposes) would
+    otherwise spike device HBM on top of the resident per-linear weights.
     Returns None when the layer linears are not all stacked
     Int4GroupedTensor (then the per-linear path is used instead)."""
     layers = mp["layers"]
@@ -165,6 +174,9 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32
     if not all(isinstance(w, Int4GroupedTensor) and w.qp.ndim == 3
                for w in ws):
         return None
+    import numpy as _np
+
+    xp = _np if isinstance(ws[0].qp, _np.ndarray) else jnp
     wq, wk, wv, wo, wg, wu, wd = ws
     if len({w.group_size for w in ws}) != 1:
         return None
@@ -177,17 +189,24 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32
     # v1 supports the standard head layout (n_heads * head_dim == D)
     if args.num_attention_heads * (D // args.num_attention_heads) != D:
         return None
+    # Mosaic's real-TPU lowering rejects the [1, nh*hd] -> [nh, hd]
+    # relayout unless hd is lane-width (hd=32 fails "unsupported shape
+    # cast"); interpret mode (CPU tests) has no such limit
+    if (jax.default_backend() == "tpu"
+            and D // args.num_attention_heads != 128):
+        return None
     if wq.n != D or wo.n != D or wd.n != D or wg.n != I or wu.n != I:
         return None
 
-    qkv_qp, qkv_sc, (nq2, nk2, nv2) = _cat_tensors([wq, wk, wv])
-    gu_qp, gu_sc, (ng2, _) = _cat_tensors([wg, wu])
-    o_qp, o_sc, (no2,) = _cat_tensors([wo])
-    dn_qp, dn_sc, (nd2,) = _cat_tensors([wd])
+    qkv_qp, qkv_sc, (nq2, nk2, nv2) = _cat_tensors([wq, wk, wv], xp)
+    gu_qp, gu_sc, (ng2, _) = _cat_tensors([wg, wu], xp)
+    o_qp, o_sc, (no2,) = _cat_tensors([wo], xp)
+    dn_qp, dn_sc, (nd2,) = _cat_tensors([wd], xp)
     # scales ship as f32: exact superset of the checkpoint's f16, and the
     # in-kernel f16 decode was the dominant exposed compute (module doc)
+    sdt = _np.float32 if xp is _np else scale_dtype
     qkv_sc, gu_sc, o_sc, dn_sc = (
-        a.astype(scale_dtype) for a in (qkv_sc, gu_sc, o_sc, dn_sc))
+        a.astype(sdt) for a in (qkv_sc, gu_sc, o_sc, dn_sc))
 
     # tile-major relayout: one contiguous HBM region per pipelined block
     import os
@@ -204,9 +223,14 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32
     def tile_cols(qp, sc, tn):
         Lx, Kx, Cx = qp.shape
         n = Cx // tn
-        qp = qp.reshape(Lx, Kx, n, tn).transpose(0, 2, 1, 3)
+        qp = xp.ascontiguousarray(
+            qp.reshape(Lx, Kx, n, tn).transpose(0, 2, 1, 3)) \
+            if xp is _np else \
+            qp.reshape(Lx, Kx, n, tn).transpose(0, 2, 1, 3)
         Gx = sc.shape[1]
         sc = sc.reshape(Lx, Gx, 4, n, tn).transpose(0, 3, 1, 2, 4)
+        if xp is _np:
+            sc = _np.ascontiguousarray(sc)
         return qp, sc
 
     qkv_qp, qkv_sc = tile_cols(qkv_qp, qkv_sc, TNQ)
@@ -222,16 +246,23 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32
                  (wv, attn["v_proj"])):
         b = t.get("bias")
         if b is None:
-            b = jnp.zeros((L, w.n), jnp.bfloat16)
-        parts.append(_plane_bias(b, w.n, w.qp.shape[-1]))
-    qkv_bias = jnp.stack([
-        jnp.concatenate([p[0] for p in parts], axis=-1),
-        jnp.concatenate([p[1] for p in parts], axis=-1),
+            b = xp.zeros((L, w.n),
+                         _np.float32 if xp is _np else jnp.bfloat16)
+        parts.append(_plane_bias(b, w.n, w.qp.shape[-1], xp))
+    qkv_bias = xp.stack([
+        xp.concatenate([p[0] for p in parts], axis=-1),
+        xp.concatenate([p[1] for p in parts], axis=-1),
     ], axis=1)  # [L, 2, Cq]
 
-    norms = jnp.stack([
-        layers["input_layernorm"]["weight"].astype(jnp.float32),
-        layers["post_attention_layernorm"]["weight"].astype(jnp.float32),
+    f32 = _np.float32 if xp is _np else jnp.float32
+    norms = xp.stack([
+        xp.asarray(layers["input_layernorm"]["weight"], dtype=f32)
+        if xp is _np
+        else layers["input_layernorm"]["weight"].astype(jnp.float32),
+        xp.asarray(layers["post_attention_layernorm"]["weight"], dtype=f32)
+        if xp is _np
+        else layers["post_attention_layernorm"]["weight"].astype(
+            jnp.float32),
     ], axis=1)  # [L, 2, D]
 
     return FusedDecodePack(

@@ -41,6 +41,7 @@ logger = logging.getLogger("mlx_vlm_tpu.loader")
 # model_type -> module name overrides (reference utils.py:32)
 MODEL_REMAPPING = {
     "rf-detr": "rfdetr",
+    "sam3_video": "sam3",
     "llava-qwen2": "llava_bunny",
     "llava_qwen2": "llava_bunny",
     "bunny-llama": "llava_bunny",
@@ -536,11 +537,56 @@ def load_model_from_weights(
             weights, qcfg, default_mode="w4grp" if fused_ok else "w8chan"
         )
     weights = _stack_layers(weights, tuple(model.stack_patterns))
+    # fused-decode pack: relayout on HOST while the weights are numpy —
+    # building it from device arrays would spike HBM with ~4 GB of
+    # concat/transpose transients on top of the resident model (OOM at 7B)
+    host_pack = _build_host_fused_pack(weights, model)
     params = _nest(_to_device(weights, dtype, zeros_on_device))
     model.params = params
     model.config_dict = config
-    _maybe_attach_fused_decode(model)
+    if host_pack is not None:
+        model.params["language_model"]["fused_decode"] = (
+            jax.tree_util.tree_map(jnp.asarray, host_pack))
+    else:
+        _maybe_attach_fused_decode(model)
     return model
+
+
+def _build_host_fused_pack(flat_weights: dict, model):
+    """Host-side (numpy) fused pack build; None when not applicable."""
+    import os
+
+    import numpy as np
+
+    if os.environ.get("MLX_VLM_TPU_FUSED_DECODE", "1") in ("0", "false"):
+        return None
+    lm = getattr(model, "language_model", None)
+    if lm is None or not getattr(lm, "supports_fused_decode", False):
+        return None
+    args = getattr(lm, "args", None)
+    if args is None or not hasattr(args, "num_key_value_heads"):
+        return None
+    host = _nest(flat_weights)  # view: shares leaf references, no copies
+    lp = host.get("language_model")
+    if not isinstance(lp, dict) or "model" not in lp:
+        return None
+    # only build host-side from numpy leaves; device leaves fall through
+    # to _maybe_attach_fused_decode
+    try:
+        w = lp["model"]["layers"]["mlp"]["gate_proj"]["weight"]
+    except (KeyError, TypeError):
+        return None
+    from ..core.quant import Int4GroupedTensor
+
+    if not (isinstance(w, Int4GroupedTensor)
+            and isinstance(w.qp, np.ndarray)):
+        return None
+    try:
+        from ..ops.fused_decode import build_fused_pack
+
+        return build_fused_pack(lp["model"], args)
+    except Exception:
+        return None
 
 
 def _maybe_attach_fused_decode(model) -> None:
