@@ -40,6 +40,94 @@ class TextConfig(_MoEText):
     model_type: str = "qwen3_omni_moe_text_encoder"
 
 
+from ..qwen2_moe.config import TextConfig as _Qwen2MoEText
+
+
+@dataclass
+class TalkerTextConfig(_Qwen2MoEText):
+    """Talker MoE decoder (Qwen3-MoE block + shared expert; vocab is the
+    codec vocabulary)."""
+
+    model_type: str = "qwen3_omni_moe_talker_text"
+    attention_bias: bool = False
+    norm_topk_prob: bool = True
+
+
+from ..llama.config import TextConfig as _LlamaText
+
+
+@dataclass
+class CodePredictorConfig(_LlamaText):
+    model_type: str = "qwen3_omni_moe_talker_code_predictor"
+    num_hidden_layers: int = 5
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000
+    max_position_embeddings: int = 32768
+    vocab_size: int = 2048
+    num_code_groups: int = 16
+
+
+@dataclass
+class TalkerConfig(BaseModelConfig):
+    text_config: Optional[dict] = None
+    code_predictor_config: Optional[dict] = None
+    model_type: str = "qwen3_omni_moe_talker"
+    accept_hidden_layer: int = 24
+    num_code_groups: int = 16
+    thinker_hidden_size: int = 2048
+    codec_bos_id: int = 2149
+    codec_eos_token_id: int = 2150
+    codec_nothink_id: int = 2155
+    codec_pad_id: int = 2148
+    codec_think_bos_id: int = 2156
+    codec_think_eos_id: int = 2157
+    speaker_id: Optional[dict] = None
+
+    def __post_init__(self):
+        if isinstance(self.text_config, dict):
+            self.text_config = TalkerTextConfig.from_dict(self.text_config)
+        elif self.text_config is None:
+            self.text_config = TalkerTextConfig.from_dict({})
+        if isinstance(self.code_predictor_config, dict):
+            self.code_predictor_config = CodePredictorConfig.from_dict(
+                self.code_predictor_config)
+        elif self.code_predictor_config is None:
+            self.code_predictor_config = CodePredictorConfig()
+        if self.speaker_id is None:
+            self.speaker_id = {"chelsie": 2301, "ethan": 2302, "aiden": 2303}
+
+
+@dataclass
+class Code2WavConfig(BaseModelConfig):
+    model_type: str = "qwen3_omni_moe_code2wav"
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 8
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 16
+    decoder_dim: int = 1536
+    attention_bias: bool = False
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000
+    sliding_window: Optional[int] = 72
+    codebook_size: int = 2048
+    num_quantizers: int = 16
+    layer_scale_initial_scale: float = 0.01
+    upsample_rates: List[int] = None
+    upsampling_ratios: List[int] = None
+
+    def __post_init__(self):
+        if self.upsample_rates is None:
+            self.upsample_rates = [8, 5, 4, 3]
+        if self.upsampling_ratios is None:
+            self.upsampling_ratios = [2, 2]
+
+
 @dataclass
 class ModelConfig(BaseModelConfig):
     text_config: TextConfig
@@ -51,7 +139,14 @@ class ModelConfig(BaseModelConfig):
     audio_token_id: int = 151675
     vision_start_token_id: int = 151652
     audio_start_token_id: int = 151669
-    enable_audio_output: bool = False  # talker/code2wav not yet implemented
+    enable_audio_output: bool = False
+    talker_config: Optional[dict] = None
+    code2wav_config: Optional[dict] = None
+    im_start_token_id: int = 151644
+    tts_bos_token_id: int = 151672
+    tts_eos_token_id: int = 151673
+    tts_pad_token_id: int = 151671
+    assistant_token_id: int = 77091
     eos_token_id: Optional[List[int]] = None
 
     @classmethod
@@ -72,5 +167,11 @@ class ModelConfig(BaseModelConfig):
         params["audio_config"] = AudioConfig.from_dict(
             thinker.get("audio_config", params.get("audio_config", {})) or {}
         )
+        if params.get("talker_config") is not None:
+            params["talker_config"] = TalkerConfig.from_dict(
+                params["talker_config"])
+        if params.get("code2wav_config") is not None:
+            params["code2wav_config"] = Code2WavConfig.from_dict(
+                params["code2wav_config"])
         allowed = inspect.signature(cls).parameters
         return cls(**{k: v for k, v in params.items() if k in allowed})

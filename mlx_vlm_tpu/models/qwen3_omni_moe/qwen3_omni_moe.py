@@ -39,6 +39,15 @@ class Model:
         self.vision_tower = VisionModel(config.vision_config)
         self.audio_tower = AudioModel(config.audio_config)
         self.language_model = MoELanguageModel(config.text_config, config)
+        self.talker = None
+        self.code2wav = None
+        if config.enable_audio_output and config.talker_config is not None:
+            from .code2wav import Code2Wav
+            from .talker import Talker
+
+            self.talker = Talker(config.talker_config)
+            if config.code2wav_config is not None:
+                self.code2wav = Code2Wav(config.code2wav_config)
 
     def vision_features(self, params, pixel_values, rotary_freqs, segment_ids,
                         pos_idx, pos_weights):
@@ -151,11 +160,14 @@ class Model:
                        .replace("merger.mlp.2", "merger.linear_fc2"))
             return key
 
-        # talker / code2wav weights are not loaded (text-only thinker)
+        speech = {k: v for k, v in weights.items()
+                  if k.startswith(("talker.", "code2wav.", "token2wav."))}
         weights = {
             transform(k): v for k, v in weights.items()
             if not k.startswith(("talker.", "code2wav", "token2wav"))
         }
+        if self.talker is not None and speech:
+            weights.update(self._sanitize_speech(speech))
         from ..qwen3_vl_moe.qwen3_vl_moe import Model as _MoE
 
         weights = _MoE.sanitize(weights)
@@ -166,6 +178,162 @@ class Model:
         weights.update(at)
         return weights
 
+    def _sanitize_speech(self, speech: dict) -> dict:
+        """Talker/code2wav key translation (reference talker.py sanitize +
+        code2wav.py sanitize: expert stacking, conv layout)."""
+        import re
+
+        tcfg = self.config.talker_config
+        out = {}
+        # ---- talker MoE experts -> stacked [E, ...]
+        n_exp = tcfg.text_config.num_experts
+        n_layers = tcfg.text_config.num_hidden_layers
+        grabbed = set()
+        for li in range(n_layers):
+            for n in ("gate_proj", "up_proj", "down_proj"):
+                ws = []
+                for e in range(n_exp):
+                    k = f"talker.model.layers.{li}.mlp.experts.{e}.{n}.weight"
+                    if k in speech:
+                        ws.append(speech[k])
+                        grabbed.add(k)
+                if ws:
+                    out[
+                        "talker.language_model.model.layers."
+                        f"{li}.mlp.experts.{n}.weight"
+                    ] = np.stack([np.asarray(w) for w in ws], axis=0)
+        # ---- code-predictor per-group embeddings/heads -> stacked
+        G = tcfg.num_code_groups
+        embs, heads = [], []
+        for j in range(G - 1):
+            ek = f"talker.code_predictor.model.codec_embedding.{j}.weight"
+            hk = f"talker.code_predictor.lm_head.{j}.weight"
+            if ek in speech:
+                embs.append(speech[ek])
+                grabbed.add(ek)
+            if hk in speech:
+                heads.append(speech[hk])
+                grabbed.add(hk)
+        if embs:
+            out["talker.cp_embeds"] = np.stack(
+                [np.asarray(e) for e in embs], axis=0)
+        if heads:
+            out["talker.cp_heads"] = np.stack(
+                [np.asarray(h) for h in heads], axis=0)
+
+        for k, v in speech.items():
+            if k in grabbed:
+                continue
+            nk = k
+            if nk.startswith("talker.model.codec_embedding"):
+                nk = nk.replace("talker.model.codec_embedding",
+                                "talker.codec_embedding")
+            elif nk.startswith("talker.model."):
+                nk = nk.replace("talker.model.",
+                                "talker.language_model.model.", 1)
+            if nk.startswith("code2wav.") and nk.endswith(".conv.weight") \
+                    and getattr(v, "ndim", 0) == 3:
+                # regular Conv1d (out,in,k) -> WIO (k,in,out); transposed
+                # convs (upsample.*.0 / decoder block index 1) keep torch
+                # (in,out,k) for the dilated-conv lowering
+                is_convt = bool(
+                    re.search(r"upsample\.\d+\.0\.conv\.weight$", nk)
+                    or re.search(r"decoder\.\d+\.block\.1\.conv\.weight$",
+                                 nk))
+                if not is_convt:
+                    v = np.asarray(v).transpose(2, 1, 0)
+            out[nk] = v
+        return out
+
+    # ---------------------------------------------------------------- speech
+    def generate_speech(self, text: str, voice: str = "", speed: float = 1.0,
+                        processor=None, input_ids=None,
+                        max_new_tokens: int = 2048,
+                        temperature: float = 0.9, top_p: float = 1.0,
+                        seed: int = 0):
+        """Text -> (waveform float32 [T], sample_rate) via talker + code2wav
+        (reference qwen3_omni_moe.py generate + /v1/audio/speech route).
+
+        Builds the talker's assistant segment from thinker EMBEDDINGS of
+        the given text (the reference's _get_talker_assistant_parts uses
+        embeddings, not hidden states, for assistant text)."""
+        if self.talker is None:
+            raise ValueError("model has no talker (enable_audio_output)")
+        cfg = self.config
+        tcfg = cfg.talker_config
+        if input_ids is None:
+            tok = getattr(processor, "tokenizer", processor)
+            if tok is None:
+                raise ValueError("generate_speech needs a processor or ids")
+            ids = tok.encode(f"<|im_start|>assistant\n{text}<|im_end|>")
+            input_ids = np.asarray(ids, np.int32)[None]
+        ids = jnp.asarray(input_ids, jnp.int32)
+        if ids.shape[1] < 5:
+            raise ValueError("speech segment too short")
+        tp = self.params["talker"]
+        from .talker import resize_mlp
+
+        thinker_embed = self.language_model.embed(
+            self.params["language_model"], ids)
+        assistant_hidden = resize_mlp(tp["text_projection"], thinker_embed)
+
+        specials = jnp.asarray(
+            [[cfg.tts_bos_token_id, cfg.tts_eos_token_id,
+              cfg.tts_pad_token_id]], jnp.int32)
+        sp = resize_mlp(
+            tp["text_projection"],
+            self.language_model.embed(self.params["language_model"],
+                                      specials))
+        tts_bos, tts_eos, tts_pad = sp[:, 0:1], sp[:, 1:2], sp[:, 2:3]
+
+        assistant_text_hidden = jnp.concatenate([
+            assistant_hidden[:, :3],
+            jnp.broadcast_to(tts_pad, (1, 4, tts_pad.shape[-1])),
+            tts_bos,
+            assistant_hidden[:, 3:4],
+        ], axis=1)
+        speaker_id = tcfg.speaker_id.get(
+            (voice or "ethan").lower(),
+            next(iter(tcfg.speaker_id.values())))
+        codec_specials = jnp.asarray([[
+            tcfg.codec_nothink_id, tcfg.codec_think_bos_id,
+            tcfg.codec_think_eos_id, speaker_id, tcfg.codec_pad_id,
+            tcfg.codec_bos_id,
+        ]], jnp.int32)
+        codec_hidden = jnp.concatenate([
+            jnp.zeros((1, 3, assistant_hidden.shape[-1]),
+                      assistant_hidden.dtype),
+            tp["codec_embedding"]["weight"][codec_specials[0]][None],
+        ], axis=1)
+        trailing = jnp.concatenate(
+            [assistant_hidden[:, 4:], tts_eos], axis=1)
+
+        codes = self.talker.generate_codes(
+            tp, assistant_text_hidden + codec_hidden, trailing, tts_pad,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, seed=seed)
+
+        if self.code2wav is None:
+            raise ValueError("model has no code2wav vocoder")
+        wav = self.code2wav.chunked_decode(self.params["code2wav"], codes)
+        up = self.code2wav.upsample_factor()
+        sample_rate = int(up * 12.5)   # codec frames at 12.5 Hz
+        wav = np.asarray(wav[0], np.float32)
+        if speed and speed != 1.0 and wav.size:
+            n = max(1, int(round(wav.size / speed)))
+            wav = np.interp(
+                np.linspace(0, wav.size - 1, n),
+                np.arange(wav.size), wav).astype(np.float32)
+        return wav, sample_rate
+
     @property
     def stack_patterns(self):
-        return STACK_PATTERNS
+        pats = STACK_PATTERNS
+        if self.talker is not None:
+            # code2wav.pre_transformer.layers stays unstacked (8 unrolled
+            # heterogeneously-consumed layers in the vocoder)
+            pats = pats + (
+                "talker.language_model.model.layers",
+                "talker.code_predictor.model.layers",
+            )
+        return pats

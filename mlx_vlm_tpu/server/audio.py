@@ -208,8 +208,14 @@ def speech_endpoint(handler, body: dict, generator):
             {"error": {"message": "loaded model has no speech head; load an "
                                   "omni model with a talker for TTS"}}, 400)
         return
+    import inspect
+
+    kwargs = {}
+    if "processor" in inspect.signature(model.generate_speech).parameters:
+        kwargs["processor"] = generator.processor
     waveform, sr = model.generate_speech(
-        text, voice=body.get("voice", ""), speed=float(body.get("speed", 1.0))
+        text, voice=body.get("voice", ""),
+        speed=float(body.get("speed", 1.0)), **kwargs
     )
     fmt = body.get("response_format", "wav")
     if fmt not in ("wav", "pcm"):
