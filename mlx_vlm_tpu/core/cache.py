@@ -777,3 +777,202 @@ def init_int8_cache(
         offset=offset,
         left_pad=left_pad,
     )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k4", "ks", "kb", "v4", "vs", "vb", "offset", "left_pad"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class Int4KVCache:
+    """Per-token-scale 4-bit KV cache with a fused packed-domain attend.
+
+    Role parity: reference turboquant.py fully-fused 4-bit decode
+    (:2021) — kv_bits=4 halves the bytes READ per decode step, not just
+    the bytes stored (the group-affine QuantizedKVCache dequantizes the
+    whole cache per step).
+
+    Codes pack along the head dim in two half planes (channels [0,D/2)
+    low nibble, [D/2,D) high nibble — no lane reorder on unpack):
+
+    k4, v4: u8 [L, B, H, C, D/2]
+    ks/kb, vs/vb: f32 [L, B, H, C]  per-token scale / bias (dequant =
+    code * s + b, codes 0..15)
+
+    Single-stream decode (S==1, scalar offset) runs the Pallas online-
+    softmax kernel (ops/int4_kv_attention.py) straight on packed codes;
+    everything else takes the XLA integer-domain path (same math as
+    Int8KVCache with the unpack materialized — correct, prefill-bound).
+    """
+
+    k4: jax.Array
+    ks: jax.Array
+    kb: jax.Array
+    v4: jax.Array
+    vs: jax.Array
+    vb: jax.Array
+    offset: jax.Array
+    left_pad: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.k4.shape[3]
+
+    @property
+    def num_layers(self) -> int:
+        return self.k4.shape[0]
+
+    @property
+    def batch_size(self) -> int:
+        return self.k4.shape[1]
+
+    def scan_arrays(self):
+        return (self.k4, self.ks, self.kb, self.v4, self.vs, self.vb)
+
+    def with_arrays(self, ys, new_tokens: int):
+        k4, ks, kb, v4, vs, vb = ys
+        return dataclasses.replace(
+            self, k4=k4, ks=ks, kb=kb, v4=v4, vs=vs, vb=vb,
+            offset=self.offset + new_tokens,
+        )
+
+    @staticmethod
+    def _quantize_tokens(x: jax.Array):
+        """[B,H,S,D] -> (packed u8 [B,H,S,D/2], scale [B,H,S], bias)."""
+        xf = x.astype(jnp.float32)
+        mn = xf.min(axis=-1)
+        mx = xf.max(axis=-1)
+        s = (mx - mn) / 15.0
+        s = jnp.where(s == 0.0, 1.0, s)
+        q = jnp.clip(jnp.round((xf - mn[..., None]) / s[..., None]), 0, 15)
+        q = q.astype(jnp.uint8)
+        h = x.shape[-1] // 2
+        packed = q[..., :h] | (q[..., h:] << 4)
+        return packed, s, mn
+
+    @staticmethod
+    def _unpack(p4: jax.Array):
+        """u8 [..., D/2] -> int8 codes [..., D] (half-plane order)."""
+        lo = (p4 & 0xF).astype(jnp.int8)
+        hi = (p4 >> 4).astype(jnp.int8)
+        return jnp.concatenate([lo, hi], axis=-1)
+
+    def attend(self, cxs, q, k, v, scale, mask, flash_ok: bool = False,
+               window=None, logit_softcap=None, sinks=None):
+        k4, ks, kb, v4, vs, vb = cxs
+        kn4, kns, knb = self._quantize_tokens(k)
+        vn4, vns, vnb = self._quantize_tokens(v)
+        off = self.offset
+        k4, v4 = update_layer_auto(k4, v4, kn4, vn4, off)
+        ks, vs = _update_scalar_auto(ks, vs, kns, vns, off)
+        kb, vb = _update_scalar_auto(kb, vb, knb, vnb, off)
+
+        B, nh, S, D = q.shape
+        nkv = k4.shape[1]
+        g = nh // nkv
+        qf = q.astype(jnp.float32)
+        qs = jnp.max(jnp.abs(qf), axis=-1) / 127.0
+        qs = jnp.where(qs == 0.0, 1.0, qs)
+        q8 = jnp.round(qf / qs[..., None]).astype(jnp.int8)
+        qsum = q8.astype(jnp.int32).sum(axis=-1).astype(jnp.float32)
+
+        fused_ok = (
+            S == 1 and g * S <= 8 and off.ndim == 0
+            and window is None and logit_softcap is None and sinks is None
+            and D % 2 == 0 and (D // 2) % 128 == 0
+            and k4.shape[3] % 128 == 0
+        )
+        if fused_ok:
+            from ..ops.int4_kv_attention import (
+                M_ROWS,
+                int4_kv_decode_attention,
+            )
+
+            BH = B * nkv
+            q8r = q8.reshape(B, nkv, g, D).reshape(BH, g, D)
+            pad = M_ROWS - g
+            q8p = jnp.pad(q8r, ((0, 0), (0, pad), (0, 0)))
+            meta = jnp.stack(
+                [qsum.reshape(BH, g), qs.reshape(BH, g)], axis=-1)
+            meta = jnp.pad(meta, ((0, 0), (0, pad), (0, 0)),
+                           constant_values=1.0)
+            lp = jnp.broadcast_to(
+                self.left_pad[:, None], (B, nkv)).reshape(BH)
+            out = int4_kv_decode_attention(
+                q8p, meta.astype(jnp.float32),
+                k4.reshape(BH, -1, D // 2), ks.reshape(BH, -1),
+                kb.reshape(BH, -1), v4.reshape(BH, -1, D // 2),
+                vs.reshape(BH, -1), vb.reshape(BH, -1),
+                off + S, scale, left_pad=lp,
+            )
+            out = out[:, :g].reshape(B, nh, S, D).astype(q.dtype)
+            return out, (k4, ks, kb, v4, vs, vb)
+
+        # ---- XLA fallback: identical math, unpack materialized
+        k8 = self._unpack(k4)
+        v8 = self._unpack(v4)
+        q8g = q8.reshape(B, nkv, g, S, D)
+        iscores = jnp.einsum(
+            "bkgsd,bktd->bkgst", q8g, k8, preferred_element_type=jnp.int32)
+        ksb = ks[:, :, None, None, :]
+        kbb = kb[:, :, None, None, :]
+        qsg = qs.reshape(B, nkv, g, S, 1)
+        qsumg = qsum.reshape(B, nkv, g, S, 1)
+        scores = ((iscores.astype(jnp.float32) * ksb + qsumg * kbb)
+                  * qsg * jnp.float32(scale))
+        if logit_softcap is not None:
+            scores = jnp.tanh(scores / logit_softcap) * logit_softcap
+        if mask is not None:
+            m = mask
+            if m.ndim == 4:
+                mh = m.shape[1]
+                m = (m.reshape(B, nkv, g, S, -1) if mh == nh
+                     else m[:, :, None, :, :])
+            scores = jnp.where(
+                m, scores, jnp.float32(jnp.finfo(jnp.float32).min))
+        if sinks is not None:
+            col = jnp.broadcast_to(
+                sinks.astype(jnp.float32).reshape(1, nkv, g, 1, 1),
+                (B, nkv, g, S, 1))
+            p = jax.nn.softmax(
+                jnp.concatenate([scores, col], axis=-1), axis=-1)[..., :-1]
+        else:
+            p = jax.nn.softmax(scores, axis=-1)
+        pv = p * vs[:, :, None, None, :]
+        out = jnp.einsum(
+            "bkgst,bktd->bkgsd", pv.astype(q.dtype), v8.astype(q.dtype),
+            preferred_element_type=jnp.float32)
+        bias_term = jnp.einsum(
+            "bkgst,bkt->bkgs", p, vb, preferred_element_type=jnp.float32)
+        out = out + bias_term[..., None].astype(out.dtype)
+        out = out.reshape(B, nh, S, D).astype(q.dtype)
+        return out, (k4, ks, kb, v4, vs, vb)
+
+
+def init_int4_cache(
+    num_layers: int,
+    batch_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    capacity: int,
+    left_pad: Optional[jax.Array] = None,
+    per_row: bool = False,
+) -> Int4KVCache:
+    base = (num_layers, batch_size, num_kv_heads, capacity)
+    if left_pad is None:
+        left_pad = jnp.zeros((batch_size,), jnp.int32)
+    offset = (
+        jnp.zeros((batch_size,), jnp.int32) if per_row
+        else jnp.zeros((), jnp.int32)
+    )
+    return Int4KVCache(
+        k4=jnp.zeros((*base, head_dim // 2), jnp.uint8),
+        ks=jnp.zeros(base, jnp.float32),
+        kb=jnp.zeros(base, jnp.float32),
+        v4=jnp.zeros((*base, head_dim // 2), jnp.uint8),
+        vs=jnp.zeros(base, jnp.float32),
+        vb=jnp.zeros(base, jnp.float32),
+        offset=offset,
+        left_pad=left_pad,
+    )

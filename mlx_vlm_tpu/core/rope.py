@@ -259,9 +259,13 @@ class Rope:
                     self.mrope_sections = tuple(scaling["mrope_section"])
             else:
                 raise ValueError(f"unsupported rope scaling type: {typ}")
-        self.inv_freq = jnp.asarray(inv, dtype=jnp.float32)
+        # HOST-side constants (numpy): device copies made at rope init can
+        # be evicted by the axon pool under later memory pressure and then
+        # fail both D2H readback and jit constant-folding; numpy embeds
+        # cleanly as a compile-time constant every trace
+        self.inv_freq = np.asarray(inv, dtype=np.float32)
         if self.mrope_sections is not None:
-            self.section_map = jnp.asarray(
+            self.section_map = np.asarray(
                 mrope_section_map(self.mrope_sections, self.mrope_style)
             )
 

@@ -45,6 +45,21 @@ def _pad_axis(x: np.ndarray, axis: int, target: int):
     return np.pad(x, widths)
 
 
+def _strip_fused_pack(params: dict) -> dict:
+    """Shallow-copy params without the fused-decode weight pack.
+
+    Prefill never reads the pack, and keeping it out of the program's
+    input set keeps ~4 GB (at 7B) off the prefill live-buffer budget."""
+    lp = params.get("language_model") if isinstance(params, dict) else None
+    if not isinstance(lp, dict) or "fused_decode" not in lp:
+        return params
+    lp = dict(lp)
+    lp.pop("fused_decode")
+    out = dict(params)
+    out["language_model"] = lp
+    return out
+
+
 class DecodeEngine:
     """Holds jitted prefill/decode programs for one model instance."""
 
@@ -62,7 +77,8 @@ class DecodeEngine:
             logits = self.lm.logits(lm_params, h_last)[:, 0]  # [B, V]
             return logits.astype(jnp.float32), cache
 
-        self._prefill = prefill
+        self._prefill = lambda params, *a: prefill(
+            _strip_fused_pack(params), *a)
 
         @partial(jax.jit, donate_argnums=(1,))
         def prefill_rows(params, cache, embeds, position_ids, last_idx):
@@ -76,7 +92,8 @@ class DecodeEngine:
             logits = self.lm.logits(lm_params, h_last)[:, 0]
             return logits.astype(jnp.float32), cache
 
-        self._prefill_rows = prefill_rows
+        self._prefill_rows = lambda params, *a: prefill_rows(
+            _strip_fused_pack(params), *a)
         self._steps = {}
 
     def decode_step_fn(
@@ -212,6 +229,16 @@ def make_cache(
         # fused integer-domain attend at the int8 bandwidth roofline
         # (group-affine dequant can't fuse; see Int8KVCache docstring)
         return cache_lib.init_int8_cache(
+            lm.args.num_hidden_layers, batch_size, lm.n_kv_heads, lm.head_dim,
+            capacity, per_row=per_row,
+        )
+    if kv_bits == 4 and os.environ.get(
+        "MLX_VLM_TPU_KV_SCHEME", "int4"
+    ) != "affine" and lm.head_dim % 2 == 0:
+        # fused packed-domain attend: 4-bit KV halves decode READ traffic
+        # (group-affine dequantizes the whole cache per step; see
+        # Int4KVCache docstring / ops/int4_kv_attention.py)
+        return cache_lib.init_int4_cache(
             lm.args.num_hidden_layers, batch_size, lm.n_kv_heads, lm.head_dim,
             capacity, per_row=per_row,
         )

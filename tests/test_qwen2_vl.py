@@ -296,18 +296,23 @@ class TestLoader:
             weights[key[: -len(".weight")] + ".biases"] = mn.astype(np.float32)
             originals[i] = w
 
-        # default runtime mode: per-channel int8 [K, N] layout
+        # default runtime mode for fused-capable int4 checkpoints: the
+        # bit-exact grouped layout (w4grp) + attached fused-decode pack
         model = load_model_from_weights(cfg, weights, jnp.float32)
         qt = model.params["language_model"]["model"]["layers"]["self_attn"]["q_proj"]["weight"]
         from mlx_vlm_tpu.core.quant import (
-            ChannelQuantizedTensor,
-            channel_dequantize,
+            Int4GroupedTensor,
+            int4_grouped_dequantize,
         )
 
-        assert isinstance(qt, ChannelQuantizedTensor)
-        wd = np.asarray(channel_dequantize(qt))
-        for i, w in originals.items():
-            assert np.abs(wd[i] - w).max() < 0.2
+        assert isinstance(qt, Int4GroupedTensor)
+        wd = np.asarray(int4_grouped_dequantize(
+            Int4GroupedTensor(
+                qp=qt.qp[0], sl=qt.sl[0], sh=qt.sh[0], bl=qt.bl[0],
+                bh=qt.bh[0], n=qt.n, group_size=qt.group_size,
+                out_dtype=qt.out_dtype,
+            ), jnp.float32))
+        assert np.abs(wd - originals[0]).max() < 0.2
 
         # exact mode keeps the group-affine codes bit-identical
         import os
