@@ -170,11 +170,18 @@ def parity_gate():
                 quantize(jnp.asarray(w), bits=4, group_size=64))
 
     def toks(fused):
-        m = load_model_from_weights(dict(cfg), dict(weights), jnp.float32)
-        lp = m.params["language_model"]
-        assert "fused_decode" in lp
-        if not fused:
-            lp.pop("fused_decode")
+        if fused:
+            m = load_model_from_weights(dict(cfg), dict(weights), jnp.float32)
+            lp = m.params["language_model"]
+            assert "fused_decode" in lp
+            assert "layers" not in lp["model"], "pack-only load expected"
+        else:
+            os.environ["MLX_VLM_TPU_FUSED_DECODE"] = "0"
+            try:
+                m = load_model_from_weights(
+                    dict(cfg), dict(weights), jnp.float32)
+            finally:
+                del os.environ["MLX_VLM_TPU_FUSED_DECODE"]
         D = cfg["hidden_size"]
         e = jnp.asarray(
             np.random.default_rng(3).standard_normal((1, 8, D)) * 0.3,

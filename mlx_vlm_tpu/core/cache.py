@@ -119,9 +119,16 @@ class KVCache:
         kernel when eligible; decode and odd shapes use the XLA SDPA with
         the provided mask."""
         from ..ops.attention import sdpa
+        from ..parallel.ring import maybe_ring_attend
 
         k_buf, v_buf = cxs
         k_buf, v_buf = update_layer_auto(k_buf, v_buf, k, v, self.offset)
+        ring_out = maybe_ring_attend(
+            q, k, v, scale, window=window, logit_softcap=logit_softcap,
+            sinks=sinks,
+        )
+        if ring_out is not None:
+            return ring_out, (k_buf, v_buf)
         if flash_ok and logit_softcap is None and sinks is None \
                 and _flash_eligible(q, k_buf):
             from ..ops.flash_attention import flash_attention

@@ -48,11 +48,18 @@ def _pad_axis(x: np.ndarray, axis: int, target: int):
 def _strip_fused_pack(params: dict) -> dict:
     """Shallow-copy params without the fused-decode weight pack.
 
-    Prefill never reads the pack, and keeping it out of the program's
-    input set keeps ~4 GB (at 7B) off the prefill live-buffer budget."""
+    Only applies when the per-linear layer weights exist alongside the
+    pack (MLX_VLM_TPU_KEEP_LAYERS=1 loads): prefill then never reads the
+    pack, and keeping it out of the program's input set keeps ~4 GB (at
+    7B) off the prefill live-buffer budget.  Pack-only loads (the
+    default) MUST keep it — the pack is the only copy of the layer
+    weights and prefill reconstructs them from its slices."""
     lp = params.get("language_model") if isinstance(params, dict) else None
     if not isinstance(lp, dict) or "fused_decode" not in lp:
         return params
+    mdl = lp.get("model")
+    if not (isinstance(mdl, dict) and "layers" in mdl):
+        return params  # pack-only load: pack is the weights
     lp = dict(lp)
     lp.pop("fused_decode")
     out = dict(params)

@@ -96,11 +96,28 @@ class LanguageModel:
             return h, _dc.replace(
                 cache, k=k_buf, v=v_buf, offset=cache.offset + 1)
 
+        # pack-only loads (w4grp + fused decode): the pack is the sole copy
+        # of the layer linears; every non-fused forward rebuilds per-layer
+        # Int4GroupedTensors from pack slices inside the scan (bit-exact
+        # relayout, one layer of transients at a time — ops/fused_decode.py
+        # layer_params_from_pack).  Halves resident HBM vs keeping both.
+        layers_xs = mp.get("layers")
+        unpack = None
+        if layers_xs is None and "fused_decode" in params:
+            from ...ops.fused_decode import (
+                layer_params_from_pack, pack_scan_tree)
+
+            pack = params["fused_decode"]
+            layers_xs = pack_scan_tree(pack)
+            unpack = lambda pl: layer_params_from_pack(pack, pl)  # noqa: E731
+
         if cache is None:
             zero = jnp.zeros((), jnp.int32)
             mask = causal_cache_mask(zero, jnp.zeros((B,), jnp.int32), S, S)
 
             def layer_nc(h, lp):
+                if unpack is not None:
+                    lp = unpack(lp)
                 x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
                 attn_out = self._attention_nocache(lp["self_attn"], x, cos, sin, mask)
                 h = h + attn_out
@@ -109,7 +126,7 @@ class LanguageModel:
                 return h, None
 
             h, _ = scan_layers(
-                layer_nc, h, mp["layers"],
+                layer_nc, h, layers_xs,
                 remat=getattr(self, "remat", False))
             h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
             return h, None
@@ -117,6 +134,8 @@ class LanguageModel:
         mask = causal_cache_mask(cache.offset, cache.left_pad, S, cache.capacity)
 
         def layer(h, lp, cxs):
+            if unpack is not None:
+                lp = unpack(lp)
             x = rms_norm(lp["input_layernorm"], h, self.args.rms_norm_eps)
             attn_out, cxs = self._attention(lp["self_attn"], x, cos, sin, mask, cache, cxs)
             h = h + attn_out
@@ -124,7 +143,7 @@ class LanguageModel:
             h = h + swiglu_mlp(lp["mlp"], x)
             return h, cxs
 
-        h, cys = scan_layers(layer, h, mp["layers"], cache.scan_arrays())
+        h, cys = scan_layers(layer, h, layers_xs, cache.scan_arrays())
         h = rms_norm(mp["norm"], h, self.args.rms_norm_eps)
         return h, cache.with_arrays(cys, S)
 

@@ -84,6 +84,7 @@ def _pick_tk(K: int, g: int, width: int, budget: int = 1 << 20) -> int:
     meta_fields=[
         "dim", "inter", "n_layers", "n_heads", "n_kv", "head_dim",
         "group_size", "eps", "nq2", "nk2", "nv2", "no2", "ng2", "nd2",
+        "out_dtype",
     ],
 )
 @dataclasses.dataclass
@@ -125,6 +126,7 @@ class FusedDecodePack:
     no2: int = 0
     ng2: int = 0
     nd2: int = 0
+    out_dtype: str = "bfloat16"
 
 
 def _cat_tensors(ts, xp):
@@ -275,7 +277,109 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32
         head_dim=D // args.num_attention_heads,
         group_size=g, eps=args.rms_norm_eps,
         nq2=nq2, nk2=nk2, nv2=nv2, no2=no2, ng2=ng2, nd2=nd2,
+        out_dtype=wq.out_dtype,
     )
+
+
+# --------------------------------------------------------------------------
+# Pack-as-weights: the pack IS the model's only copy of the layer linears.
+# Prefill (and any non-fused forward) reconstructs per-layer
+# Int4GroupedTensors from pack slices inside the layer scan — pure
+# relayout (transpose/reshape/column-slice), bit-exact, and only one
+# layer's ~100 MB of transients live at a time.  This halves resident
+# HBM at 7B (3.8 GiB pack + 3.8 GiB per-linear copy -> pack only), which
+# is the difference between fitting and OOM on a 16 GiB chip.
+
+
+def pack_scan_tree(pack: FusedDecodePack) -> dict:
+    """The pack's arrays as a scan-xs pytree (all leaves lead with L)."""
+    return {
+        "qkv_qp": pack.qkv_qp, "qkv_sc": pack.qkv_sc,
+        "qkv_bias": pack.qkv_bias, "o_qp": pack.o_qp, "o_sc": pack.o_sc,
+        "gu_qp": pack.gu_qp, "gu_sc": pack.gu_sc,
+        "dn_qp": pack.dn_qp, "dn_sc": pack.dn_sc, "norms": pack.norms,
+    }
+
+
+def _untile_cols(qp, sc):
+    """Inverse of build_fused_pack's tile_cols for ONE layer.
+
+    qp [NT, K, TN] -> [K, NT*TN]; sc [NT, G, 4, TN] -> [G, 4, NT*TN]."""
+    NT, K, TN = qp.shape
+    qp = qp.transpose(1, 0, 2).reshape(K, NT * TN)
+    G = sc.shape[1]
+    sc = sc.transpose(1, 2, 0, 3).reshape(G, 4, NT * TN)
+    return qp, sc
+
+
+def _col_segments(qp, sc, widths, ns, g, out_dtype):
+    """Split concatenated packed columns back into per-linear tensors."""
+    outs, c0 = [], 0
+    for w, n in zip(widths, ns):
+        planes = sc[:, :, c0:c0 + w]
+        outs.append(Int4GroupedTensor(
+            qp=qp[:, c0:c0 + w],
+            sl=planes[:, 0][:, None, :], sh=planes[:, 1][:, None, :],
+            bl=planes[:, 2][:, None, :], bh=planes[:, 3][:, None, :],
+            n=n, group_size=g, out_dtype=out_dtype))
+        c0 += w
+    return outs
+
+
+def layer_params_from_pack(pack: FusedDecodePack, pl: dict) -> dict:
+    """One scanned layer's params dict rebuilt from its pack slices.
+
+    `pl` holds per-layer slices of pack_scan_tree (leading L removed by
+    the scan).  Output matches the per-linear layout the layer body
+    expects: {input_layernorm, post_attention_layernorm, self_attn.{q,k,
+    v,o}_proj, mlp.{gate,up,down}_proj} with Int4GroupedTensor weights."""
+    g, od = pack.group_size, pack.out_dtype
+    nkv = pack.n_kv * pack.head_dim
+
+    qp, sc = _untile_cols(pl["qkv_qp"], pl["qkv_sc"])
+    wq, wk, wv = _col_segments(
+        qp, sc, (pack.nq2, pack.nk2, pack.nv2), (pack.dim, nkv, nkv), g, od)
+    lo, hi = pl["qkv_bias"][0], pl["qkv_bias"][1]
+
+    def seg_bias(c0, w, n):
+        return jnp.concatenate([lo[c0:c0 + w], hi[c0:c0 + w]])[:n]
+
+    bq = seg_bias(0, pack.nq2, pack.dim)
+    bk = seg_bias(pack.nq2, pack.nk2, nkv)
+    bv = seg_bias(pack.nq2 + pack.nk2, pack.nv2, nkv)
+
+    qp, sc = _untile_cols(pl["o_qp"], pl["o_sc"])
+    (wo,) = _col_segments(qp, sc, (pack.no2,), (pack.dim,), g, od)
+
+    qp, sc = _untile_cols(pl["gu_qp"], pl["gu_sc"])
+    nu2 = qp.shape[-1] - pack.ng2
+    wg, wu = _col_segments(
+        qp, sc, (pack.ng2, nu2), (pack.inter, pack.inter), g, od)
+
+    dqp = pl["dn_qp"]  # [ND, TKD, Cd]
+    ND, TKD, Cd = dqp.shape
+    dqp = dqp.reshape(ND * TKD, Cd)
+    dsc = pl["dn_sc"].reshape(ND * TKD // g, 4, Cd)
+    wd = Int4GroupedTensor(
+        qp=dqp, sl=dsc[:, 0][:, None, :], sh=dsc[:, 1][:, None, :],
+        bl=dsc[:, 2][:, None, :], bh=dsc[:, 3][:, None, :],
+        n=pack.dim, group_size=g, out_dtype=od)
+
+    return {
+        "input_layernorm": {"weight": pl["norms"][0]},
+        "post_attention_layernorm": {"weight": pl["norms"][1]},
+        "self_attn": {
+            "q_proj": {"weight": wq, "bias": bq},
+            "k_proj": {"weight": wk, "bias": bk},
+            "v_proj": {"weight": wv, "bias": bv},
+            "o_proj": {"weight": wo},
+        },
+        "mlp": {
+            "gate_proj": {"weight": wg},
+            "up_proj": {"weight": wu},
+            "down_proj": {"weight": wd},
+        },
+    }
 
 
 def _rope_rows(x, cos, sin):

@@ -541,6 +541,19 @@ def load_model_from_weights(
     # building it from device arrays would spike HBM with ~4 GB of
     # concat/transpose transients on top of the resident model (OOM at 7B)
     host_pack = _build_host_fused_pack(weights, model)
+    if host_pack is not None:
+        # The pack carries every layer tensor; uploading the per-linear
+        # copies too would DOUBLE layer residency (3.8 GiB each at 7B —
+        # the difference between fitting and OOM on a 16 GiB chip).
+        # Non-fused forwards rebuild per-layer weights from pack slices
+        # (models/qwen2_vl/language.py pack-weights scan).  Set
+        # MLX_VLM_TPU_KEEP_LAYERS=1 to keep both (e.g. to favor the
+        # per-linear scalar-prefetch kernel for batched decode).
+        import os as _os
+
+        if _os.environ.get("MLX_VLM_TPU_KEEP_LAYERS", "0") not in (
+                "1", "true"):
+            weights = _drop_pack_covered_layers(weights) or weights
     params = _nest(_to_device(weights, dtype, zeros_on_device))
     model.params = params
     model.config_dict = config
@@ -550,6 +563,48 @@ def load_model_from_weights(
     else:
         _maybe_attach_fused_decode(model)
     return model
+
+
+_PACK_COVERED_SUFFIXES = frozenset({
+    "input_layernorm.weight", "post_attention_layernorm.weight",
+    "self_attn.q_proj.weight", "self_attn.k_proj.weight",
+    "self_attn.v_proj.weight", "self_attn.o_proj.weight",
+    "self_attn.q_proj.bias", "self_attn.k_proj.bias",
+    "self_attn.v_proj.bias",
+    "mlp.gate_proj.weight", "mlp.up_proj.weight", "mlp.down_proj.weight",
+})
+
+
+def _layers_pack_covered(layers: dict) -> bool:
+    """True when every leaf under a NESTED layers dict is pack-covered."""
+    flat = []
+
+    def walk(d, pfx):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                walk(v, pfx + k + ".")
+            else:
+                flat.append(pfx + k)
+
+    walk(layers, "")
+    return all(s in _PACK_COVERED_SUFFIXES for s in flat)
+
+
+def _drop_pack_covered_layers(flat_weights: dict):
+    """Remove stacked LM layer tensors that the fused pack carries.
+
+    Only drops when the pack covers EVERY key under the layers prefix —
+    a partial drop would leave a layers subtree the scan body can't run.
+    Returns the reduced dict, or None to keep everything."""
+    prefix = "language_model.model.layers."
+    layer_keys = [k for k in flat_weights if k.startswith(prefix)]
+    if not layer_keys:
+        return None
+    if any(k[len(prefix):] not in _PACK_COVERED_SUFFIXES
+           for k in layer_keys):
+        return None
+    return {k: v for k, v in flat_weights.items()
+            if not k.startswith(prefix)}
 
 
 def _build_host_fused_pack(flat_weights: dict, model):
@@ -616,6 +671,14 @@ def _maybe_attach_fused_decode(model) -> None:
         return
     if pack is not None:
         lp["fused_decode"] = pack
+        # pack-only residency (mirrors _drop_pack_covered_layers on the
+        # host path): the pack carries every layer tensor, so drop the
+        # per-linear copies — their device buffers free once unreferenced
+        if os.environ.get("MLX_VLM_TPU_KEEP_LAYERS", "0") not in (
+                "1", "true"):
+            layers = lp["model"].get("layers")
+            if isinstance(layers, dict) and _layers_pack_covered(layers):
+                lp["model"].pop("layers")
 
 
 def load_model(

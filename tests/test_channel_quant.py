@@ -326,9 +326,11 @@ class TestAutoQuantMode:
         m = load_model_from_weights(cfg, w, jnp.float32)
         lp = m.params["language_model"]
         assert "fused_decode" in lp
-        assert isinstance(
-            lp["model"]["layers"]["mlp"]["gate_proj"]["weight"],
-            Int4GroupedTensor)
+        # pack-only residency: the per-linear Int4GroupedTensor copies are
+        # dropped (the pack carries every layer tensor); forwards rebuild
+        # them from pack slices (ops/fused_decode.py layer_params_from_pack)
+        assert "layers" not in lp["model"]
+        assert Int4GroupedTensor is not None
 
     def test_llama_int4_defaults_to_w8chan(self, monkeypatch):
         from mlx_vlm_tpu.core.quant import ChannelQuantizedTensor

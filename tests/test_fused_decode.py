@@ -32,12 +32,22 @@ def _tiny_int4_model(seed=0, fused=True):
             w = rng.standard_normal(weights[k].shape).astype(np.float32) * 0.1
             weights[k] = to_int4_grouped(
                 quantize(jnp.asarray(w), bits=4, group_size=64))
-    model = load_model_from_weights(cfg, weights, jnp.float32)
-    lp = model.params["language_model"]
+    import os
+
     if fused:
+        model = load_model_from_weights(cfg, weights, jnp.float32)
+        lp = model.params["language_model"]
         assert "fused_decode" in lp, "pack should attach for int4 layers"
+        # pack-only load: the per-linear copies are dropped (loader
+        # _drop_pack_covered_layers) and prefill runs from pack slices
+        assert "layers" not in lp["model"]
     else:
-        lp.pop("fused_decode", None)
+        os.environ["MLX_VLM_TPU_FUSED_DECODE"] = "0"
+        try:
+            model = load_model_from_weights(cfg, weights, jnp.float32)
+        finally:
+            del os.environ["MLX_VLM_TPU_FUSED_DECODE"]
+        assert "fused_decode" not in model.params["language_model"]
     return model, cfg
 
 

@@ -63,3 +63,53 @@ class TestRingAttention:
         ring = make_ring_attention(mesh, "sp")
         out = ring(q, k, v, q.shape[-1] ** -0.5)
         assert "sp" in str(out.sharding.spec)
+
+
+@needs_8
+class TestRingPrefillWiring:
+    """ring_prefill: end-to-end sequence-parallel prefill through a real
+    model matches the single-device forward (VERDICT r02 item 8)."""
+
+    def test_model_prefill_matches_single_device(self):
+        from mlx_vlm_tpu.parallel.mesh import make_mesh
+        from mlx_vlm_tpu.parallel.ring import ring_prefill
+        from mlx_vlm_tpu.utils.testing import make_tiny_qwen2_vl
+
+        model = make_tiny_qwen2_vl(seed=0, dtype=jnp.float32)
+        B, S = 1, 64
+        ids = (np.arange(S, dtype=np.int32) * 7 % 200)[None]
+        embeds = model.language_model.embed(
+            model.params["language_model"], jnp.asarray(ids)
+        )
+        pos = jnp.asarray(
+            np.broadcast_to(np.arange(S, dtype=np.int32), (3, B, S))
+        )
+
+        cache0 = model.language_model.init_cache(B, S, jnp.float32)
+        ref_logits, ref_cache = jax.jit(model.__call__)(
+            model.params, embeds, cache0, pos
+        )
+
+        mesh = make_mesh(data_parallel=8, devices=jax.devices()[:8])
+        cache1 = model.language_model.init_cache(B, S, jnp.float32)
+        logits, cache1 = ring_prefill(
+            model, embeds, cache1, pos, mesh, min_tokens=32
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(ref_logits), atol=3e-4, rtol=1e-3
+        )
+        # the KV cache written under ring routing must match too — decode
+        # continues on the normal path afterwards
+        np.testing.assert_allclose(
+            np.asarray(cache1.k), np.asarray(ref_cache.k), atol=1e-5,
+            rtol=1e-4,
+        )
+
+    def test_context_inactive_outside(self):
+        from mlx_vlm_tpu.parallel import ring as ring_mod
+
+        assert ring_mod._STATE is None
+        assert ring_mod.maybe_ring_attend(
+            jnp.zeros((1, 2, 64, 16)), jnp.zeros((1, 2, 64, 16)),
+            jnp.zeros((1, 2, 64, 16)), 0.25,
+        ) is None
