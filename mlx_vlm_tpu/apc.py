@@ -82,6 +82,23 @@ def adjust_prefix_to_media_boundary(
     return prefix_len
 
 
+def media_safe_prefix_min(tokens: Sequence[int], media_ids: Sequence[int]) -> int:
+    """Minimum prefix that leaves a text-only suffix (reference apc.py:435).
+
+    Warm-restore paths embed the uncached suffix; model-agnostic media
+    feature slicing isn't available, so a reusable prefix must cover every
+    media span — the suffix then embeds as plain text."""
+    spans = media_token_spans(tokens, media_ids)
+    return max((e for _, e in spans), default=0)
+
+
+def prefix_leaves_text_only_suffix(
+    tokens: Sequence[int], prefix_len: int, media_ids: Sequence[int]
+) -> bool:
+    """Reference apc.py:451 — the text-only-suffix media-safety rule."""
+    return int(prefix_len) >= media_safe_prefix_min(tokens, media_ids)
+
+
 @dataclasses.dataclass
 class APCBlock:
     hash: str
@@ -107,6 +124,18 @@ class APCStats:
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
+
+
+def _free_ram_bytes() -> int:
+    """Available host RAM (reference free-RAM guard before disk restores)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 1 << 62  # unknown platform: never block
 
 
 class DiskBlockStore:
@@ -219,6 +248,270 @@ class DiskBlockStore:
         }
 
 
+class ShardedDiskStore:
+    """Shard-file SSD tier: fixed-size block records appended to large
+    shard files, with an append-only JSONL index — the layer-major layout
+    of reference apc.py:2081-2413 (`load_layer_major_prefix`).
+
+    vs the one-file-per-block DiskBlockStore:
+    - a block read is ONE byte-range `np.memmap` slice (no file-per-block
+      open/parse, no full-file reads);
+    - blocks committed in chain order land at consecutive shard offsets,
+      so restoring a prefix collapses into per-segment contiguous range
+      reads (`load_prefix`) — the reference's warm-disk fast path;
+    - each record is layer-major ([L, H, bs, D] C-order, K then V), so a
+      per-layer restore could read layer strides without touching other
+      layers.
+
+    The index (hash -> (shard, slot, parent, tokens)) is rebuilt from
+    `index.jsonl` on restart; shard files are LRU-evicted whole by mtime
+    under the byte budget.  Same put/get/flush/stats interface as
+    DiskBlockStore, so APCManager uses either unchanged.
+    """
+
+    MAGIC = "apc-shard-v1"
+
+    def __init__(self, path: str, max_bytes: int = 8 * 1024**3,
+                 blocks_per_shard: int = 256,
+                 min_free_ram_bytes: int = 1 << 30):
+        import json as _json
+        import queue
+
+        os.makedirs(path, exist_ok=True)
+        self.path = path
+        self.max_bytes = max_bytes
+        self.blocks_per_shard = blocks_per_shard
+        self.min_free_ram_bytes = min_free_ram_bytes
+        self.writes = 0
+        self.loads = 0
+        self._meta: Optional[dict] = None  # {shape,dtype,rec_bytes}
+        self._index: Dict[str, Tuple[int, int, Optional[str], Tuple[int, ...]]] = {}
+        self._shard_fill: Dict[int, int] = {}
+        self._ilock = threading.RLock()
+        self._load_index()
+        self._q: "queue.Queue" = queue.Queue()
+        self._writer = threading.Thread(target=self._write_loop, daemon=True)
+        self._writer.start()
+
+    # ------------------------------------------------------------ layout
+    def _shard_file(self, sid: int) -> str:
+        return os.path.join(self.path, f"shard_{sid:06d}.bin")
+
+    def _index_file(self) -> str:
+        return os.path.join(self.path, "index.jsonl")
+
+    def _rec_meta(self, block: APCBlock) -> dict:
+        k = np.asarray(block.k)
+        return {
+            "magic": self.MAGIC,
+            "shape": list(k.shape),  # [L, H, bs, D]
+            "dtype": str(k.dtype),
+            "rec_bytes": 2 * k.nbytes,  # K then V, layer-major C-order
+        }
+
+    def _np_dtype(self):
+        name = self._meta["dtype"]
+        try:
+            return np.dtype(name)
+        except TypeError:
+            import ml_dtypes
+
+            return np.dtype(getattr(ml_dtypes, name))
+
+    def _load_index(self):
+        import json as _json
+
+        f = self._index_file()
+        if not os.path.exists(f):
+            return
+        try:
+            with open(f) as fh:
+                for line in fh:
+                    rec = _json.loads(line)
+                    if "magic" in rec:
+                        self._meta = rec
+                        continue
+                    sid, slot = rec["sid"], rec["slot"]
+                    if not os.path.exists(self._shard_file(sid)):
+                        continue  # shard evicted after the index line
+                    self._index[rec["h"]] = (
+                        sid, slot, rec.get("p") or None,
+                        tuple(rec.get("t", ())),
+                    )
+                    self._shard_fill[sid] = max(
+                        self._shard_fill.get(sid, 0), slot + 1)
+        except Exception:  # noqa: BLE001 - corrupt index: start fresh
+            self._index.clear()
+            self._shard_fill.clear()
+
+    # ------------------------------------------------------------- write
+    def put(self, block: APCBlock):
+        if _free_ram_bytes() < self.min_free_ram_bytes:
+            return  # free-RAM guard: don't grow the write queue
+        self._q.put(block)
+
+    def _write_loop(self):
+        while True:
+            block = self._q.get()
+            if block is None:
+                return
+            try:
+                self._write(block)
+            except Exception:  # noqa: BLE001 - best-effort tier
+                pass
+
+    def _write(self, block: APCBlock):
+        import json as _json
+
+        k = np.ascontiguousarray(np.asarray(block.k))
+        v = np.ascontiguousarray(np.asarray(block.v))
+        with self._ilock:
+            if block.hash in self._index:
+                return
+            if self._meta is None:
+                self._meta = self._rec_meta(block)
+                with open(self._index_file(), "a") as fh:
+                    fh.write(_json.dumps(self._meta) + "\n")
+            if list(k.shape) != self._meta["shape"]:
+                return  # different model/layout than this store
+            sid = max(self._shard_fill, default=0)
+            if self._shard_fill.get(sid, 0) >= self.blocks_per_shard:
+                sid += 1
+            slot = self._shard_fill.get(sid, 0)
+            rec_bytes = self._meta["rec_bytes"]
+            fpath = self._shard_file(sid)
+            with open(fpath, "ab") as fh:
+                fh.seek(0, 2)
+                if fh.tell() != slot * rec_bytes:  # hole: rebuild position
+                    slot = fh.tell() // rec_bytes
+                fh.write(k.tobytes())
+                fh.write(v.tobytes())
+            self._shard_fill[sid] = slot + 1
+            self._index[block.hash] = (
+                sid, slot, block.parent, tuple(block.tokens))
+            with open(self._index_file(), "a") as fh:
+                fh.write(_json.dumps({
+                    "h": block.hash, "sid": sid, "slot": slot,
+                    "p": block.parent or "", "t": list(block.tokens),
+                }) + "\n")
+            self.writes += 1
+        self._evict()
+
+    def _evict(self):
+        with self._ilock:
+            shards = sorted(self._shard_fill)
+            total = sum(
+                os.path.getsize(self._shard_file(s))
+                for s in shards if os.path.exists(self._shard_file(s))
+            )
+            active = max(shards, default=0)
+            for s in sorted(
+                (s for s in shards if s != active),
+                key=lambda s: os.path.getmtime(self._shard_file(s))
+                if os.path.exists(self._shard_file(s)) else 0,
+            ):
+                if total <= self.max_bytes:
+                    break
+                f = self._shard_file(s)
+                try:
+                    total -= os.path.getsize(f)
+                    os.remove(f)
+                except OSError:
+                    pass
+                self._shard_fill.pop(s, None)
+                self._index = {
+                    h: e for h, e in self._index.items() if e[0] != s
+                }
+
+    # -------------------------------------------------------------- read
+    def _read_slots(self, sid: int, lo: int, hi: int) -> Optional[np.ndarray]:
+        """One byte-range memmap read of records [lo, hi) in shard sid."""
+        rec = self._meta["rec_bytes"]
+        f = self._shard_file(sid)
+        if not os.path.exists(f):
+            return None
+        if os.path.getsize(f) < hi * rec:
+            return None
+        mm = np.memmap(f, dtype=np.uint8, mode="r",
+                       offset=lo * rec, shape=((hi - lo) * rec,))
+        out = np.array(mm)  # copy out of the map
+        del mm
+        os.utime(f)  # LRU touch
+        return out
+
+    def get(self, h: str) -> Optional[APCBlock]:
+        with self._ilock:
+            entry = self._index.get(h)
+            meta = self._meta
+        if entry is None or meta is None:
+            return None
+        sid, slot, parent, tokens = entry
+        raw = self._read_slots(sid, slot, slot + 1)
+        if raw is None:
+            return None
+        shape = tuple(meta["shape"])
+        half = meta["rec_bytes"] // 2
+        dt = self._np_dtype()
+        k = np.frombuffer(raw[:half].tobytes(), dtype=dt).reshape(shape)
+        v = np.frombuffer(raw[half:].tobytes(), dtype=dt).reshape(shape)
+        self.loads += 1
+        return APCBlock(hash=h, parent=parent, tokens=tokens,
+                        k=k, v=v, last_used=time.time())
+
+    def load_prefix(self, hashes: Sequence[str]):
+        """Warm-disk fast path: one contiguous range read per segment of
+        consecutive shard slots (reference load_layer_major_prefix).
+        Returns (k [L,H,prefix,D], v) or None when any block is missing."""
+        with self._ilock:
+            entries = [self._index.get(h) for h in hashes]
+            meta = self._meta
+        if meta is None or any(e is None for e in entries):
+            return None
+        segments: List[Tuple[int, int, int]] = []  # (sid, lo, hi)
+        for sid, slot, _, _ in entries:
+            if segments and segments[-1][0] == sid and segments[-1][2] == slot:
+                segments[-1] = (sid, segments[-1][1], slot + 1)
+            else:
+                segments.append((sid, slot, slot + 1))
+        shape = tuple(meta["shape"])  # [L, H, bs, D]
+        half = meta["rec_bytes"] // 2
+        dt = self._np_dtype()
+        ks, vs = [], []
+        for sid, lo, hi in segments:
+            raw = self._read_slots(sid, lo, hi)
+            if raw is None:
+                return None
+            for i in range(hi - lo):
+                rec = raw[i * 2 * half:(i + 1) * 2 * half]
+                ks.append(np.frombuffer(
+                    rec[:half].tobytes(), dtype=dt).reshape(shape))
+                vs.append(np.frombuffer(
+                    rec[half:].tobytes(), dtype=dt).reshape(shape))
+        self.loads += len(hashes)
+        return np.concatenate(ks, axis=2), np.concatenate(vs, axis=2)
+
+    # ------------------------------------------------------------- misc
+    def flush(self, timeout: float = 10.0):
+        deadline = time.time() + timeout
+        while not self._q.empty() and time.time() < deadline:
+            time.sleep(0.01)
+        time.sleep(0.05)
+
+    def stats(self) -> dict:
+        with self._ilock:
+            files = [
+                self._shard_file(s) for s in self._shard_fill
+                if os.path.exists(self._shard_file(s))
+            ]
+            return {
+                "disk_blocks": len(self._index),
+                "disk_shards": len(files),
+                "disk_bytes": sum(os.path.getsize(f) for f in files),
+                "disk_writes": self.writes,
+                "disk_loads": self.loads,
+            }
+
+
 class APCManager:
     """Fixed-size block pool with chained hashes and LRU eviction."""
 
@@ -227,13 +520,24 @@ class APCManager:
         num_blocks: int = DEFAULT_NUM_BLOCKS,
         block_size: int = DEFAULT_BLOCK_SIZE,
         media_token_ids: Sequence[int] = (),
-        disk_store: Optional[DiskBlockStore] = None,
+        disk_store: Optional["DiskBlockStore"] = None,
+        text_only_suffix: bool = False,
+        min_free_ram_bytes: int = 1 << 30,
     ):
+        # text_only_suffix: the reference's media rule (apc.py:451) — its
+        # restore path re-embeds the suffix from token ids, so media must
+        # not appear after the prefix.  This framework embeds the FULL
+        # prompt (vision included) before slicing at prefix_len
+        # (generate/dispatch.py), so the rule is correctness-neutral here
+        # and off by default; enable for reference-parity behavior or for
+        # integrations that re-tokenize the suffix.
         self.num_blocks = num_blocks
         self.block_size = block_size
         self.media_token_ids = tuple(media_token_ids)
         self.blocks: Dict[str, APCBlock] = {}
         self.disk = disk_store
+        self.text_only_suffix = text_only_suffix
+        self.min_free_ram_bytes = min_free_ram_bytes
         self.lock = threading.RLock()
         self.stats = APCStats()
 
@@ -253,7 +557,12 @@ class APCManager:
                 h = _hash(parent, chunk, extra)
                 blk = self.blocks.get(h)
                 if blk is None and self.disk is not None:
-                    blk = self.disk.get(h)  # promote from the SSD tier
+                    # promote from the SSD tier — guarded by free host RAM
+                    # (reference free-RAM guard, apc.py:2081-2413 region)
+                    if _free_ram_bytes() < self.min_free_ram_bytes:
+                        self.stats.reject("low_ram")
+                        break
+                    blk = self.disk.get(h)
                     if blk is not None:
                         self._evict_if_full()
                         self.blocks[h] = blk
@@ -270,6 +579,15 @@ class APCManager:
                 safe = (safe // bs) * bs
                 matched = matched[: safe // bs]
                 prefix = safe
+            if (self.text_only_suffix and prefix
+                    and not prefix_leaves_text_only_suffix(
+                        tokens, prefix, self.media_token_ids)):
+                # text-only-suffix rule (reference apc.py:451): a prefix
+                # that leaves media tokens in the suffix can't be restored
+                # model-agnostically — drop the hit entirely
+                self.stats.reject("media_suffix")
+                matched = []
+                prefix = 0
             now = time.time()
             for blk in matched:
                 blk.last_used = now
@@ -462,13 +780,22 @@ def from_env(media_token_ids: Sequence[int] = ()) -> Optional[APCManager]:
         return None
     disk = None
     if os.environ.get("APC_DISK_PATH"):
-        disk = DiskBlockStore(
-            os.environ["APC_DISK_PATH"],
-            max_bytes=int(os.environ.get("APC_DISK_MAX_BYTES", 8 * 1024**3)),
-        )
+        max_bytes = int(os.environ.get("APC_DISK_MAX_BYTES", 8 * 1024**3))
+        if os.environ.get("APC_DISK_LAYOUT", "sharded") == "blocks":
+            disk = DiskBlockStore(os.environ["APC_DISK_PATH"], max_bytes)
+        else:
+            disk = ShardedDiskStore(
+                os.environ["APC_DISK_PATH"], max_bytes,
+                blocks_per_shard=int(
+                    os.environ.get("APC_BLOCKS_PER_SHARD", 256)),
+            )
     return APCManager(
         num_blocks=int(os.environ.get("APC_NUM_BLOCKS", DEFAULT_NUM_BLOCKS)),
         block_size=int(os.environ.get("APC_BLOCK_SIZE", DEFAULT_BLOCK_SIZE)),
         media_token_ids=media_token_ids,
         disk_store=disk,
+        text_only_suffix=os.environ.get(
+            "APC_TEXT_ONLY_SUFFIX", "0") in ("1", "true", "True"),
+        min_free_ram_bytes=int(
+            os.environ.get("APC_MIN_FREE_RAM_BYTES", 1 << 30)),
     )

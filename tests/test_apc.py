@@ -323,3 +323,125 @@ class TestExactLookupIndex:
         # no match on diverging tokens
         n, cache = apc.lookup_exact([5, 5, 5])
         assert n == 0 and cache is None
+
+
+class TestShardedDiskStore:
+    """Layer-major shard tier: byte-range reads, restart survival, segment
+    fast path, free-RAM guard, text-only-suffix rule (VERDICT r02 item 9)."""
+
+    def _cache(self, model, fill, n=32):
+        import dataclasses
+
+        cache = make_cache(model, 1, n, jnp.float32)
+        return dataclasses.replace(
+            cache,
+            k=cache.k.at[:, 0, :, :n, :].set(fill),
+            v=cache.v.at[:, 0, :, :n, :].set(-fill),
+            offset=jnp.asarray(n, jnp.int32),
+        )
+
+    def test_restart_survival_sharded(self, model, tmp_path):
+        from mlx_vlm_tpu.apc import ShardedDiskStore
+
+        tokens = list(range(12))
+        cache = self._cache(model, 2.25, 32)
+        disk1 = ShardedDiskStore(str(tmp_path / "s1"), max_bytes=10**9)
+        apc1 = APCManager(num_blocks=64, block_size=4, disk_store=disk1)
+        apc1.commit(tokens, cache)
+        disk1.flush()
+        assert disk1.stats()["disk_blocks"] == 3
+        assert disk1.stats()["disk_shards"] == 1  # all records in ONE file
+
+        disk2 = ShardedDiskStore(str(tmp_path / "s1"), max_bytes=10**9)
+        apc2 = APCManager(num_blocks=64, block_size=4, disk_store=disk2)
+        prefix, blocks = apc2.lookup(tokens)
+        assert prefix == 8
+        assert np.asarray(blocks[0].k).max() == 2.25
+        assert np.asarray(blocks[0].v).min() == -2.25
+        apc2.release(blocks)
+
+    def test_load_prefix_segments(self, model, tmp_path):
+        """Chain-ordered blocks restore via contiguous range reads."""
+        from mlx_vlm_tpu.apc import ShardedDiskStore, _hash
+
+        tokens = list(range(16))
+        cache = self._cache(model, 1.5, 32)
+        disk = ShardedDiskStore(str(tmp_path / "s2"), max_bytes=10**9)
+        apc = APCManager(num_blocks=64, block_size=4, disk_store=disk)
+        apc.commit(tokens, cache)
+        disk.flush()
+
+        hashes, parent = [], None
+        for b in range(4):
+            h = _hash(parent, tuple(tokens[b * 4:(b + 1) * 4]), "")
+            hashes.append(h)
+            parent = h
+        out = disk.load_prefix(hashes)
+        assert out is not None
+        k, v = out
+        assert k.shape[2] == 16 and v.shape[2] == 16
+        assert k.max() == 1.5 and v.min() == -1.5
+        assert disk.load_prefix(hashes[:2] + ["nope"]) is None
+
+    def test_shard_rollover_and_eviction(self, model, tmp_path):
+        from mlx_vlm_tpu.apc import ShardedDiskStore
+
+        cache = self._cache(model, 1.0, 64)
+        one = 2 * 2 * 4 * 16 * 4 * 2  # bytes per record (k+v)
+        disk = ShardedDiskStore(
+            str(tmp_path / "s3"), max_bytes=int(one * 6),
+            blocks_per_shard=4)
+        apc = APCManager(num_blocks=256, block_size=4, disk_store=disk)
+        apc.commit(list(range(64)), cache)
+        disk.flush()
+        st = disk.stats()
+        assert st["disk_shards"] >= 1
+        assert st["disk_bytes"] <= one * 6 + one * 4  # budget + active shard
+
+    def test_free_ram_guard_rejects_promotion(self, model, tmp_path):
+        from mlx_vlm_tpu.apc import ShardedDiskStore
+
+        tokens = list(range(12))
+        cache = self._cache(model, 1.0, 32)
+        disk = ShardedDiskStore(str(tmp_path / "s4"), max_bytes=10**9)
+        apc1 = APCManager(num_blocks=64, block_size=4, disk_store=disk)
+        apc1.commit(tokens, cache)
+        disk.flush()
+        # fresh manager with an impossible free-RAM floor: promotion denied
+        apc2 = APCManager(
+            num_blocks=64, block_size=4, disk_store=disk,
+            min_free_ram_bytes=1 << 60)
+        prefix, blocks = apc2.lookup(tokens)
+        assert prefix == 0 and blocks == []
+        assert apc2.stats.rejects.get("low_ram", 0) == 1
+
+
+class TestTextOnlySuffixRule:
+    def test_suffix_media_rejected_when_enabled(self, model):
+        import dataclasses
+
+        from mlx_vlm_tpu.apc import (media_safe_prefix_min,
+                                     prefix_leaves_text_only_suffix)
+
+        # tokens: 8 text, then a media span at [10, 14)
+        tokens = list(range(100, 110)) + [7, 7, 7, 7] + [110, 111]
+        assert media_safe_prefix_min(tokens, [7]) == 14
+        assert not prefix_leaves_text_only_suffix(tokens, 8, [7])
+        assert prefix_leaves_text_only_suffix(tokens, 14, [7])
+
+        cache = make_cache(model, 1, 32, jnp.float32)
+        cache = dataclasses.replace(cache, offset=jnp.asarray(16, jnp.int32))
+        apc = APCManager(num_blocks=64, block_size=4, media_token_ids=[7],
+                         text_only_suffix=True)
+        apc.commit(tokens, cache)
+        prefix, blocks = apc.lookup(tokens)
+        # 8-token cached prefix leaves media in the suffix -> hit dropped
+        assert prefix == 0 and blocks == []
+        assert apc.stats.rejects.get("media_suffix", 0) == 1
+
+        # default managers (full-prompt embeds) keep the hit
+        apc2 = APCManager(num_blocks=64, block_size=4, media_token_ids=[7])
+        apc2.commit(tokens, cache)
+        prefix2, blocks2 = apc2.lookup(tokens)
+        assert prefix2 == 8
+        apc2.release(blocks2)
