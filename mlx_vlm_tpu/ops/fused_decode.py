@@ -382,6 +382,98 @@ def layer_params_from_pack(pack: FusedDecodePack, pl: dict) -> dict:
     }
 
 
+def stacked_params_from_pack(pack: FusedDecodePack) -> dict:
+    """Full stacked layer tree rebuilt from the pack (HOST-side numpy).
+
+    Inverse of build_fused_pack over every layer at once: returns the
+    {input_layernorm, post_attention_layernorm, self_attn.{q,k,v,o}_proj,
+    mlp.{gate,up,down}_proj} tree with [L,...]-stacked Int4GroupedTensor
+    weights — exactly the layout _stack_layers produces — so pack-only
+    loads can be TP-sharded (parallel/shard.py), LoRA-trained, and
+    convert-roundtripped.  Device pack leaves are fetched to host first:
+    the relayout transients (~4 GB at 7B) must not land in HBM on top of
+    the resident pack."""
+    import numpy as np
+
+    g, od = pack.group_size, pack.out_dtype
+    nkv = pack.n_kv * pack.head_dim
+    L = pack.n_layers
+
+    def untile(qp, sc):
+        # [L,NT,K,TN] -> [L,K,C];  [L,NT,G,4,TN] -> [L,G,4,C]
+        qp = np.asarray(qp)
+        sc = np.asarray(sc)
+        Lx, NT, K, TN = qp.shape
+        qp = qp.transpose(0, 2, 1, 3).reshape(Lx, K, NT * TN)
+        G = sc.shape[2]
+        sc = sc.transpose(0, 2, 3, 1, 4).reshape(Lx, G, 4, NT * TN)
+        return qp, sc
+
+    def segments(qp, sc, widths, ns):
+        outs, c0 = [], 0
+        for w, n in zip(widths, ns):
+            pl_ = sc[:, :, :, c0:c0 + w]
+            outs.append(Int4GroupedTensor(
+                qp=np.ascontiguousarray(qp[:, :, c0:c0 + w]),
+                sl=np.ascontiguousarray(pl_[:, :, 0][:, :, None, :]),
+                sh=np.ascontiguousarray(pl_[:, :, 1][:, :, None, :]),
+                bl=np.ascontiguousarray(pl_[:, :, 2][:, :, None, :]),
+                bh=np.ascontiguousarray(pl_[:, :, 3][:, :, None, :]),
+                n=n, group_size=g, out_dtype=od))
+            c0 += w
+        return outs
+
+    qp, sc = untile(pack.qkv_qp, pack.qkv_sc)
+    wq, wk, wv = segments(
+        qp, sc, (pack.nq2, pack.nk2, pack.nv2), (pack.dim, nkv, nkv))
+    bias = np.asarray(pack.qkv_bias)  # [L, 2, Cq]
+    lo, hi = bias[:, 0], bias[:, 1]
+
+    def seg_bias(c0, w, n):
+        return np.ascontiguousarray(np.concatenate(
+            [lo[:, c0:c0 + w], hi[:, c0:c0 + w]], axis=-1)[:, :n])
+
+    bq = seg_bias(0, pack.nq2, pack.dim)
+    bk = seg_bias(pack.nq2, pack.nk2, nkv)
+    bv = seg_bias(pack.nq2 + pack.nk2, pack.nv2, nkv)
+
+    qp, sc = untile(pack.o_qp, pack.o_sc)
+    (wo,) = segments(qp, sc, (pack.no2,), (pack.dim,))
+
+    qp, sc = untile(pack.gu_qp, pack.gu_sc)
+    nu2 = qp.shape[-1] - pack.ng2
+    wg, wu = segments(qp, sc, (pack.ng2, nu2), (pack.inter, pack.inter))
+
+    dqp = np.asarray(pack.dn_qp)  # [L, ND, TKD, Cd]
+    _, ND, TKD, Cd = dqp.shape
+    dsc = np.asarray(pack.dn_sc).reshape(L, ND * TKD // g, 4, Cd)
+    wd = Int4GroupedTensor(
+        qp=dqp.reshape(L, ND * TKD, Cd),
+        sl=np.ascontiguousarray(dsc[:, :, 0][:, :, None, :]),
+        sh=np.ascontiguousarray(dsc[:, :, 1][:, :, None, :]),
+        bl=np.ascontiguousarray(dsc[:, :, 2][:, :, None, :]),
+        bh=np.ascontiguousarray(dsc[:, :, 3][:, :, None, :]),
+        n=pack.dim, group_size=g, out_dtype=od)
+
+    norms = np.asarray(pack.norms)  # [L, 2, D]
+    return {
+        "input_layernorm": {"weight": np.ascontiguousarray(norms[:, 0])},
+        "post_attention_layernorm": {
+            "weight": np.ascontiguousarray(norms[:, 1])},
+        "self_attn": {
+            "q_proj": {"weight": wq, "bias": bq},
+            "k_proj": {"weight": wk, "bias": bk},
+            "v_proj": {"weight": wv, "bias": bv},
+            "o_proj": {"weight": wo},
+        },
+        "mlp": {
+            "gate_proj": {"weight": wg},
+            "up_proj": {"weight": wu},
+            "down_proj": {"weight": wd},
+        },
+    }
+
+
 def _rope_rows(x, cos, sin):
     """x [R, hd] f32, cos/sin [1, hd] (duplicated-half convention)."""
     hd = x.shape[-1]

@@ -141,6 +141,12 @@ def shard_model(model, mesh: Mesh, pipeline: Optional[bool] = None):
     materialize)."""
     if pipeline is None:
         pipeline = "pipe" in mesh.axis_names and mesh.shape.get("pipe", 1) > 1
+    # pack-only int4 loads carry the layer linears only inside the fused
+    # single-chip decode pack, which no partition rule matches; rebuild the
+    # per-linear stacked tree (bit-exact) and drop the pack before sharding
+    from ..utils.loader import ensure_layer_params
+
+    ensure_layer_params(model, drop_pack=True)
     if "expert" in mesh.axis_names and mesh.shape.get("expert", 1) > 1:
         from ..core.moe import set_expert_parallel
 

@@ -145,7 +145,8 @@ def get_message_json(
     Returns a message dict for chat families, or the raw prompt string for
     bare-prompt families (reference get_message_json:520).
     """
-    spec = _FAMILY_FORMATS.get(model_type)
+    spec = kwargs.pop("_fallback_spec", None) or _FAMILY_FORMATS.get(
+        model_type)
     if spec is None:
         raise ValueError(f"Unsupported model: {model_type}")
     if num_images > 1 and model_type in _SINGLE_IMAGE_ONLY:
@@ -365,6 +366,7 @@ def get_chat_template(
     if owner is None:
         return _chatml_fallback(processor, messages, add_generation_prompt)
     template_kwargs = dict(kwargs)
+    template_kwargs.pop("_fallback_spec", None)  # internal routing only
     if ("enable_thinking" not in template_kwargs
             and _accepts_kw(owner.apply_chat_template, "enable_thinking")):
         template_kwargs["enable_thinking"] = False
@@ -404,10 +406,14 @@ def apply_chat_template(
     if model_type not in _FAMILY_FORMATS and (num_images > 0
                                               or num_audios > 0):
         # Unknown-but-multimodal: use the generic parts shape rather than
-        # silently dropping the media placeholders.
-        _FAMILY_FORMATS.setdefault(model_type, _parts(image_first=False))
+        # silently dropping the media placeholders.  Passed through as a
+        # LOCAL fallback — registering it in the module-global
+        # _FAMILY_FORMATS would permanently pollute the registry (an
+        # unknown model_type seen once would resolve forever after).
+        kwargs["_fallback_spec"] = _parts(image_first=False)
 
-    if model_type not in _FAMILY_FORMATS:
+    if (model_type not in _FAMILY_FORMATS
+            and "_fallback_spec" not in kwargs):
         # text-only model: strip media parts, keep roles/tool metadata
         if isinstance(prompt, str):
             messages = [{"role": "user", "content": prompt}]

@@ -70,6 +70,12 @@ def train(model, processor, train_dataset, cfg: TrainConfig,
                        make_lora_train_step, save_adapter)
     from .sft import make_train_step
 
+    # pack-only int4 loads: training walks per-linear layer paths (LoRA
+    # target matching, gradient trees) — rematerialize them from the pack
+    from ..utils.loader import ensure_layer_params
+
+    ensure_layer_params(model, drop_pack=True)
+
     tx = optax.adamw(cfg.learning_rate)
     if cfg.mode == "full":
         trainable = model.params

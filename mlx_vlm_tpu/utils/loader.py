@@ -179,22 +179,29 @@ def _stack_layers(flat: dict, patterns) -> dict:
                 )
             elif isinstance(vals[0], Int4GroupedTensor):
                 # always stacked on the LEADING axis: ops/int4_matvec.py
-                # flattens [L, K, N2p] -> [L*K, N2p] for layer indexing
+                # flattens [L, K, N2p] -> [L*K, N2p] for layer indexing.
+                # CRITICAL: stack numpy leaves with numpy — jnp.stack here
+                # uploads every layer to device BEFORE the host-side fused
+                # pack build can see numpy leaves, forcing the pack relayout
+                # on device (per-linear copy + pack + ~4 GB of transients at
+                # 7B = async RESOURCE_EXHAUSTED on a 16 GiB chip).
+                xs = np if isinstance(vals[0].qp, np.ndarray) else jnp
                 stacked = Int4GroupedTensor(
-                    qp=jnp.stack([t.qp for t in vals]),
-                    sl=jnp.stack([t.sl for t in vals]),
-                    sh=jnp.stack([t.sh for t in vals]),
-                    bl=jnp.stack([t.bl for t in vals]),
-                    bh=jnp.stack([t.bh for t in vals]),
+                    qp=xs.stack([t.qp for t in vals]),
+                    sl=xs.stack([t.sl for t in vals]),
+                    sh=xs.stack([t.sh for t in vals]),
+                    bl=xs.stack([t.bl for t in vals]),
+                    bh=xs.stack([t.bh for t in vals]),
                     n=vals[0].n,
                     group_size=vals[0].group_size,
                     out_dtype=vals[0].out_dtype,
                 )
             elif isinstance(vals[0], NVFP4Tensor):
+                xs = np if isinstance(vals[0].q, np.ndarray) else jnp
                 stacked = NVFP4Tensor(
-                    q=jnp.moveaxis(jnp.stack([t.q for t in vals]), 0, dest),
-                    scales=jnp.moveaxis(
-                        jnp.stack([t.scales for t in vals]), 0, dest),
+                    q=xs.moveaxis(xs.stack([t.q for t in vals]), 0, dest),
+                    scales=xs.moveaxis(
+                        xs.stack([t.scales for t in vals]), 0, dest),
                     out_dtype=vals[0].out_dtype,
                 )
             elif isinstance(vals[0], ChannelQuantizedTensor):
@@ -224,6 +231,23 @@ def unstack_params(model, params: dict) -> dict:
     import numpy as _np
 
     import jax as _jax
+
+    lp = params.get("language_model") if isinstance(params, dict) else None
+    if (isinstance(lp, dict) and "fused_decode" in lp
+            and isinstance(lp.get("model"), dict)
+            and "layers" not in lp["model"]):
+        # pack-only load: rebuild the per-linear stacked tree so the flat
+        # HF-named export walks real layer weights (not the pack relayout)
+        from ..ops.fused_decode import stacked_params_from_pack
+
+        lp = dict(lp)
+        lp["model"] = {**lp["model"],
+                       "layers": stacked_params_from_pack(lp["fused_decode"])}
+        lp.pop("fused_decode")
+        params = {**params, "language_model": lp}
+    elif isinstance(lp, dict) and "fused_decode" in lp:
+        lp = {k: v for k, v in lp.items() if k != "fused_decode"}
+        params = {**params, "language_model": lp}
 
     flat = {}
 
@@ -679,6 +703,34 @@ def _maybe_attach_fused_decode(model) -> None:
             layers = lp["model"].get("layers")
             if isinstance(layers, dict) and _layers_pack_covered(layers):
                 lp["model"].pop("layers")
+
+
+def ensure_layer_params(model, drop_pack: bool = False) -> None:
+    """Rematerialize per-linear LM layer params from the fused pack.
+
+    Pack-only loads (the int4 default) keep the fused-decode pack as the
+    sole copy of the layer linears.  Consumers that walk per-linear paths
+    — TP sharding (parallel/shard.py partition rules), LoRA/DoRA attach,
+    convert roundtrips, unstack_params — call this first: it rebuilds the
+    stacked Int4GroupedTensor tree host-side (bit-exact inverse relayout,
+    ops/fused_decode.py stacked_params_from_pack) and inserts it at
+    params["language_model"]["model"]["layers"].  drop_pack=True also
+    removes the pack (e.g. sharded runs, where the single-chip fused
+    kernel does not apply and double residency would waste HBM).
+    No-op when layers already exist."""
+    lp = model.params.get("language_model") if isinstance(
+        model.params, dict) else None
+    if not isinstance(lp, dict) or "fused_decode" not in lp:
+        return
+    mdl = lp.get("model")
+    if not isinstance(mdl, dict):
+        return
+    if "layers" not in mdl:
+        from ..ops.fused_decode import stacked_params_from_pack
+
+        mdl["layers"] = stacked_params_from_pack(lp["fused_decode"])
+    if drop_pack:
+        lp.pop("fused_decode", None)
 
 
 def load_model(

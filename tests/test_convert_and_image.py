@@ -37,13 +37,22 @@ class TestConvert:
             model = load_model(dst, dtype=jnp.float32)
             from mlx_vlm_tpu.core.quant import (ChannelQuantizedTensor,
                                                 Int4GroupedTensor)
+            from mlx_vlm_tpu.utils.loader import ensure_layer_params
 
-            qt = model.params["language_model"]["model"]["layers"]["self_attn"]["q_proj"]["weight"]
-            # default runtime mode requantizes to the per-channel int8 layout
-            assert isinstance(qt, ChannelQuantizedTensor)
+            # 4-bit checkpoints default to the pack-only fused w4grp
+            # layout: the pack is the sole copy of the layer linears
+            lp = model.params["language_model"]
+            assert "fused_decode" in lp
+            assert "layers" not in lp["model"]
+            # per-linear consumers (shard/LoRA/convert) rematerialize
+            ensure_layer_params(model)
+            qt = lp["model"]["layers"]["self_attn"]["q_proj"]["weight"]
+            assert isinstance(qt, Int4GroupedTensor)
+            assert qt.qp.ndim == 3  # stacked [L, K, N2p]
             # vision tower must NOT be quantized (skip_vision default)
             vt = model.params["vision_tower"]["blocks"]["attn"]["qkv"]["weight"]
             assert not isinstance(vt, (QuantizedTensor, ChannelQuantizedTensor))
+            del lp["model"]["layers"]  # back to pack-only for generation
 
             # quantized model generates
             import jax
