@@ -167,12 +167,14 @@ class DiskBlockStore:
     def _write_loop(self):
         while True:
             block = self._q.get()
-            if block is None:
-                return
             try:
+                if block is None:
+                    return
                 self._write(block)
             except Exception:  # noqa: BLE001 - best-effort tier
                 pass
+            finally:
+                self._q.task_done()
 
     def _write(self, block: APCBlock):
         import json as _json
@@ -230,11 +232,16 @@ class DiskBlockStore:
             return None
 
     def flush(self, timeout: float = 10.0):
-        """Wait for queued writes (tests / shutdown)."""
+        """Wait for queued writes to COMPLETE (tests / shutdown).
+
+        q.empty() turns true the moment the writer dequeues the last
+        block — before _write finishes — so completion is tracked with
+        task_done()/unfinished_tasks instead (ADVICE r3)."""
         deadline = time.time() + timeout
-        while not self._q.empty() and time.time() < deadline:
-            time.sleep(0.01)
-        time.sleep(0.05)
+        with self._q.all_tasks_done:
+            while self._q.unfinished_tasks and time.time() < deadline:
+                self._q.all_tasks_done.wait(
+                    max(0.0, min(0.1, deadline - time.time())))
 
     def stats(self) -> dict:
         files = os.listdir(self.path)
@@ -353,12 +360,14 @@ class ShardedDiskStore:
     def _write_loop(self):
         while True:
             block = self._q.get()
-            if block is None:
-                return
             try:
+                if block is None:
+                    return
                 self._write(block)
             except Exception:  # noqa: BLE001 - best-effort tier
                 pass
+            finally:
+                self._q.task_done()
 
     def _write(self, block: APCBlock):
         import json as _json
@@ -380,10 +389,18 @@ class ShardedDiskStore:
             slot = self._shard_fill.get(sid, 0)
             rec_bytes = self._meta["rec_bytes"]
             fpath = self._shard_file(sid)
-            with open(fpath, "ab") as fh:
+            with open(fpath, "r+b" if os.path.exists(fpath) else "wb") as fh:
                 fh.seek(0, 2)
-                if fh.tell() != slot * rec_bytes:  # hole: rebuild position
+                if fh.tell() != slot * rec_bytes:
+                    # crash left a torn (partial) record: truncate back to
+                    # the last aligned boundary so this and every later
+                    # record land at slot*rec_bytes — appending at the torn
+                    # offset would misalign ALL subsequent slots while the
+                    # index records aligned ones, silently corrupting every
+                    # read from this shard (ADVICE r3)
                     slot = fh.tell() // rec_bytes
+                    fh.truncate(slot * rec_bytes)
+                    fh.seek(slot * rec_bytes)
                 fh.write(k.tobytes())
                 fh.write(v.tobytes())
             self._shard_fill[sid] = slot + 1
@@ -422,6 +439,32 @@ class ShardedDiskStore:
                 self._index = {
                     h: e for h, e in self._index.items() if e[0] != s
                 }
+                self._index_dirty = True
+            if getattr(self, "_index_dirty", False):
+                self._compact_index()
+
+    def _compact_index(self):
+        """Rewrite index.jsonl with only live entries.
+
+        The index is append-only during writes; without compaction,
+        eviction churn grows it without bound and every restart skips the
+        stale lines one by one (ADVICE r3).  Called under _ilock."""
+        import json as _json
+
+        tmp = self._index_file() + ".tmp"
+        try:
+            with open(tmp, "w") as fh:
+                if self._meta is not None:
+                    fh.write(_json.dumps(self._meta) + "\n")
+                for h, (sid, slot, parent, tokens) in self._index.items():
+                    fh.write(_json.dumps({
+                        "h": h, "sid": sid, "slot": slot,
+                        "p": parent or "", "t": list(tokens),
+                    }) + "\n")
+            os.replace(tmp, self._index_file())
+            self._index_dirty = False
+        except OSError:
+            pass
 
     # -------------------------------------------------------------- read
     def _read_slots(self, sid: int, lo: int, hi: int) -> Optional[np.ndarray]:
@@ -492,10 +535,16 @@ class ShardedDiskStore:
 
     # ------------------------------------------------------------- misc
     def flush(self, timeout: float = 10.0):
+        """Wait for queued writes to COMPLETE (tests / shutdown).
+
+        q.empty() turns true the moment the writer dequeues the last
+        block — before _write finishes — so completion is tracked with
+        task_done()/unfinished_tasks instead (ADVICE r3)."""
         deadline = time.time() + timeout
-        while not self._q.empty() and time.time() < deadline:
-            time.sleep(0.01)
-        time.sleep(0.05)
+        with self._q.all_tasks_done:
+            while self._q.unfinished_tasks and time.time() < deadline:
+                self._q.all_tasks_done.wait(
+                    max(0.0, min(0.1, deadline - time.time())))
 
     def stats(self) -> dict:
         with self._ilock:

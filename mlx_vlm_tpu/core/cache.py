@@ -124,8 +124,8 @@ class KVCache:
         k_buf, v_buf = cxs
         k_buf, v_buf = update_layer_auto(k_buf, v_buf, k, v, self.offset)
         ring_out = maybe_ring_attend(
-            q, k, v, scale, window=window, logit_softcap=logit_softcap,
-            sinks=sinks,
+            q, k, v, scale, offset=self.offset, left_pad=self.left_pad,
+            window=window, logit_softcap=logit_softcap, sinks=sinks,
         )
         if ring_out is not None:
             return ring_out, (k_buf, v_buf)

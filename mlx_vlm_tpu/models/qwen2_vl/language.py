@@ -73,9 +73,9 @@ class LanguageModel:
                 and type(cache).__name__ == "KVCache"):
             # whole-stack fused int4 decode step (ops/fused_decode.py):
             # one Pallas call streams every weight byte of the step
-            from ...ops.fused_decode import fused_decode_step
+            from ...ops.fused_decode import fused_decode_step_auto
 
-            h_out, k_new, v_new = fused_decode_step(
+            h_out, k_new, v_new = fused_decode_step_auto(
                 params["fused_decode"], inputs_embeds, cos[0, 0], sin[0, 0],
                 cache.k, cache.v, cache.offset)
             h = rms_norm(mp["norm"], h_out.astype(inputs_embeds.dtype),

@@ -243,6 +243,20 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32
     dn_qp = dn_qp.reshape(Ld, nd, TKD, Cd)
     dn_sc = dn_sc.reshape(Ld, nd, TKD // g, 4, Cd)
 
+    # f16 scale planes (host builds only): scale/bias DMA is ~19% of the
+    # step's bytes as f32; when every plane value round-trips f16 EXACTLY
+    # (true for real HF int4 checkpoints, whose scales are stored f16),
+    # ship them as u16 f16-bits and decode in-kernel (_scales_f32) —
+    # halves that traffic with zero precision change.  f32-native scales
+    # (e.g. this repo's own quantizer) keep the f32 planes.
+    if (xp is _np and os.environ.get("MLX_VLM_TPU_PACK_SC16", "1")
+            not in ("0", "false")):
+        planes = (qkv_sc, o_sc, gu_sc, dn_sc)
+        if all(_np.array_equal(p.astype(_np.float16).astype(_np.float32), p)
+               for p in planes):
+            qkv_sc, o_sc, gu_sc, dn_sc = (
+                p.astype(_np.float16).view(_np.uint16) for p in planes)
+
     parts = []
     for w, t in ((wq, attn["q_proj"]), (wk, attn["k_proj"]),
                  (wv, attn["v_proj"])):
@@ -314,6 +328,9 @@ def _untile_cols(qp, sc):
 
 def _col_segments(qp, sc, widths, ns, g, out_dtype):
     """Split concatenated packed columns back into per-linear tensors."""
+    if sc.dtype == jnp.uint16:  # f16-bit planes -> exact f32
+        sc = jax.lax.bitcast_convert_type(sc, jnp.float16).astype(
+            jnp.float32)
     outs, c0 = [], 0
     for w, n in zip(widths, ns):
         planes = sc[:, :, c0:c0 + w]
@@ -360,6 +377,9 @@ def layer_params_from_pack(pack: FusedDecodePack, pl: dict) -> dict:
     ND, TKD, Cd = dqp.shape
     dqp = dqp.reshape(ND * TKD, Cd)
     dsc = pl["dn_sc"].reshape(ND * TKD // g, 4, Cd)
+    if dsc.dtype == jnp.uint16:
+        dsc = jax.lax.bitcast_convert_type(dsc, jnp.float16).astype(
+            jnp.float32)
     wd = Int4GroupedTensor(
         qp=dqp, sl=dsc[:, 0][:, None, :], sh=dsc[:, 1][:, None, :],
         bl=dsc[:, 2][:, None, :], bh=dsc[:, 3][:, None, :],
@@ -403,6 +423,8 @@ def stacked_params_from_pack(pack: FusedDecodePack) -> dict:
         # [L,NT,K,TN] -> [L,K,C];  [L,NT,G,4,TN] -> [L,G,4,C]
         qp = np.asarray(qp)
         sc = np.asarray(sc)
+        if sc.dtype == np.uint16:  # f16-bit planes -> exact f32
+            sc = sc.view(np.float16).astype(np.float32)
         Lx, NT, K, TN = qp.shape
         qp = qp.transpose(0, 2, 1, 3).reshape(Lx, K, NT * TN)
         G = sc.shape[2]
@@ -446,7 +468,10 @@ def stacked_params_from_pack(pack: FusedDecodePack) -> dict:
 
     dqp = np.asarray(pack.dn_qp)  # [L, ND, TKD, Cd]
     _, ND, TKD, Cd = dqp.shape
-    dsc = np.asarray(pack.dn_sc).reshape(L, ND * TKD // g, 4, Cd)
+    dsc = np.asarray(pack.dn_sc)
+    if dsc.dtype == np.uint16:
+        dsc = dsc.view(np.float16).astype(np.float32)
+    dsc = dsc.reshape(L, ND * TKD // g, 4, Cd)
     wd = Int4GroupedTensor(
         qp=dqp.reshape(L, ND * TKD, Cd),
         sl=np.ascontiguousarray(dsc[:, :, 0][:, :, None, :]),
@@ -498,6 +523,24 @@ _ABLATE = set(filter(None, os.environ.get(
     "FUSED_DECODE_ABLATE", "").split(",")))
 
 
+def _scales_f32(sc):
+    """Exact f16-bits (u16) -> f32 scale-plane decode; f32 passes through.
+
+    Handles normals, zeros, and subnormals (tiny f16 biases); inf/nan do
+    not occur in quantization scales."""
+    if sc.dtype != jnp.uint16:
+        return sc.astype(jnp.float32) if sc.dtype != jnp.float32 else sc
+    u = sc.astype(jnp.int32)
+    sign = (u & 0x8000) << 16
+    exp = (u >> 10) & 0x1F
+    mant = u & 0x3FF
+    normal = jax.lax.bitcast_convert_type(
+        sign | ((exp + 112) << 23) | (mant << 13), jnp.float32)
+    sub = mant.astype(jnp.float32) * jnp.float32(5.9604645e-08)
+    sub = jnp.where(sign != 0, -sub, sub)
+    return jnp.where(exp == 0, sub, normal)
+
+
 def _mv2(x, qp, sc, g):
     """x [8, TK] f32 @ dequant(tile) -> (ylo, yhi) [8, TN] f32.
 
@@ -507,6 +550,7 @@ def _mv2(x, qp, sc, g):
     the streaming DMA)."""
     TK, TN = qp.shape
     gt = TK // g
+    sc = _scales_f32(sc)
     if "nodeq" in _ABLATE:
         z = (qp[0:8, :].astype(jnp.int32).astype(jnp.float32) * 1e-9
              + sc[0, 0:1, :] * 1e-9 + x[:, 0:1] * 0.0)
@@ -541,6 +585,396 @@ def _mv2(x, qp, sc, g):
             yhi = yhi + jax.lax.dot_general(
                 xc, w_hi, dims, preferred_element_type=jnp.float32)
     return ylo, yhi
+
+
+def make_manual_kernel(plan):
+    """v3 kernel body: gridless manual-DMA pipeline (2026-08, this chip).
+
+    Why not the pipelined grid (make_kernel below): measured on the axon
+    v5e, the grid runs DMA and compute SERIALIZED — 8.2 ms/step where the
+    pure-DMA floor is 5.0 ms (tools/probe_fused.py ablations add exactly
+    linearly).  A gridless kernel with explicit make_async_copy
+    double-buffering (tools/probe_manualdma.py) overlaps the same dequant
+    +dot math to within ~15% of the DMA floor.  Per-grid-step machinery
+    (6 pl.when branch groups + 6 where-based index maps x 2436 steps) is
+    the exposed cost; one fori_loop over layers with 4 statically-peeled
+    kind phases replaces it.
+
+    Tile order per layer: qkv[NQ] -> attention -> o[NO] -> +residual,
+    norm2 -> gu[NGU] -> swiglu -> dn[ND] (K-accumulate) -> +residual.
+    Each kind's tile j+1 DMA starts before tile j's wait; the LAST tile
+    of a kind starts the NEXT kind's tile 0 (cross-kind lookahead), and
+    dn's last tile starts layer l+1's qkv tile 0."""
+    p = plan
+    D, I, g = p.dim, p.inter, p.group_size
+    nh, nkv, hd = p.n_heads, p.n_kv, p.head_dim
+    gq = nh // nkv
+    n_q, n_k = nh * hd, nkv * hd
+    L = p.n_layers
+    C = p.capacity
+    mv = _mv2z if os.environ.get("MLX_VLM_TPU_FUSED_MV", "deq") == "z2" \
+        else _mv2
+
+    def kernel(off_ref, h_in_ref, cossin_ref, qkv_b_ref, norms_ref,
+               qkv_qp, qkv_sc, o_qp, o_sc, gu_qp, gu_sc, dn_qp, dn_sc,
+               k_hist, v_hist,
+               h_out_ref, k_new_ref, v_new_ref,
+               sc_h, sc_xn, sc_attn, sc_y, sc_act3, sc_flo, sc_fhi,
+               sc_qh, sc_kvh, sc_oh,
+               b_qkv_qp, b_qkv_sc, b_o_qp, b_o_sc, b_gu_qp, b_gu_sc,
+               b_dn_qp, b_dn_sc, b_k, b_v,
+               sem_qkv, sem_o, sem_gu, sem_dn, sem_kv):
+
+        def mk_stream(hbm_qp, hbm_sc, bq, bs, sem):
+            def start(slot, l, j):
+                pltpu.make_async_copy(
+                    hbm_qp.at[l, j], bq.at[slot], sem.at[slot, 0]).start()
+                pltpu.make_async_copy(
+                    hbm_sc.at[l, j], bs.at[slot], sem.at[slot, 1]).start()
+
+            def wait(slot, l, j):
+                pltpu.make_async_copy(
+                    hbm_qp.at[l, j], bq.at[slot], sem.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    hbm_sc.at[l, j], bs.at[slot], sem.at[slot, 1]).wait()
+
+            return start, wait
+
+        qkv_start, qkv_wait = mk_stream(
+            qkv_qp, qkv_sc, b_qkv_qp, b_qkv_sc, sem_qkv)
+        o_start, o_wait = mk_stream(o_qp, o_sc, b_o_qp, b_o_sc, sem_o)
+        gu_start, gu_wait = mk_stream(gu_qp, gu_sc, b_gu_qp, b_gu_sc, sem_gu)
+        dn_start, dn_wait = mk_stream(dn_qp, dn_sc, b_dn_qp, b_dn_sc, sem_dn)
+
+        def kv_start(slot, l):
+            pltpu.make_async_copy(
+                k_hist.at[l], b_k.at[slot], sem_kv.at[slot, 0]).start()
+            pltpu.make_async_copy(
+                v_hist.at[l], b_v.at[slot], sem_kv.at[slot, 1]).start()
+
+        def kv_wait(slot, l):
+            pltpu.make_async_copy(
+                k_hist.at[l], b_k.at[slot], sem_kv.at[slot, 0]).wait()
+            pltpu.make_async_copy(
+                v_hist.at[l], b_v.at[slot], sem_kv.at[slot, 1]).wait()
+
+        NSLOT = 3
+
+        def phase(start, wait, N, l, compute, nexts):
+            """N streamed tiles; lookahead-2 over NSLOT revolving buffers.
+
+            `nexts`: thunks that start the FIRST tiles of the next kind
+            (fired from the last iterations so cross-kind DMA stays deep).
+            Tiles 0..len(nexts)-1 of this kind were started the same way
+            by the previous kind (or the prologue)."""
+            if N > 2:
+                def body(j, carry):
+                    start(jax.lax.rem(j + 2, NSLOT), l, j + 2)
+                    wait(jax.lax.rem(j, NSLOT), l, j)
+                    compute(j, jax.lax.rem(j, NSLOT))
+                    return carry
+                jax.lax.fori_loop(0, N - 2, body, 0, unroll=False)
+            fired = 0
+            for j in range(max(0, N - 2), N):
+                if fired < len(nexts):
+                    nexts[fired]()
+                    fired += 1
+                wait(j % NSLOT, l, j)
+                compute(j, j % NSLOT)
+            while fired < len(nexts):
+                nexts[fired]()
+                fired += 1
+
+        # -------------------------------------------------- prologue
+        sc_h[:] = h_in_ref[:].astype(jnp.float32)
+        qkv_start(0, 0, 0)
+        if p.NQ > 1:
+            qkv_start(1, 0, 1)
+        kv_start(0, 0)
+
+        def layer(l, carry):
+            ln = norms_ref[pl.ds(l, 1)][0]          # [2, D]
+            xf = sc_h[:]
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            sc_xn[:] = xf * jax.lax.rsqrt(var + p.eps) * ln[0:1, :]
+
+            # ---- qkv tiles
+            def qkv_compute(j, slot):
+                ylo, yhi = mv(sc_xn[:], b_qkv_qp[slot], b_qkv_sc[slot], g)
+                sc_y[pl.ds(j, 1), :, : p.TNQ] = ylo[None]
+                sc_y[pl.ds(j, 1), :, p.TNQ: 2 * p.TNQ] = yhi[None]
+
+            o_nexts = [lambda: o_start(0, l, 0)]
+            if p.NO > 1:
+                o_nexts.append(lambda: o_start(1, l, 1))
+            phase(qkv_start, qkv_wait, p.NQ, l, qkv_compute, o_nexts)
+
+            # ---- attention
+            for j in range(p.NQ):  # flatten tile outputs (row 0 only)
+                sc_flo[0:1, j * p.TNQ:(j + 1) * p.TNQ] = sc_y[j, 0:1, :p.TNQ]
+                sc_fhi[0:1, j * p.TNQ:(j + 1) * p.TNQ] = \
+                    sc_y[j, 0:1, p.TNQ: 2 * p.TNQ]
+            lb = qkv_b_ref[pl.ds(l, 1)][0]          # [2, Cq]
+            lo = sc_flo[0:1, : p.nq2 + p.nk2 + p.nv2] + lb[0:1, :]
+            hi = sc_fhi[0:1, : p.nq2 + p.nk2 + p.nv2] + lb[1:2, :]
+            cos = cossin_ref[0:1, :]
+            sin = cossin_ref[1:2, :]
+            q = _halves(lo[:, : p.nq2], hi[:, : p.nq2], n_q).reshape(nh, hd)
+            sc_qh[0:nh, :] = _rope_rows(q, cos, sin) * (hd ** -0.5)
+            ks = p.nq2
+            k = _halves(lo[:, ks: ks + p.nk2],
+                        hi[:, ks: ks + p.nk2], n_k).reshape(nkv, hd)
+            k = _rope_rows(k, cos, sin)
+            sc_kvh[0:nkv, :] = k
+            k_new_ref[pl.ds(l, 1), 0:nkv, :] = k[None]
+            vs = p.nq2 + p.nk2
+            v = _halves(lo[:, vs: vs + p.nv2],
+                        hi[:, vs: vs + p.nv2], n_k).reshape(nkv, hd)
+            sc_kvh[p.nkv8: p.nkv8 + nkv, :] = v
+            v_new_ref[pl.ds(l, 1), 0:nkv, :] = v[None]
+
+            kvslot = jax.lax.rem(l, 2)
+            kv_wait(kvslot, l)
+            kv_start(jax.lax.rem(l + 1, 2), jnp.minimum(l + 1, L - 1))
+            off = off_ref[0]
+            for a in range(nkv if "noattn" not in _ABLATE else 0):
+                qg = sc_qh[a * gq:(a + 1) * gq, :]       # [gq, hd]
+                kf = b_k[kvslot, a].astype(jnp.bfloat16)  # [C, hd]
+                vf = b_v[kvslot, a].astype(jnp.bfloat16)
+                dims = (((1,), (1,)), ((), ()))
+                s_hist = jax.lax.dot_general(
+                    qg.astype(jnp.bfloat16), kf, dims,
+                    preferred_element_type=jnp.float32)
+                ids = jax.lax.broadcasted_iota(jnp.int32, (gq, C), 1)
+                s_hist = jnp.where(ids < off, s_hist, -jnp.inf)
+                kc = sc_kvh[a, :][None, :]               # [1, hd]
+                vc = sc_kvh[p.nkv8 + a, :][None, :]
+                s_cur = jnp.sum(qg * kc, axis=-1, keepdims=True)  # [gq, 1]
+                m = jnp.maximum(
+                    jnp.max(s_hist, axis=-1, keepdims=True), s_cur)
+                ph_ = jnp.exp(s_hist - m)
+                pc = jnp.exp(s_cur - m)
+                denom = jnp.sum(ph_, axis=-1, keepdims=True) + pc
+                out = jax.lax.dot_general(
+                    ph_.astype(jnp.bfloat16), vf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out = (out + pc * vc) / denom            # [gq, hd]
+                sc_oh[a * gq:(a + 1) * gq, :] = out
+
+            sc_attn[:] = jnp.zeros_like(sc_attn)
+            sc_attn[0:1, :n_q] = sc_oh[0:nh, :].reshape(1, n_q)
+
+            # ---- o tiles
+            def o_compute(j, slot):
+                ylo, yhi = mv(sc_attn[:], b_o_qp[slot], b_o_sc[slot], g)
+                sc_y[pl.ds(j, 1), :, : p.TNO] = ylo[None]
+                sc_y[pl.ds(j, 1), :, p.TNO: 2 * p.TNO] = yhi[None]
+
+            gu_nexts = [lambda: gu_start(0, l, 0)]
+            if p.NGU > 1:
+                gu_nexts.append(lambda: gu_start(1, l, 1))
+            phase(o_start, o_wait, p.NO, l, o_compute, gu_nexts)
+
+            for j in range(p.NO):
+                sc_flo[:, j * p.TNO:(j + 1) * p.TNO] = sc_y[j, :, :p.TNO]
+                sc_fhi[:, j * p.TNO:(j + 1) * p.TNO] = \
+                    sc_y[j, :, p.TNO: 2 * p.TNO]
+            sc_h[:] += _halves(sc_flo[:, : p.no2], sc_fhi[:, : p.no2], D)
+            xf2 = sc_h[:]
+            var2 = jnp.mean(xf2 * xf2, axis=-1, keepdims=True)
+            sc_xn[:] = xf2 * jax.lax.rsqrt(var2 + p.eps) * ln[1:2, :]
+
+            # ---- gate|up tiles
+            def gu_compute(j, slot):
+                ylo, yhi = mv(sc_xn[:], b_gu_qp[slot], b_gu_sc[slot], g)
+                sc_y[pl.ds(j, 1), :, : p.TNG] = ylo[None]
+                sc_y[pl.ds(j, 1), :, p.TNG: 2 * p.TNG] = yhi[None]
+
+            dn_nexts = [lambda: dn_start(0, l, 0)]
+            if p.ND > 1:
+                dn_nexts.append(lambda: dn_start(1, l, 1))
+            phase(gu_start, gu_wait, p.NGU, l, gu_compute, dn_nexts)
+
+            # ---- swiglu
+            for j in range(p.NGU):
+                jl = j * p.TNG
+                sc_flo[:, jl: jl + p.TNG] = sc_y[j, :, : p.TNG]
+                sc_fhi[:, jl: jl + p.TNG] = sc_y[j, :, p.TNG: 2 * p.TNG]
+            glo = sc_flo[:, : 2 * p.ng2]
+            ghi = sc_fhi[:, : 2 * p.ng2]
+            gate = _halves(glo[:, : p.ng2], ghi[:, : p.ng2], I)
+            up = _halves(glo[:, p.ng2:], ghi[:, p.ng2:], I)
+            act = gate * jax.nn.sigmoid(gate) * up       # [8, I]
+            for j in range(p.ND):
+                sc_act3[j] = act[:, j * p.TKD:(j + 1) * p.TKD]
+            sc_flo[:] = jnp.zeros_like(sc_flo)
+            sc_fhi[:] = jnp.zeros_like(sc_fhi)
+
+            # ---- down K-tiles (accumulate)
+            def dn_compute(j, slot):
+                x = sc_act3[pl.ds(j, 1)][0]              # [8, TKD]
+                ylo, yhi = mv(x, b_dn_qp[slot], b_dn_sc[slot], g)
+                sc_flo[:, : p.nd2] += ylo
+                sc_fhi[:, : p.nd2] += yhi
+
+            lnx = jnp.minimum(l + 1, L - 1)
+            nl_nexts = [lambda: qkv_start(0, lnx, 0)]
+            if p.NQ > 1:
+                nl_nexts.append(lambda: qkv_start(1, lnx, 1))
+            phase(dn_start, dn_wait, p.ND, l, dn_compute, nl_nexts)
+
+            sc_h[:] += _halves(sc_flo[:, : p.nd2], sc_fhi[:, : p.nd2], D)
+            return carry
+
+        jax.lax.fori_loop(0, L, layer, 0, unroll=False)
+        h_out_ref[:] = sc_h[:]
+        # drain the one speculative prefetch issued past the end (layer
+        # L-1's dn peel started qkv tile 0 of clamped layer L-1, and its
+        # attention started a kv fetch) so no DMA outlives the kernel
+        qkv_wait(0, L - 1, 0)
+        if p.NQ > 1:
+            qkv_wait(1, L - 1, 1)
+        kv_wait(jax.lax.rem(L, 2), L - 1)
+
+    return kernel
+
+
+def fused_decode_step_manual(pack: FusedDecodePack, h: jax.Array,
+                             cos: jax.Array, sin: jax.Array,
+                             k_cache: jax.Array, v_cache: jax.Array,
+                             offset: jax.Array,
+                             interpret: Optional[bool] = None):
+    """One whole-stack decode step via the manual-DMA v3 kernel.
+
+    Same contract as fused_decode_step (h [1,1,D] -> pre-final-norm
+    h_out [1,1,D] f32 + per-layer k/v rows)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L, _, Hkv, C, hd = k_cache.shape
+    p = _make_plan(pack, C)
+    D = p.dim
+
+    cs = jnp.concatenate([cos.reshape(1, -1), sin.reshape(1, -1)], axis=0)
+    cs = jnp.concatenate([cs, cs], axis=-1).astype(jnp.float32)  # [2, hd]
+    h8 = jnp.zeros((M_ROWS, D), jnp.float32).at[0].set(
+        h.reshape(-1, D)[0].astype(jnp.float32))
+
+    kernel = make_manual_kernel(p)
+    nkv8 = p.nkv8
+    out_shapes = [
+        jax.ShapeDtypeStruct((M_ROWS, D), jnp.float32),
+        jax.ShapeDtypeStruct((L, nkv8, hd), jnp.float32),
+        jax.ShapeDtypeStruct((L, nkv8, hd), jnp.float32),
+    ]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)  # noqa: pl.ANY alias differs across jax versions
+    G = D // p.group_size
+    gtd = p.TKD // p.group_size
+    TNmax = max(p.TNQ, p.TNO, p.TNG)
+    NTmax = max(p.NQ, p.NO, p.NGU)
+    fmax = max(p.no2, p.nd2, 2 * p.ng2,
+               p.NQ * p.TNQ, p.NO * p.TNO, p.NGU * p.TNG)
+    Cd = pack.dn_qp.shape[-1]
+    scratch = [
+        pltpu.VMEM((M_ROWS, D), jnp.float32),             # sc_h
+        pltpu.VMEM((M_ROWS, D), jnp.float32),             # sc_xn
+        pltpu.VMEM((M_ROWS, D), jnp.float32),             # sc_attn
+        pltpu.VMEM((NTmax, M_ROWS, 2 * TNmax), jnp.float32),  # sc_y
+        pltpu.VMEM((p.ND, M_ROWS, p.TKD), jnp.float32),   # sc_act3
+        pltpu.VMEM((M_ROWS, fmax), jnp.float32),          # sc_flo
+        pltpu.VMEM((M_ROWS, fmax), jnp.float32),          # sc_fhi
+        pltpu.VMEM((p.nh8, hd), jnp.float32),             # sc_qh
+        pltpu.VMEM((2 * p.nkv8, hd), jnp.float32),        # sc_kvh
+        pltpu.VMEM((p.nh8, hd), jnp.float32),             # sc_oh
+        pltpu.VMEM((3, D, p.TNQ), jnp.uint8),             # b_qkv_qp
+        pltpu.VMEM((3, G, 4, p.TNQ), pack.qkv_sc.dtype),  # b_qkv_sc
+        pltpu.VMEM((3, D, p.TNO), jnp.uint8),             # b_o_qp
+        pltpu.VMEM((3, G, 4, p.TNO), pack.o_sc.dtype),    # b_o_sc
+        pltpu.VMEM((3, D, p.TNG), jnp.uint8),             # b_gu_qp
+        pltpu.VMEM((3, G, 4, p.TNG), pack.gu_sc.dtype),   # b_gu_sc
+        pltpu.VMEM((3, p.TKD, Cd), jnp.uint8),            # b_dn_qp
+        pltpu.VMEM((3, gtd, 4, Cd), pack.dn_sc.dtype),    # b_dn_sc
+        pltpu.VMEM((2, Hkv, C, hd), k_cache.dtype),       # b_k
+        pltpu.VMEM((2, Hkv, C, hd), v_cache.dtype),       # b_v
+        pltpu.SemaphoreType.DMA((3, 2)),                  # sem_qkv
+        pltpu.SemaphoreType.DMA((3, 2)),                  # sem_o
+        pltpu.SemaphoreType.DMA((3, 2)),                  # sem_gu
+        pltpu.SemaphoreType.DMA((3, 2)),                  # sem_dn
+        pltpu.SemaphoreType.DMA((2, 2)),                  # sem_kv
+    ]
+
+    h_out, k_new, v_new = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # offset
+            vmem,                                   # h_in
+            vmem,                                   # cos/sin
+            vmem,                                   # qkv bias [L, 2, Cq]
+            vmem,                                   # norms [L, 2, D]
+            hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm,  # weight streams
+            hbm, hbm,                               # kv history
+        ],
+        out_specs=[vmem, vmem, vmem],
+        scratch_shapes=scratch,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.atleast_1d(offset).astype(jnp.int32),
+        h8, cs, pack.qkv_bias, pack.norms,
+        pack.qkv_qp, pack.qkv_sc, pack.o_qp, pack.o_sc,
+        pack.gu_qp, pack.gu_sc, pack.dn_qp, pack.dn_sc,
+        k_cache[:, 0], v_cache[:, 0],
+    )
+    return h_out[0:1, None, :], k_new, v_new
+
+
+def _mv2z(x, qp, sc, g):
+    """x [8, TK] f32 @ dequant(tile) -> (ylo, yhi) [8, TN] f32 — the
+    MXU-heavy z2 formulation (v3 kernel default).
+
+    Identical math to _mv2 at higher effective precision: instead of
+    materializing bf16-rounded dequantized weights, dot the RAW BYTES
+    (0..255 — exact in bf16's 8 significand bits) and the hi nibble per
+    group, then apply scales to the f32 group partial sums:
+        z2_j = x_j @ bytes_j          (= lo + 16*hi)
+        zh_j = x_j @ hi_j
+        ylo += (z2_j - 16 zh_j) * s_l[j] + sigma_j * b_l[j]
+        yhi += zh_j * s_h[j] + sigma_j * b_h[j]
+    VPU cost: widen + cvt + shr + cvt (4 passes) vs _mv2's ~9 (unpack,
+    2x f32 FMA, 2x bf16 cast) — measured 1.1 us vs 4.6 us per [3584,512]
+    tile on this chip (tools/probe_manualdma.py co_z2grp / co_deq), which
+    is the difference between compute-bound and DMA-bound decode."""
+    TK, TN = qp.shape
+    gt = TK // g
+    sc = _scales_f32(sc)
+    xb = x.astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    qi = qp.astype(jnp.int32)
+    q2 = qi.astype(jnp.bfloat16)          # lo + 16*hi, exact
+    hi = (qi >> 4).astype(jnp.bfloat16)
+    ylo = jnp.zeros((x.shape[0], TN), jnp.float32)
+    yhi = jnp.zeros((x.shape[0], TN), jnp.float32)
+    ylo2 = jnp.zeros((x.shape[0], TN), jnp.float32)
+    yhi2 = jnp.zeros((x.shape[0], TN), jnp.float32)
+    for j in range(gt):
+        sl_ = slice(j * g, (j + 1) * g)
+        xgj = xb[:, sl_]
+        z2 = jax.lax.dot_general(xgj, q2[sl_], dims,
+                                 preferred_element_type=jnp.float32)
+        zh = jax.lax.dot_general(xgj, hi[sl_], dims,
+                                 preferred_element_type=jnp.float32)
+        sj = jnp.sum(x[:, sl_], axis=1, keepdims=True)  # [8, 1] f32
+        zl = z2 - 16.0 * zh
+        if j % 2 == 0:
+            ylo = ylo + zl * sc[j, 0:1] + sj * sc[j, 2:3]
+            yhi = yhi + zh * sc[j, 1:2] + sj * sc[j, 3:4]
+        else:
+            ylo2 = ylo2 + zl * sc[j, 0:1] + sj * sc[j, 2:3]
+            yhi2 = yhi2 + zh * sc[j, 1:2] + sj * sc[j, 3:4]
+    return ylo + ylo2, yhi + yhi2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -888,3 +1322,19 @@ def fused_decode_step(pack: FusedDecodePack, h: jax.Array,
         k_cache[:, 0], v_cache[:, 0],
     )
     return h_out[0:1, None, :], k_new, v_new
+
+
+def fused_decode_step_auto(pack: FusedDecodePack, h: jax.Array,
+                           cos: jax.Array, sin: jax.Array,
+                           k_cache: jax.Array, v_cache: jax.Array,
+                           offset: jax.Array):
+    """Route to the v3 manual-DMA kernel on real TPU (the pipelined grid
+    serializes DMA against compute there — see make_manual_kernel); the
+    grid version remains the interpret/CPU path and the
+    MLX_VLM_TPU_FUSED_V3=0 fallback."""
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("MLX_VLM_TPU_FUSED_V3", "1")
+            not in ("0", "false")):
+        return fused_decode_step_manual(
+            pack, h, cos, sin, k_cache, v_cache, offset)
+    return fused_decode_step(pack, h, cos, sin, k_cache, v_cache, offset)

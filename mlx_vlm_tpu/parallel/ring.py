@@ -11,10 +11,12 @@ O(S/P) per device.
 Wiring contract (kept deliberately explicit — opt-in, not covert):
 
 - `sequence_parallel(mesh)` is a context manager.  While active,
-  `KVCache.attend` routes *pure self-attention prefill chunks*
-  (q_len == kv_len, no window/softcap/sinks, causal) through the ring
-  kernel instead of XLA SDPA.  Everything else (decode steps, chunked
-  continuation, exotic masks) falls through to the normal path.
+  `KVCache.attend` routes *whole-prompt self-attention* (q_len == kv_len,
+  cache offset PROVABLY zero at trace time, no left-pad/window/softcap/
+  sinks) through the ring kernel instead of XLA SDPA.  Everything else —
+  decode steps, jitted chunked-prefill continuations (whose offset is a
+  tracer, hence unprovable), left-padded batches, exotic masks — falls
+  through to the normal exact path.
 - `ring_prefill(model, embeds, cache, position_ids, mesh)` is the
   one-call entry: whole-prompt forward under the context, returning
   (logits, cache) exactly like `model(...)`.
@@ -60,16 +62,43 @@ def sequence_parallel(mesh: Mesh, seq_axis: str = "data",
         _STATE = prev
 
 
-def maybe_ring_attend(q, k, v, scale, *, window=None, logit_softcap=None,
-                      sinks=None):
+def _known_zero(x) -> bool:
+    """True iff `x` is a trace-time-KNOWN all-zero value.
+
+    Traced values (e.g. the cache offset inside generate_step's jitted
+    chunked prefill) are NOT known — they concretize with an error, which
+    we treat as 'unknown' so the caller falls through to the exact path."""
+    if x is None:
+        return False
+    try:
+        import numpy as _np
+
+        return bool(_np.all(_np.asarray(x) == 0))
+    except Exception:  # Tracer concretization — value unknown at trace time
+        return False
+
+
+def maybe_ring_attend(q, k, v, scale, *, offset=None, left_pad=None,
+                      window=None, logit_softcap=None, sinks=None):
     """Called from `KVCache.attend` at trace time.  Returns the ring
     attention output for this chunk, or None to use the normal path.
 
     `k`/`v` are the chunk's NEW keys/values (pre cache write), so
-    q_len == kv_len identifies a pure self-attention prefill chunk."""
+    q_len == kv_len identifies a self-attention prefill chunk — but that
+    shape check alone CANNOT distinguish a whole prompt from a chunked-
+    prefill continuation (q_len == kv_len with cache offset > 0), whose
+    cached context the ring kernel would silently drop.  Routing therefore
+    additionally requires `offset` to be a trace-time-KNOWN zero and
+    `left_pad` a known all-zero (the ring kernel assumes a pure causal
+    mask from position 0) — `ring_prefill` passes both as concrete
+    constants; jitted chunked prefill passes tracers and falls through."""
     if _STATE is None:
         return None
     if window is not None or logit_softcap is not None or sinks is not None:
+        return None
+    if not _known_zero(offset):
+        return None
+    if left_pad is not None and not _known_zero(left_pad):
         return None
     fn, n_dev, _, min_tokens = _STATE
     S = q.shape[2]
@@ -91,9 +120,24 @@ def ring_prefill(model, embeds, cache, position_ids, mesh: Mesh,
     where the compile is amortized by the prefill itself), and returns
     (logits, cache) like `model(params, embeds, cache, position_ids)`.
     """
+    import dataclasses
+
+    import numpy as np
+
     spec = NamedSharding(mesh, P(None, seq_axis, None))
     embeds = jax.device_put(embeds, spec)
+    B = embeds.shape[0]
+    lp0 = np.zeros((B,), np.int32)
     with sequence_parallel(mesh, seq_axis, min_tokens=min_tokens):
-        fwd = jax.jit(model.__call__)
-        logits, cache = fwd(model.params, embeds, cache, position_ids)
+        # offset/left_pad enter the trace as CONCRETE zeros (constants, not
+        # jit arguments): maybe_ring_attend routes only when it can PROVE
+        # the chunk is a whole prompt (see its docstring)
+        @jax.jit
+        def fwd(params, embeds, k, v):
+            c = dataclasses.replace(
+                cache, k=k, v=v, offset=jnp.asarray(0, jnp.int32),
+                left_pad=jnp.asarray(lp0))
+            return model(params, embeds, c, position_ids)
+
+        logits, cache = fwd(model.params, embeds, cache.k, cache.v)
     return logits, cache

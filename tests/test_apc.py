@@ -416,6 +416,62 @@ class TestShardedDiskStore:
         assert apc2.stats.rejects.get("low_ram", 0) == 1
 
 
+    def test_torn_record_truncated_on_next_write(self, model, tmp_path):
+        """ADVICE r3 (medium): a crash-torn partial record must not shift
+        every subsequent record off its indexed slot — the writer truncates
+        back to the last aligned boundary before appending."""
+        from mlx_vlm_tpu.apc import ShardedDiskStore
+
+        tokens = list(range(8))
+        cache = self._cache(model, 3.5, 32)
+        disk = ShardedDiskStore(str(tmp_path / "s4"), max_bytes=10**9)
+        apc = APCManager(num_blocks=64, block_size=4, disk_store=disk)
+        apc.commit(tokens, cache)
+        disk.flush()
+        import os
+
+        rec = disk._meta["rec_bytes"]
+        shard = disk._shard_file(0)
+        # simulate a torn write: append half a record of garbage
+        with open(shard, "ab") as fh:
+            fh.write(b"\x7f" * (rec // 2))
+
+        # next commit must land on an aligned slot and stay readable
+        tokens2 = list(range(100, 108))
+        cache2 = self._cache(model, 1.25, 32)
+        apc.commit(tokens2, cache2)
+        disk.flush()
+        assert os.path.getsize(shard) % rec == 0
+        apc2 = APCManager(
+            num_blocks=64, block_size=4,
+            disk_store=ShardedDiskStore(str(tmp_path / "s4"),
+                                        max_bytes=10**9))
+        prefix, blocks = apc2.lookup(tokens2)
+        assert prefix == 8
+        assert np.asarray(blocks[0].k).max() == 1.25
+        apc2.release(blocks)
+
+    def test_index_compacts_after_eviction(self, model, tmp_path):
+        """ADVICE r3 (low): shard eviction rewrites index.jsonl so stale
+        lines don't accumulate forever."""
+        from mlx_vlm_tpu.apc import ShardedDiskStore
+
+        cache = self._cache(model, 1.0, 64)
+        one = 2 * 2 * 4 * 16 * 4 * 2
+        disk = ShardedDiskStore(
+            str(tmp_path / "s5"), max_bytes=int(one * 4),
+            blocks_per_shard=2)
+        apc = APCManager(num_blocks=256, block_size=4, disk_store=disk)
+        apc.commit(list(range(64)), cache)
+        disk.flush()
+        with disk._ilock:
+            live = len(disk._index)
+        with open(disk._index_file()) as fh:
+            lines = [ln for ln in fh if ln.strip()]
+        # compacted: one meta line + exactly the live entries
+        assert len(lines) == live + 1
+
+
 class TestTextOnlySuffixRule:
     def test_suffix_media_rejected_when_enabled(self, model):
         import dataclasses

@@ -14,7 +14,7 @@ from mlx_vlm_tpu.utils.loader import load_model_from_weights
 from mlx_vlm_tpu.utils.testing import tiny_qwen2_vl_config, qwen2_vl_hf_weights
 
 
-def _tiny_int4_model(seed=0, fused=True):
+def _tiny_int4_model(seed=0, fused=True, f16_scales=False):
     cfg = tiny_qwen2_vl_config()
     # kernel-legal dims: K and I multiples of group 64
     cfg["hidden_size"] = 128
@@ -30,8 +30,16 @@ def _tiny_int4_model(seed=0, fused=True):
         if (k.startswith("model.layers.") and k.endswith(".weight")
                 and "layernorm" not in k and weights[k].ndim == 2):
             w = rng.standard_normal(weights[k].shape).astype(np.float32) * 0.1
-            weights[k] = to_int4_grouped(
-                quantize(jnp.asarray(w), bits=4, group_size=64))
+            t = to_int4_grouped(quantize(jnp.asarray(w), bits=4,
+                                         group_size=64))
+            if f16_scales:
+                # real HF int4 checkpoints store scales as f16: round the
+                # planes so the pack takes the compact u16 path
+                import dataclasses as _dc
+                t = _dc.replace(t, **{
+                    f: np.asarray(getattr(t, f)).astype(np.float16).astype(
+                        np.float32) for f in ("sl", "sh", "bl", "bh")})
+            weights[k] = t
     import os
 
     if fused:
@@ -200,3 +208,83 @@ def test_pack_only_load_shards_and_trains():
     assert "layers" in lp2["model"]
     toks, _ = _decode_tokens(model2, steps=2)
     assert len(toks) == 2
+
+
+def _manual_grid_pair(mv):
+    """(manual, grid) step outputs on the same pack/inputs."""
+    import os
+
+    from mlx_vlm_tpu.ops.fused_decode import (
+        fused_decode_step, fused_decode_step_manual)
+
+    model, cfg = _tiny_int4_model(seed=9)
+    pack = model.params["language_model"]["fused_decode"]
+    L, Hkv, hd, C = pack.n_layers, pack.n_kv, pack.head_dim, 32
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.standard_normal((1, 1, pack.dim)) * 0.3, jnp.float32)
+    cos = jnp.asarray(
+        rng.standard_normal((hd // 2,)) * 0.1 + 1.0, jnp.float32)
+    sin = jnp.asarray(rng.standard_normal((hd // 2,)) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((L, 1, Hkv, C, hd)) * 0.2,
+                    jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, 1, Hkv, C, hd)) * 0.2,
+                    jnp.float32)
+    off = jnp.asarray(5, jnp.int32)
+    hg, kg, vg = fused_decode_step(pack, h, cos, sin, k, v, off,
+                                   interpret=True)
+    os.environ["MLX_VLM_TPU_FUSED_MV"] = mv
+    try:
+        hm, km, vm = fused_decode_step_manual(pack, h, cos, sin, k, v, off,
+                                              interpret=True)
+    finally:
+        del os.environ["MLX_VLM_TPU_FUSED_MV"]
+    return (hm, km[:, :Hkv], vm[:, :Hkv]), (hg, kg[:, :Hkv], vg[:, :Hkv])
+
+
+def test_manual_kernel_matches_grid_exact():
+    """v3 manual-DMA machinery == pipelined grid at IDENTICAL math (deq):
+    any mismatch here is a streaming/synchronization bug, not rounding."""
+    (hm, km, vm), (hg, kg, vg) = _manual_grid_pair("deq")
+    np.testing.assert_allclose(np.asarray(hm), np.asarray(hg), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(km), np.asarray(kg), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(vg), atol=1e-5)
+
+
+def test_manual_kernel_z2_close_to_grid():
+    """The z2 MXU formulation (_mv2z, the TPU default) differs from the
+    dequant-FMA grid only by bf16 rounding order (both within bf16 noise
+    of the exact f64 result — see _mv2z docstring)."""
+    (hm, km, vm), (hg, kg, vg) = _manual_grid_pair("z2")
+    hm, hg = np.asarray(hm), np.asarray(hg)
+    np.testing.assert_allclose(hm, hg, atol=0.25, rtol=0.05)
+    assert np.argmax(hm[0, 0]) == np.argmax(hg[0, 0])
+    # later layers' k/v see rounding drift amplified through the stack
+    np.testing.assert_allclose(np.asarray(km), np.asarray(kg), atol=8e-2)
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(vg), atol=8e-2)
+
+
+def test_f16_scale_planes_roundtrip_and_parity():
+    """f16-exact scales -> the pack ships u16 planes; fused decode and the
+    per-linear rebuild stay bit-consistent (scale DMA is ~19% of a decode
+    step as f32 — the u16 planes halve it, see build_fused_pack)."""
+    import numpy as np
+
+    fused, cfg = _tiny_int4_model(seed=11, f16_scales=True)
+    lp = fused.params["language_model"]
+    pack = lp["fused_decode"]
+    assert pack.qkv_sc.dtype == jnp.uint16, "compact planes expected"
+    assert pack.dn_sc.dtype == jnp.uint16
+
+    # greedy parity vs the per-linear path on the SAME f16-rounded scales
+    ref, _ = _tiny_int4_model(seed=11, f16_scales=True, fused=False)
+    t_f, lp_f = _decode_tokens(fused)
+    t_r, lp_r = _decode_tokens(ref)
+    assert t_f == t_r, (t_f, t_r)
+    np.testing.assert_allclose(lp_f, lp_r, atol=0.08)
+
+    # remat from the u16 pack reproduces the f32 scale planes exactly
+    from mlx_vlm_tpu.ops.fused_decode import stacked_params_from_pack
+
+    rebuilt = stacked_params_from_pack(pack)
+    wq = rebuilt["self_attn"]["q_proj"]["weight"]
+    assert wq.sl.dtype == np.float32

@@ -113,3 +113,66 @@ class TestRingPrefillWiring:
             jnp.zeros((1, 2, 64, 16)), jnp.zeros((1, 2, 64, 16)),
             jnp.zeros((1, 2, 64, 16)), 0.25,
         ) is None
+
+
+@needs_8
+class TestRingRoutingGuards:
+    """ADVICE r3 (high): a chunked-prefill continuation chunk
+    (q_len == kv_len, cache offset > 0) must NOT route through ring
+    attention — it would silently drop all previously cached context."""
+
+    def test_chunked_prefill_under_context_matches_plain(self):
+        from mlx_vlm_tpu.generate.ar import generate_step
+        from mlx_vlm_tpu.parallel.mesh import make_mesh
+        from mlx_vlm_tpu.parallel.ring import sequence_parallel
+        from mlx_vlm_tpu.utils.testing import make_tiny_qwen2_vl
+
+        model = make_tiny_qwen2_vl(seed=0, dtype=jnp.float32)
+        D = model.config.text_config.hidden_size
+        rng = np.random.default_rng(4)
+        # 2 chunks of 64: the second is a continuation with offset=64
+        embeds = jnp.asarray(
+            rng.standard_normal((1, 128, D)).astype(np.float32) * 0.3)
+
+        def run(ring):
+            import jax as _jax
+
+            _jax.clear_caches()  # engine jits must re-trace under the ctx
+            gen = lambda: [  # noqa: E731
+                (int(t[0]), float(lp[0])) for t, lp in generate_step(
+                    embeds, model, max_tokens=3, prefill_step_size=64,
+                    block_size=1, seed=0)
+            ]
+            if not ring:
+                return gen()
+            mesh = make_mesh(data_parallel=8, devices=jax.devices()[:8])
+            with sequence_parallel(mesh, min_tokens=32):
+                return gen()
+
+        plain = run(ring=False)
+        ringed = run(ring=True)
+        assert [t for t, _ in plain] == [t for t, _ in ringed]
+        np.testing.assert_allclose(
+            [lp for _, lp in plain], [lp for _, lp in ringed], atol=1e-4)
+
+    def test_left_padded_rows_not_routed(self):
+        from jax.sharding import Mesh
+        from mlx_vlm_tpu.parallel import ring as ring_mod
+        from mlx_vlm_tpu.parallel.ring import sequence_parallel
+
+        q = jnp.zeros((2, 2, 64, 16))
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        with sequence_parallel(mesh, min_tokens=32):
+            # concrete zero offset + nonzero left_pad: refuse
+            out = ring_mod.maybe_ring_attend(
+                q, q, q, 0.25, offset=0,
+                left_pad=np.asarray([0, 3], np.int32))
+            assert out is None
+            # traced offset (unknown): refuse
+            traced = jax.jit(lambda o: ring_mod.maybe_ring_attend(
+                q, q, q, 0.25, offset=o) is None)(jnp.asarray(0))
+            assert bool(traced)
+            # provable whole-prompt: routes
+            out = ring_mod.maybe_ring_attend(
+                q, q, q, 0.25, offset=0, left_pad=np.zeros(2, np.int32))
+            assert out is not None

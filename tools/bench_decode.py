@@ -5,6 +5,8 @@ Usage: python tools/bench_decode.py [w4grp|w8chan] [2b|7b]
 Times the jitted 32-step decode block via slope fitting (immune to the
 ~6 ms axon dispatch RTT), reports ms/token and tok/s.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import os
 import sys

@@ -8,6 +8,8 @@ into the program and re-shipped per call over the tunnel).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo timeout 580 python tools/bench_qmm.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 from __future__ import annotations
 

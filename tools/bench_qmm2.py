@@ -9,6 +9,8 @@ Variants benchmarked at Qwen2-VL-2B decode shapes (M=1):
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo timeout 580 python tools/bench_qmm2.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 from __future__ import annotations
 

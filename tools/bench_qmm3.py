@@ -8,6 +8,8 @@ Variants (M=1 decode shapes):
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo timeout 590 python tools/bench_qmm3.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 from __future__ import annotations
 

@@ -2,6 +2,8 @@
 
 Usage: FUSED_DECODE_ABLATE=mv|dot|attn|scdec,... python tools/probe_fused.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import os
 import sys
@@ -70,11 +72,14 @@ def main():
     cos = jnp.ones((hd // 2,), jnp.float32)
     sin = jnp.zeros((hd // 2,), jnp.float32)
 
+    step_fn = (fd.fused_decode_step_manual
+               if os.environ.get("V3", "0") == "1" else fd.fused_decode_step)
+
     @functools.partial(jax.jit, static_argnums=0)
     def run(n, pk, h, kc, vc):
         def body(carry, _):
             hh, off = carry
-            ho, kn, vn = fd.fused_decode_step(
+            ho, kn, vn = step_fn(
                 pk, hh, cos, sin, kc, vc, off)
             return ((ho * 1e-6).astype(hh.dtype), off), None
 

@@ -11,6 +11,8 @@ Tile: [K=3584, TN=512] u8 (two nibble planes), M=8, g=64.
 Kernel loops R times over the SAME VMEM tile; a loop-carried dependency on
 the accumulator prevents hoisting.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import time
 

@@ -1,4 +1,6 @@
 """Isolate Mosaic op support: int8 dots, int4 casts, lane slicing."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np

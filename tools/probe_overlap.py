@@ -6,6 +6,8 @@ Streams a ~1.8GB u8 array through VMEM in 1.75MB blocks three ways:
           BEFORE compute of block i
   nocomp: manual, compute ablated (pure DMA floor)
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import os
 import sys

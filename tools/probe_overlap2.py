@@ -9,6 +9,8 @@ chip serializes them and the design must cut bytes instead.
 OV2_COMP=<n> repeats of a [8,512]x[512,512] bf16 dot per step (0 = pure
 DMA floor).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import os
 import sys

@@ -2,6 +2,8 @@
 measurements run N device-side iterations inside one jitted program and fit
 the slope between two N values — pure device time, link-independent.
 Big arrays are always jit ARGUMENTS (closure capture would constant-fold)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import functools
 import time
 

@@ -5,6 +5,8 @@ the real per-tile dequant+dot math (PROBE_VARIANT: none|bf16|grp|i8grp).
 NT tiles of [K, TN] u8 stream once each; compute accumulates into one
 [M, TN] output block.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import time
 

@@ -6,6 +6,8 @@ Compares effective bandwidth of a 7B-layer-sized stack of matvecs:
   i8     — int8 per-channel (the w8chan baseline, 2x bytes)
 Timing: lax.scan chain difference (tunnel-safe).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import time
 import functools
