@@ -437,7 +437,7 @@ class TestShardedDiskStore:
             fh.write(b"\x7f" * (rec // 2))
 
         # next commit must land on an aligned slot and stay readable
-        tokens2 = list(range(100, 108))
+        tokens2 = list(range(100, 112))
         cache2 = self._cache(model, 1.25, 32)
         apc.commit(tokens2, cache2)
         disk.flush()
