@@ -116,3 +116,31 @@ class TestExpertParallel:
         a = switch_glu(x, gate, up, down, inds, wts)
         b = switch_glu_dense(x, gate, up, down, inds, wts)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestLauncher:
+    def test_init_distributed_single_process_noop(self, monkeypatch):
+        """No coordinator + no cluster env -> no-op rank 0 (launch.py)."""
+        from mlx_vlm_tpu.parallel import init_distributed
+
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(k, raising=False)
+        assert init_distributed() == 0
+        assert init_distributed() == 0  # idempotent
+
+    @needs_8
+    def test_sharded_load_model(self):
+        """One-call load+shard (reference sharded_load, utils.py:815)."""
+        from mlx_vlm_tpu.parallel import sharded_load_model
+        from mlx_vlm_tpu.utils.testing import qwen2_vl_hf_weights
+
+        cfg = tiny_qwen2_vl_config()
+        mesh = make_mesh(tensor_parallel=2, data_parallel=4)
+        model = sharded_load_model(
+            dict(cfg), qwen2_vl_hf_weights(cfg, seed=3), mesh,
+            dtype=jnp.float32)
+        w = model.params["language_model"]["model"]["layers"][
+            "self_attn"]["q_proj"]["weight"]
+        assert "model" in (w.sharding.spec[1],)
+        assert model.mesh is mesh
