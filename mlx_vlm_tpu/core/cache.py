@@ -885,7 +885,7 @@ class Int4KVCache:
         qsum = q8.astype(jnp.int32).sum(axis=-1).astype(jnp.float32)
 
         fused_ok = (
-            S == 1 and g * S <= 8 and off.ndim == 0
+            S == 1 and g * S <= 8
             and window is None and logit_softcap is None and sinks is None
             and D % 2 == 0 and (D // 2) % 128 == 0
             and k4.shape[3] % 128 == 0
@@ -906,12 +906,17 @@ class Int4KVCache:
                            constant_values=1.0)
             lp = jnp.broadcast_to(
                 self.left_pad[:, None], (B, nkv)).reshape(BH)
+            # per-row cursors (continuous batching) expand to [B*H]; the
+            # kernel masks each row to its own lp <= pos < off+1 window
+            offs = (off + S if off.ndim == 0
+                    else jnp.broadcast_to(
+                        (off + S)[:, None], (B, nkv)).reshape(BH))
             out = int4_kv_decode_attention(
                 q8p, meta.astype(jnp.float32),
                 k4.reshape(BH, -1, D // 2), ks.reshape(BH, -1),
                 kb.reshape(BH, -1), v4.reshape(BH, -1, D // 2),
                 vs.reshape(BH, -1), vb.reshape(BH, -1),
-                off + S, scale, left_pad=lp,
+                offs, scale, left_pad=lp,
             )
             out = out[:, :g].reshape(B, nh, S, D).astype(q.dtype)
             return out, (k4, ks, kb, v4, vs, vb)

@@ -62,11 +62,12 @@ def _kernel(off_ref, scale_ref, lp_ref, q8_ref, qsum_ref, k4_ref, ks_ref,
     scores = (s_i.astype(jnp.float32) * ks + qsum * kb) * qs \
         * scale_ref[0]
 
-    # validity: left_pad <= position < offset
+    # validity: left_pad <= position < offset (offset is per-row [BH] —
+    # batched continuous-decode rows each see exactly their own history)
     b = pl.program_id(0)
     base = ct * TC
     ids = base + jax.lax.broadcasted_iota(jnp.int32, (M_ROWS, TC), 1)
-    valid = (ids < off_ref[0]) & (ids >= lp_ref[b])
+    valid = (ids < off_ref[b]) & (ids >= lp_ref[b])
     scores = jnp.where(valid, scores, -jnp.inf)
 
     m_prev = m_scr[:]
@@ -104,10 +105,14 @@ def int4_kv_decode_attention(q8, qsum_qs, k4, ks, kb, v4, vs, vb,
                              offset, scale, left_pad=None, interpret=None):
     """q8 [BH, 8, D] int8 (padded query rows); qsum_qs [BH, 8, 2] f32
     (columns: sum(q8), per-row quant scale); k4/v4 [BH, C, D/2] u8 packed;
-    ks/kb/vs/vb [BH, C] f32; offset scalar int32 -> out [BH, 8, D] f32."""
+    ks/kb/vs/vb [BH, C] f32; offset scalar int32 OR per-row [BH]
+    (continuous batching) -> out [BH, 8, D] f32."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     BH, C, h = k4.shape
+    offset = jnp.asarray(offset, jnp.int32)
+    if offset.ndim == 0:
+        offset = jnp.broadcast_to(offset, (BH,))
     D = 2 * h
     TC = 256 if C % 256 == 0 else 128 if C % 128 == 0 else C
     ncx = C // TC

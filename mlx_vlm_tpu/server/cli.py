@@ -28,6 +28,11 @@ def main(argv=None):
     p.add_argument("--image-model", default=None,
                    help="Flux2-class checkpoint dir enabling "
                         "/v1/images/generations and /v1/images/edits")
+    p.add_argument("--kv-bits", type=int, default=None, choices=(4, 8),
+                   help="serve with quantized KV caches (fused "
+                        "integer-domain batch attention; 2-4x less KV "
+                        "decode traffic at long contexts)")
+    p.add_argument("--kv-group-size", type=int, default=64)
     p.add_argument("--log-level", default="INFO")
     args = p.parse_args(argv)
     logging.basicConfig(level=args.log_level)
@@ -48,6 +53,7 @@ def main(argv=None):
         draft_model_path=args.draft_model, num_draft=args.num_draft_tokens,
         extra_models=extra or None, max_models=args.max_models,
         image_model_path=args.image_model,
+        kv_bits=args.kv_bits, kv_group_size=args.kv_group_size,
     )
 
 

@@ -105,6 +105,8 @@ class ResponseGenerator:
         vision_cache=None,
         draft_model=None,
         num_draft: int = 4,
+        kv_bits: Optional[int] = None,
+        kv_group_size: int = 64,
     ):
         from ..generate.batch import BatchGenerator
         from ..generate.dispatch import _get_eos_ids
@@ -135,15 +137,23 @@ class ResponseGenerator:
         if draft_model is not None:
             from ..speculative.batch import SpeculativeBatchGenerator
 
+            if kv_bits:
+                logger.warning(
+                    "--kv-bits is not supported with --draft-model yet; "
+                    "serving with full-precision KV")
             self.batch = SpeculativeBatchGenerator(
                 model, draft_model, num_draft=num_draft,
                 num_slots=num_slots, capacity=capacity,
                 block_size=block_size, dtype=dtype,
             )
         else:
+            # quantized serving KV (reference BatchQuantizedKVCache,
+            # cache.py:1646): kv_bits 4/8 selects the fused integer-domain
+            # batch caches — 2-4x less KV decode traffic at long contexts
             self.batch = BatchGenerator(
                 model, num_slots=num_slots, capacity=capacity,
                 block_size=block_size, dtype=dtype,
+                kv_bits=kv_bits, kv_group_size=kv_group_size,
             )
         self.metrics = ServerMetricsStore()
         self._requests: "queue.Queue" = queue.Queue()

@@ -174,3 +174,49 @@ def _xla_reference(cache, cxs, q, k, v, scale, mask):
                       preferred_element_type=jnp.float32)
     return (out + bias[..., None].astype(out.dtype)).reshape(
         B, nh, S, D).astype(q.dtype), None
+
+
+class TestInt4PerRowFused:
+    """Batched continuous-decode rows: per-row offsets through the fused
+    Pallas kernel must match the XLA integer-domain fallback (reference
+    BatchTurboQuantKVCache, turboquant.py:6110)."""
+
+    def test_per_row_offsets_match_fallback(self):
+        rng = np.random.default_rng(5)
+        B, nkv, g, D, C = 3, 2, 4, 256, 256
+        L = 1
+        offs = np.asarray([17, 64, 3], np.int32)
+        cache = cache_lib.init_int4_cache(L, B, nkv, D, C, per_row=True)
+        import dataclasses
+
+        arrs = list(cache.scan_arrays())
+        for b, off in enumerate(offs):
+            hist_k = _rand(rng, 1, nkv, int(off), D)
+            hist_v = _rand(rng, 1, nkv, int(off), D)
+            k4, ks, kb = cache_lib.Int4KVCache._quantize_tokens(hist_k)
+            v4, vs, vb = cache_lib.Int4KVCache._quantize_tokens(hist_v)
+            for i, new in enumerate((k4, ks, kb, v4, vs, vb)):
+                a = arrs[i]
+                z = (jnp.zeros((), jnp.int32),) * (a.ndim - 2)
+                arrs[i] = jax.lax.dynamic_update_slice(
+                    a, new[None].astype(a.dtype),
+                    (jnp.zeros((), jnp.int32), jnp.asarray(b)) + z)
+        cache = dataclasses.replace(
+            cache, k4=arrs[0], ks=arrs[1], kb=arrs[2], v4=arrs[3],
+            vs=arrs[4], vb=arrs[5], offset=jnp.asarray(offs))
+
+        q = _rand(rng, B, nkv * g, 1, D) * 0.3
+        knew = _rand(rng, B, nkv, 1, D)
+        vnew = _rand(rng, B, nkv, 1, D)
+        cxs = tuple(a[0] for a in cache.scan_arrays())
+        scale = 1.0 / np.sqrt(D)
+
+        out_fused, _ = cache.attend(cxs, q, knew, vnew, scale, None)
+
+        ids = np.arange(C)
+        mask = jnp.asarray(
+            ids[None, None, None, :] < (offs + 1)[:, None, None, None])
+        mask = jnp.broadcast_to(mask, (B, nkv * g, 1, C))
+        out_ref, _ = _xla_reference(cache, cxs, q, knew, vnew, scale, mask)
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_ref), rtol=2e-2, atol=2e-2)
