@@ -1,0 +1,3 @@
+from .glm import LanguageModel, Model, ModelConfig, TextConfig
+
+__all__ = ["Model", "ModelConfig", "TextConfig", "LanguageModel"]

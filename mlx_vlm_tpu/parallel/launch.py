@@ -53,25 +53,21 @@ def init_distributed(
     global _INITIALIZED
     if _INITIALIZED:
         return jax.process_index()
-    import os
-
-    cluster_env = any(
-        os.environ.get(k)
-        for k in (
-            "JAX_COORDINATOR_ADDRESS",
-            "COORDINATOR_ADDRESS",
-            "TPU_WORKER_HOSTNAMES",  # GCE TPU pod metadata
-            "MEGASCALE_COORDINATOR_ADDRESS",
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            local_device_ids=local_device_ids,
         )
-    )
-    if coordinator_address is None and not cluster_env:
-        return 0  # single-process: nothing to join
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-        local_device_ids=local_device_ids,
-    )
+    except RuntimeError:
+        # no coordinator given and JAX's cluster autodetection found no
+        # multi-host environment: single-process run, nothing to join.
+        # (Partial pod env vars — e.g. a tunneled single chip that still
+        # exports TPU_WORKER_HOSTNAMES — land here too.)
+        if coordinator_address is not None or process_id is not None:
+            raise
+        return 0
     _INITIALIZED = True
     return jax.process_index()
 
