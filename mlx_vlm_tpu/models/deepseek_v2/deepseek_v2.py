@@ -107,6 +107,8 @@ class LanguageModel:
         self.n_heads = a.num_attention_heads
         self.q_head_dim = a.qk_nope_head_dim + a.qk_rope_head_dim
         self.scale = self.q_head_dim**-0.5
+        # residual scale hook (1.0 here; minicpm3 sets scale_depth/sqrt(L))
+        self.residual_scale = 1.0
         self.rope = make_rope(
             a.qk_rope_head_dim, a.rope_theta, a.rope_scaling,
             a.max_position_embeddings,
@@ -237,9 +239,9 @@ class LanguageModel:
             attn, c_buf, kpe_buf = self._mla(lp, x, cos, sin, mask, cache, i)
             c_all = c_all.at[i].set(c_buf)
             kpe_all = kpe_all.at[i].set(kpe_buf)
-            h = h + attn
+            h = h + attn * self.residual_scale
             x = rms_norm(lp["post_attention_layernorm"], h, a.rms_norm_eps)
-            h = h + self._moe_or_dense(lp, x)
+            h = h + self._moe_or_dense(lp, x) * self.residual_scale
         h = rms_norm(mp["norm"], h, a.rms_norm_eps)
         new_cache = dataclasses.replace(
             cache, c=c_all, kpe=kpe_all, offset=cache.offset + S
