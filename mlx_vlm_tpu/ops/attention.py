@@ -76,4 +76,5 @@ def sdpa(
     out = jnp.einsum(
         "bkgst,bktd->bkgsd", probs.astype(dtype), v, preferred_element_type=jnp.float32
     )
-    return out.reshape(B, nh, S, D).astype(dtype)
+    # v's head dim may differ from q/k's (e.g. mimo_v2_flash swa layers)
+    return out.reshape(B, nh, S, v.shape[-1]).astype(dtype)

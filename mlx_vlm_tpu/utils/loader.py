@@ -59,6 +59,11 @@ MODEL_REMAPPING = {
     "unlimited_ocr": "deepseekocr",
     "phi3": "phi3_v",  # same decoder; vision path simply unused
     "cohere": "cohere2",
+    "nemotron-nas": "nemotron_nas",  # HF model_type has a hyphen
+    "phi3small": "phi3small",
+    "phi3_small": "phi3small",
+    "hunyuan_v1_moe": "hunyuan",
+    "hunyuan_moe": "hunyuan",
     "solar_open": "glm4_moe",  # reference solar_open reuses glm4_moe
     # plain-llama-architecture text families (biases/norm variants are
     # picked up from the checkpoint keys directly)
