@@ -19,7 +19,6 @@ TEMPLATE_ONLY = {
     "deepseek_v4",
     "diffusion_gemma",
     "granite4_vision",
-    "hrm_text",
     "jina_vlm",
     "jvlm",
     "laguna",
