@@ -25,6 +25,7 @@ class TextConfig(BaseModelConfig):
     rope_scaling: Optional[Dict[str, Union[float, str, list]]] = None
     attention_bias: bool = False
     mlp_bias: bool = False
+    partial_rotary_factor: float = 1.0
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 131072
     eos_token_id: Optional[Union[int, List[int]]] = None

@@ -36,8 +36,12 @@ class LanguageModel:
         # per-layer rematerialization for training (trades FLOPs for HBM:
         # activations are recomputed in the backward scan step)
         self.remat = False
+        # partial rotary (phi-4-mini style): rope built at the rotated
+        # sub-dim; apply_rope passes the tail lanes through untouched
+        rot = int(self.head_dim * getattr(args, "partial_rotary_factor",
+                                          1.0))
         self.rope = make_rope(
-            self.head_dim,
+            rot,
             args.rope_theta,
             args.rope_scaling,
             args.max_position_embeddings,

@@ -60,6 +60,7 @@ MODEL_REMAPPING = {
     "phi3": "phi3_v",  # same decoder; vision path simply unused
     "cohere": "cohere2",
     "nemotron-nas": "nemotron_nas",  # HF model_type has a hyphen
+    "phi4-siglip": "phi4_siglip",
     "phi3small": "phi3small",
     "phi3_small": "phi3small",
     "hunyuan_v1_moe": "hunyuan",
