@@ -7,6 +7,7 @@ load, generate, stream_generate, batch_generate, convert, apply_chat_template.
 """
 
 from .generate import GenerationResult, generate, generate_step, stream_generate
+from .generate.detection import detect, load_detector
 from .generate.batch import batch_generate
 from .prompt_utils import apply_chat_template
 from .utils.loader import load, load_config, load_model
@@ -21,6 +22,8 @@ __all__ = [
     "stream_generate",
     "generate_step",
     "batch_generate",
+    "detect",
+    "load_detector",
     "GenerationResult",
     "apply_chat_template",
     "prepare_inputs",

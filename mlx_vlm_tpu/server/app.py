@@ -25,12 +25,13 @@ logger = logging.getLogger("mlx_vlm_tpu.server")
 class ServerState:
     def __init__(self, model_name: str, generator: ResponseGenerator,
                  api_key: Optional[str] = None, registry=None,
-                 image_service=None):
+                 image_service=None, detection_service=None):
         self.model_name = model_name
         self.generator = generator
         self.api_key = api_key or os.environ.get("MLX_VLM_SERVER_API_KEY")
         self.registry = registry
         self.image_service = image_service
+        self.detection_service = detection_service
 
     def resolve(self, model: Optional[str]) -> tuple:
         """(generator, model_name) for a request's `model` field — the
@@ -222,6 +223,18 @@ def make_handler(state: ServerState):
                     else:
                         image_routes.generations_endpoint(
                             self, body, state.image_service)
+                elif self.path in ("/v1/detection", "/detection",
+                                   "/v1/detect"):
+                    from . import detection as detection_routes
+
+                    if state.detection_service is None:
+                        self.send_json({"error": {"message":
+                                        "no detection model loaded "
+                                        "(start with --detect-model)"}},
+                                       400)
+                        return
+                    detection_routes.detection_endpoint(
+                        self, body, state.detection_service)
                 elif self.path == "/v1/cache/reset":
                     apc = getattr(state.generator, "apc", None)
                     if apc:
@@ -256,6 +269,7 @@ def create_server(
     extra_models: Optional[dict] = None,  # name -> checkpoint path
     max_models: int = 2,
     image_service=None,  # server.images.ImageService (or None)
+    detection_service=None,  # server.detection.DetectionService (or None)
     **engine_kwargs,
 ) -> ThreadingHTTPServer:
     if "apc" not in engine_kwargs:
@@ -279,7 +293,8 @@ def create_server(
         for name, path in extra_models.items():
             registry.register(name, path=path)
     state = ServerState(model_name, generator, api_key, registry=registry,
-                        image_service=image_service)
+                        image_service=image_service,
+                        detection_service=detection_service)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.state = state
     return httpd
@@ -287,7 +302,8 @@ def create_server(
 
 def serve(model_path: str, host="0.0.0.0", port=8080,
           draft_model_path: str | None = None,
-          image_model_path: str | None = None, **kwargs):
+          image_model_path: str | None = None,
+          detect_model_path: str | None = None, **kwargs):
     from ..utils.loader import load
 
     model, processor = load(model_path)
@@ -297,6 +313,10 @@ def serve(model_path: str, host="0.0.0.0", port=8080,
         from .images import ImageService
 
         kwargs["image_service"] = ImageService.from_path(image_model_path)
+    if detect_model_path:
+        from .detection import DetectionService
+
+        kwargs["detection_service"] = DetectionService(detect_model_path)
     httpd = create_server(model, processor, model_name=model_path,
                           host=host, port=port, **kwargs)
     logger.info("serving %s on %s:%d", model_path, host, port)

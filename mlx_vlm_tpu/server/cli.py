@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--image-model", default=None,
                    help="Flux2-class checkpoint dir enabling "
                         "/v1/images/generations and /v1/images/edits")
+    p.add_argument("--detect-model", default=None,
+                   help="detection/segmentation checkpoint "
+                        "(sam3/rfdetr/rt_detr_v2) enabling /v1/detection")
     p.add_argument("--kv-bits", type=int, default=None, choices=(4, 8),
                    help="serve with quantized KV caches (fused "
                         "integer-domain batch attention; 2-4x less KV "
@@ -53,6 +56,7 @@ def main(argv=None):
         draft_model_path=args.draft_model, num_draft=args.num_draft_tokens,
         extra_models=extra or None, max_models=args.max_models,
         image_model_path=args.image_model,
+        detect_model_path=args.detect_model,
         kv_bits=args.kv_bits, kv_group_size=args.kv_group_size,
     )
 
