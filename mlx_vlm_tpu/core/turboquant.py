@@ -299,3 +299,88 @@ def init_turboquant_cache(
         v_bits=v_bits,
         head_dim=head_dim,
     )
+
+
+# ---------------------------------------------------- fused rotated int4
+
+class RotatedInt4KVCache:
+    """TurboQuant's rotation + the FUSED packed-domain int4 attend.
+
+    Role parity: reference turboquant.py fully-fused 4-bit decode
+    (:2021).  The codec stores K/V in the ROTATED domain (sign flips +
+    Walsh–Hadamard — TurboQuant's outlier-suppression step) with
+    per-token affine 4-bit codes in the Int4KVCache half-plane layout.
+    Because the rotation R is orthogonal,
+
+        q . k        = (R q) . (R k)            (scores are exact)
+        sum_c p_c v_c = R^T sum_c p_c (R v_c)   (one inverse rotate on
+                                                 the [B,H,1,D] output)
+
+    so decode attention runs UNCHANGED through the Pallas online-softmax
+    kernel on packed codes (ops/int4_kv_attention.py) — including the
+    per-row-offset batched serving path — while quantization error gets
+    the Gaussianizing benefit of the rotation.  Requires pow-2 head dim
+    (rotation is in-place, no padding); other dims and fractional bit
+    mixes take TurboQuantKVCache's codebook path.
+    """
+
+    pass
+
+
+def _rotate(x: jax.Array, signs: jax.Array) -> jax.Array:
+    return hadamard_transform(x.astype(jnp.float32) * signs).astype(x.dtype)
+
+
+def _unrotate(x: jax.Array, signs: jax.Array) -> jax.Array:
+    return (hadamard_transform(x.astype(jnp.float32)) * signs).astype(x.dtype)
+
+
+def make_rotated_int4_cache(num_layers, batch_size, num_kv_heads, head_dim,
+                            capacity, left_pad=None, per_row=False):
+    """Build the fused rotated-int4 cache (head_dim must be pow-2)."""
+    from . import cache as cache_lib
+
+    if head_dim & (head_dim - 1):
+        raise ValueError(
+            f"rotated int4 cache needs a pow-2 head dim, got {head_dim}")
+    base = cache_lib.init_int4_cache(
+        num_layers, batch_size, num_kv_heads, head_dim, capacity,
+        per_row=per_row, left_pad=left_pad)
+    return _RotatedInt4(
+        k4=base.k4, ks=base.ks, kb=base.kb, v4=base.v4, vs=base.vs,
+        vb=base.vb, offset=base.offset, left_pad=base.left_pad)
+
+
+def _register_rotated():
+    """Define the pytree dataclass once the cache module is importable
+    (avoids a circular import at module load)."""
+    global _RotatedInt4
+    from . import cache as cache_lib
+
+    @partial(
+        jax.tree_util.register_dataclass,
+        data_fields=["k4", "ks", "kb", "v4", "vs", "vb", "offset",
+                     "left_pad"],
+        meta_fields=[],
+    )
+    @dataclasses.dataclass
+    class _RotatedInt4(cache_lib.Int4KVCache):
+        __doc__ = RotatedInt4KVCache.__doc__
+
+        def attend(self, cxs, q, k, v, scale, mask, flash_ok=False,
+                   window=None, logit_softcap=None, sinks=None):
+            D = q.shape[-1]
+            signs = _signs(D)
+            qr = _rotate(q, signs)
+            kr = _rotate(k, signs)
+            vr = _rotate(v, signs)
+            out, cxs = super().attend(
+                cxs, qr, kr, vr, scale, mask, flash_ok=flash_ok,
+                window=window, logit_softcap=logit_softcap, sinks=sinks)
+            return _unrotate(out, signs), cxs
+
+    return _RotatedInt4
+
+
+_RotatedInt4 = _register_rotated()
+RotatedInt4KVCache = _RotatedInt4

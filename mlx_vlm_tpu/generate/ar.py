@@ -222,7 +222,18 @@ def make_cache(
         float(kv_bits) != int(kv_bits)
         or os.environ.get("MLX_VLM_TPU_KV_SCHEME") == "turboquant"
     ):
-        # fractional bits or explicit scheme -> rotation+codebook cache
+        # explicit turboquant at 4 bits + pow-2 head dim: rotation + the
+        # FUSED packed-domain int4 attend (exact orthogonal-rotation
+        # identity; core/turboquant.py RotatedInt4KVCache)
+        hd = lm.head_dim
+        if float(kv_bits) == 4.0 and hd & (hd - 1) == 0:
+            from ..core.turboquant import make_rotated_int4_cache
+
+            return make_rotated_int4_cache(
+                lm.args.num_hidden_layers, batch_size, lm.n_kv_heads, hd,
+                capacity, per_row=per_row,
+            )
+        # fractional bits -> rotation+codebook cache
         # (reference turboquant_enabled, turboquant.py:3511)
         from ..core.turboquant import init_turboquant_cache
 

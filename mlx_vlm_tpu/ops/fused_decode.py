@@ -243,13 +243,13 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32
     dn_qp = dn_qp.reshape(Ld, nd, TKD, Cd)
     dn_sc = dn_sc.reshape(Ld, nd, TKD // g, 4, Cd)
 
-    # f16 scale planes (host builds only): scale/bias DMA is ~19% of the
-    # step's bytes as f32; when every plane value round-trips f16 EXACTLY
-    # (true for real HF int4 checkpoints, whose scales are stored f16),
-    # ship them as u16 f16-bits and decode in-kernel (_scales_f32) —
-    # halves that traffic with zero precision change.  f32-native scales
-    # (e.g. this repo's own quantizer) keep the f32 planes.
-    if (xp is _np and os.environ.get("MLX_VLM_TPU_PACK_SC16", "1")
+    # f16 scale planes (host builds only, OFF by default): shipping the
+    # planes as u16 f16-bits halves their DMA (~0.3 GB/step) but the
+    # in-kernel decode (_scales_f32) costs MORE than it saves on this
+    # chip — measured 2026-08 on v5e: u16 8.67 ms/tok vs f32 7.92 (v3)
+    # and 9.25 vs 7.99 (v2 grid).  MLX_VLM_TPU_PACK_SC16=1 re-enables
+    # for experiments; values round-trip f16 exactly either way.
+    if (xp is _np and os.environ.get("MLX_VLM_TPU_PACK_SC16", "0")
             not in ("0", "false")):
         planes = (qkv_sc, o_sc, gu_sc, dn_sc)
         if all(_np.array_equal(p.astype(_np.float16).astype(_np.float32), p)

@@ -187,7 +187,15 @@ def int4_matvec(x: jax.Array, t: Int4GroupedTensor,
         qp, sl, sh, bl, bh = t.qp, t.sl, t.sh, t.bl, t.bh
         lidx = 0
     interpret = jax.default_backend() != "tpu"
+    xm = x.reshape(M, K).astype(jnp.float32)
+    # pad rows to the f32 sublane tile: an M=1 block compiles to 1-sublane
+    # layouts that serialize the dequant VPU work (measured ~3x slower on
+    # the 152k-vocab lm_head); the zero rows are free on the MXU
+    Mp = M
+    if M < MAX_KERNEL_ROWS:
+        Mp = MAX_KERNEL_ROWS
+        xm = jnp.zeros((Mp, K), jnp.float32).at[:M].set(xm)
     y = _int4_matvec(
-        x.reshape(M, K).astype(jnp.float32), lidx, qp, sl, sh, bl, bh,
+        xm, lidx, qp, sl, sh, bl, bh,
         n=t.n, group_size=t.group_size, n_layers=L, interpret=interpret)
-    return y.reshape(*lead, t.n).astype(x.dtype)
+    return y[:M].reshape(*lead, t.n).astype(x.dtype)

@@ -3,6 +3,8 @@
 The fused Pallas step must reproduce the per-linear scan path on the same
 Int4GroupedTensor weights.  Runs in interpret mode on CPU."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -269,7 +271,13 @@ def test_f16_scale_planes_roundtrip_and_parity():
     step as f32 — the u16 planes halve it, see build_fused_pack)."""
     import numpy as np
 
-    fused, cfg = _tiny_int4_model(seed=11, f16_scales=True)
+    # compact planes are opt-in now (measured slower on-chip; see
+    # build_fused_pack) — exercise the path explicitly
+    os.environ["MLX_VLM_TPU_PACK_SC16"] = "1"
+    try:
+        fused, cfg = _tiny_int4_model(seed=11, f16_scales=True)
+    finally:
+        del os.environ["MLX_VLM_TPU_PACK_SC16"]
     lp = fused.params["language_model"]
     pack = lp["fused_decode"]
     assert pack.qkv_sc.dtype == jnp.uint16, "compact planes expected"

@@ -134,3 +134,96 @@ class TestCacheGeneration:
         assert isinstance(cache, TurboQuantKVCache)
         assert cache.k_bits == 3 and cache.v_bits == 4
         assert cache.vq.shape[-1] == cache.head_dim // 2  # packed 4-bit
+
+
+class TestRotatedInt4Fused:
+    """TurboQuant rotation + fused packed-domain int4 attend
+    (RotatedInt4KVCache): the orthogonal-rotation identity must keep
+    decode exact vs attending in the unrotated domain with the same
+    quantizer, and close to bf16 attention."""
+
+    def _setup(self, B=1, H=2, D=64, C=32, S=5):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((B, 2 * H, 1, D)) * 0.5,
+                        jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.5, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.5, jnp.float32)
+        return q, k, v
+
+    def test_matches_bf16_attention(self):
+        from mlx_vlm_tpu.core.turboquant import make_rotated_int4_cache
+        from mlx_vlm_tpu.core import cache as cache_lib
+
+        B, H, D, C, S = 1, 2, 64, 32, 5
+        q, k, v = self._setup(B, H, D, C, S)
+        cache = make_rotated_int4_cache(1, B, H, D, C)
+        # prefill S tokens (XLA path), then attend is queried at S==...
+        import dataclasses
+
+        mask = jnp.ones((B, 1, 1, C), bool) & (
+            jnp.arange(C)[None, None, None, :] < S)
+        # write S-1 history tokens, then decode token S-1
+        chist = cache
+        arrs = chist.scan_arrays()
+        layer0 = tuple(a[0] for a in arrs)
+        out_q = None
+        for t in range(S):
+            chist = dataclasses.replace(chist, offset=jnp.asarray(t))
+            m = jnp.arange(C)[None, None, None, :] <= t
+            out_q, layer0 = chist.attend(
+                layer0, q, k[:, :, t:t + 1], v[:, :, t:t + 1], D**-0.5, m)
+        ref_cache = cache_lib.init_cache(1, B, H, D, C, jnp.float32)
+        rarr = tuple(a[0] for a in ref_cache.scan_arrays())
+        out_ref = None
+        for t in range(S):
+            rc = dataclasses.replace(ref_cache, offset=jnp.asarray(t))
+            m = jnp.arange(C)[None, None, None, :] <= t
+            out_ref, rarr = rc.attend(rarr, q, k[:, :, t:t + 1],
+                                      v[:, :, t:t + 1], D**-0.5, m,
+                                      flash_ok=False)
+        err = np.abs(np.asarray(out_q) - np.asarray(out_ref)).max()
+        assert err < 0.06, err
+
+    def test_rotation_beats_plain_int4_on_outliers(self):
+        """A spiky (outlier-heavy) KV distribution: the rotated codec's
+        reconstruction must beat plain per-token affine int4."""
+        from mlx_vlm_tpu.core.turboquant import (_rotate, _signs,
+                                                 hadamard_transform)
+        from mlx_vlm_tpu.core.cache import Int4KVCache
+
+        rng = np.random.default_rng(1)
+        D = 64
+        x = rng.standard_normal((1, 2, 16, D)).astype(np.float32) * 0.1
+        x[..., 0] += 8.0  # a huge outlier channel
+        xj = jnp.asarray(x)
+        signs = _signs(D)
+
+        def roundtrip(y):
+            p, s, b = Int4KVCache._quantize_tokens(y)
+            lo = (p & 0xF).astype(jnp.float32)
+            hi = (p >> 4).astype(jnp.float32)
+            q = jnp.concatenate([lo, hi], axis=-1)
+            return q * s[..., None] + b[..., None]
+
+        plain_err = float(jnp.mean((roundtrip(xj) - xj) ** 2))
+        xr = _rotate(xj, signs)
+        rec = hadamard_transform(roundtrip(xr).astype(jnp.float32)) * signs
+        rot_err = float(jnp.mean((rec - xj) ** 2))
+        assert rot_err < plain_err * 0.25, (rot_err, plain_err)
+
+    def test_make_cache_routes_turboquant4(self):
+        from mlx_vlm_tpu.generate.ar import make_cache
+        from mlx_vlm_tpu.utils.loader import load_model_from_weights
+        from mlx_vlm_tpu.utils.testing import (qwen2_vl_hf_weights,
+                                               tiny_qwen2_vl_config)
+        import os
+
+        cfg = tiny_qwen2_vl_config()
+        model = load_model_from_weights(
+            cfg, qwen2_vl_hf_weights(cfg, seed=0), jnp.float32)
+        os.environ["MLX_VLM_TPU_KV_SCHEME"] = "turboquant"
+        try:
+            c = make_cache(model, 1, 64, jnp.float32, kv_bits=4)
+        finally:
+            del os.environ["MLX_VLM_TPU_KV_SCHEME"]
+        assert type(c).__name__ == "_RotatedInt4"
