@@ -342,6 +342,14 @@ def _builtin_processor(model_type: str, tokenizer, model=None):
             image_size=getattr(vc, "image_size", 384),
             patch_size=getattr(vc, "patch_size", 14),
         )
+    if model_type == "molmo2":
+        from ..models.molmo2.processing import Molmo2Processor
+
+        return Molmo2Processor(tokenizer, model=model)
+    if model_type in ("minicpmv", "minicpmv4_6", "minicpm_v"):
+        from ..models.minicpmv4_6.processing import MiniCPMVProcessor
+
+        return MiniCPMVProcessor(tokenizer, model=model)
     if model_type == "moondream2":
         from ..models.moondream2.processing import MoondreamProcessor
 
