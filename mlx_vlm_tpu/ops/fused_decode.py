@@ -612,8 +612,11 @@ def make_manual_kernel(plan):
     n_q, n_k = nh * hd, nkv * hd
     L = p.n_layers
     C = p.capacity
-    mv = _mv2z if os.environ.get("MLX_VLM_TPU_FUSED_MV", "deq") == "z2" \
-        else _mv2
+    # z2 (raw-byte MXU dots + group-partial scaling) measured 6.93 ms/tok
+    # vs deq's 7.37 on the 7B bench (2026-08, this chip) at identical or
+    # better precision; MLX_VLM_TPU_FUSED_MV=deq restores the dequant dots
+    mv = _mv2 if os.environ.get("MLX_VLM_TPU_FUSED_MV", "z2") == "deq" \
+        else _mv2z
 
     def kernel(off_ref, h_in_ref, cossin_ref, qkv_b_ref, norms_ref,
                qkv_qp, qkv_sc, o_qp, o_sc, gu_qp, gu_sc, dn_qp, dn_sc,

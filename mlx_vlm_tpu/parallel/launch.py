@@ -60,11 +60,13 @@ def init_distributed(
             process_id=process_id,
             local_device_ids=local_device_ids,
         )
-    except RuntimeError:
+    except (RuntimeError, ValueError):
         # no coordinator given and JAX's cluster autodetection found no
         # multi-host environment: single-process run, nothing to join.
         # (Partial pod env vars — e.g. a tunneled single chip that still
-        # exports TPU_WORKER_HOSTNAMES — land here too.)
+        # exports TPU_WORKER_HOSTNAMES — land here too.  CPU backends
+        # raise ValueError 'coordinator_address should be defined'
+        # instead of RuntimeError.)
         if coordinator_address is not None or process_id is not None:
             raise
         return 0
