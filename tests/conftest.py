@@ -36,3 +36,24 @@ def _clear_jax_caches_per_module():
     yield
     jax.clear_caches()
     gc.collect()
+
+
+# `pytest -m core` fast subset (VERDICT r3 next-steps #10): substrate,
+# loader, caches, kernels, generation engine, server — the files that
+# gate every change; the long tail of per-family tests stays in the
+# default run.
+_CORE_MODULES = {
+    "test_core", "test_models", "test_moe", "test_ssm", "test_batch",
+    "test_fused_decode", "test_qmatmul", "test_int4_kv",
+    "test_quantized_kv", "test_flash_attention", "test_turboquant",
+    "test_detokenizer", "test_server", "test_structured_and_sampling",
+    "test_quant_utils", "test_registry_coverage", "test_prompt_utils",
+    "test_parallel", "test_speculative", "test_apc",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _CORE_MODULES:
+            item.add_marker(pytest.mark.core)
