@@ -33,21 +33,51 @@ def is_diffusion_model(model) -> bool:
     return mt in ("llada", "llada2_moe", "diffusion_gemma", "nemotron_labs_diffusion")
 
 
-def _make_step_fn(model, mask_token_id: int):
+def entropy_transfer_mask(entropy: jax.Array, open_mask: jax.Array,
+                          entropy_bound: float) -> jax.Array:
+    """Entropy-bound transfer selection (reference diffusion.py:415
+    _diffusion_entropy_transfer_mask): sort open positions by token
+    entropy and commit the largest prefix whose cumulative entropy stays
+    within entropy_bound of its running maximum — low-entropy (confident)
+    positions transfer together, high-entropy ones wait.  Always commits
+    at least the minimum-entropy open position."""
+    ent = jnp.where(open_mask, entropy, jnp.inf)
+    order = jnp.argsort(ent, axis=-1)
+    sorted_ent = jnp.take_along_axis(ent, order, axis=-1)
+    finite = jnp.isfinite(sorted_ent)
+    contrib = jnp.where(finite, sorted_ent, 0.0)
+    cum = jnp.cumsum(contrib, axis=-1)
+    cummax = jax.lax.associative_scan(jnp.maximum, contrib, axis=-1)
+    sel_sorted = ((cum - cummax) <= entropy_bound) & finite
+    # force at least one commit while anything is open
+    sel_sorted = sel_sorted.at[:, 0].set(
+        sel_sorted[:, 0] | jnp.any(open_mask, axis=-1))
+    ranks = jnp.argsort(order, axis=-1)
+    return jnp.take_along_axis(sel_sorted, ranks, axis=-1) & open_mask
+
+
+def _make_step_fn(model, mask_token_id: int, sampler: str = "confidence",
+                  entropy_bound: float = 0.1):
     @jax.jit
     def step(params, canvas, committed, n_transfer):
-        """One refinement: predict all positions, commit the n_transfer most
-        confident still-masked ones."""
+        """One refinement: predict all positions, then commit either the
+        n_transfer most confident open positions (confidence-threshold
+        sampler) or the entropy-bound prefix (reference :415)."""
         logits = model.forward_full(params, canvas).astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        probs = jnp.exp(lp)
         pred = jnp.argmax(logits, axis=-1).astype(canvas.dtype)  # [B,S]
-        conf = jnp.max(probs, axis=-1)  # [B,S]
         masked = ~committed  # [B,S] bool — positions still open in the block
-        conf = jnp.where(masked, conf, -jnp.inf)
-        # commit the top-n_transfer confident masked positions
-        order = jnp.argsort(-conf, axis=-1)
-        ranks = jnp.argsort(order, axis=-1)
-        take = (ranks < n_transfer) & masked
+        if sampler == "entropy-bound":
+            entropy = -jnp.sum(probs * lp, axis=-1)  # [B,S]
+            take = entropy_transfer_mask(entropy, masked, entropy_bound)
+        else:
+            conf = jnp.max(probs, axis=-1)  # [B,S]
+            conf = jnp.where(masked, conf, -jnp.inf)
+            # commit the top-n_transfer confident masked positions
+            order = jnp.argsort(-conf, axis=-1)
+            ranks = jnp.argsort(order, axis=-1)
+            take = (ranks < n_transfer) & masked
         canvas = jnp.where(take, pred, canvas)
         committed = committed | take
         return canvas, committed
@@ -63,9 +93,12 @@ def stream_diffusion_generate(
     block_size: int = 32,
     steps_per_block: Optional[int] = None,
     mask_token_id: Optional[int] = None,
+    diffusion_sampler: str = "confidence-threshold",
+    entropy_bound: float = 0.1,
     **kwargs,
 ) -> Generator[GenerationResult, None, None]:
-    """Reference diffusion.py:539 — greedy (confidence-ranked) demasking."""
+    """Reference diffusion.py:539 — block demasking with either the
+    confidence-ranked or the entropy-bound transfer sampler."""
     from ..utils.processing import prepare_inputs
     from ..utils.tokenizer import make_detokenizer
 
@@ -86,7 +119,11 @@ def stream_diffusion_generate(
     canvas = np.full((B, total), mask_id, ids.dtype)
     canvas[:, :S] = ids
     canvas = jnp.asarray(canvas)
-    step_fn = _make_step_fn(model, mask_id)
+    sampler = ("entropy-bound"
+               if diffusion_sampler in ("entropy-bound", "entropy")
+               else "confidence")
+    step_fn = _make_step_fn(model, mask_id, sampler=sampler,
+                            entropy_bound=entropy_bound)
 
     tic = time.perf_counter()
     tok = getattr(processor, "tokenizer", processor)
@@ -104,11 +141,15 @@ def stream_diffusion_generate(
         per_step = max(1, blk // steps_per_block)
         remaining = blk
         while remaining > 0:
-            n = min(per_step, remaining)
             canvas, committed_dev = step_fn(
-                model.params, canvas, committed_dev, jnp.asarray(n, jnp.int32)
+                model.params, canvas, committed_dev,
+                jnp.asarray(min(per_step, remaining), jnp.int32)
             )
-            remaining -= n
+            if sampler == "entropy-bound":
+                remaining = blk - int(
+                    np.asarray(committed_dev[:, lo:hi]).sum())
+            else:
+                remaining -= min(per_step, remaining)
         # emit the finished block
         block_tokens = np.asarray(canvas[0, lo:hi])
         for t in block_tokens:
