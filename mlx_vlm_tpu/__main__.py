@@ -9,6 +9,7 @@ _COMMANDS = {
     "convert": "mlx_vlm_tpu.convert",
     "chat": "mlx_vlm_tpu.chat",
     "lora": "mlx_vlm_tpu.lora",
+    "detect": "mlx_vlm_tpu.generate.detection",
     "sft": "mlx_vlm_tpu.sft",
 }
 
