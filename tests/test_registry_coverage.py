@@ -18,16 +18,12 @@ TEMPLATE_ONLY = {
     "cohere2_vision",
     "deepseek_v4",
     "diffusion_gemma",
-    "granite4_vision",
-    "jina_vlm",
     "jvlm",
-    "laguna",
     "minicpmo",
     "molmo_point",
     "nemotron_h_nano_omni",
     "nemotron_labs_diffusion",
     "nemotronh_nano_omni_reasoning_v3",
-    "phi4-siglip",
     "phi4mm",
     "step3p7",
     "zaya1_vl",
