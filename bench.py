@@ -140,9 +140,18 @@ def measure_image_ttft(model, cfg, *, img_hw=(476, 644), n_text=40):
 
 
 def parity_gate():
-    """Greedy-token parity of the fused whole-stack int4 kernel vs the
+    """Numerical parity of the fused whole-stack int4 kernel vs the
     per-linear path on a tiny REAL-weight model, on this accelerator
-    (the CPU version of this check is tests/test_fused_decode.py)."""
+    (the CPU version is tests/test_fused_decode.py).
+
+    The two paths round differently by design — the fused kernel's z2
+    formulation dots RAW bytes exactly and applies scales to f32 group
+    partials, while the per-linear path dots bf16-rounded dequantized
+    weights — so exact greedy-token equality is the wrong test: tokens
+    flip whenever the top-2 logits sit inside the shared rounding band.
+    The gate asserts (a) per-step logits agree within a tight bound and
+    (b) the argmax agrees at every step where the reference's top-1/2
+    margin exceeds twice that bound."""
     from mlx_vlm_tpu.core.quant import quantize, to_int4_grouped
     from mlx_vlm_tpu.generate.ar import generate_step
     from mlx_vlm_tpu.utils.loader import load_model_from_weights
@@ -169,7 +178,10 @@ def parity_gate():
             weights[k] = to_int4_grouped(
                 quantize(jnp.asarray(w), bits=4, group_size=64))
 
-    def toks(fused):
+    def step_logits(fused, n_steps=8, forced_tokens=None):
+        """Per-step logits; greedy self-fed, or teacher-forced when
+        `forced_tokens` is given (keeps both paths on the SAME context —
+        a near-tie argmax flip must not fork the comparison)."""
         if fused:
             m = load_model_from_weights(dict(cfg), dict(weights), jnp.float32)
             lp = m.params["language_model"]
@@ -186,13 +198,34 @@ def parity_gate():
         e = jnp.asarray(
             np.random.default_rng(3).standard_normal((1, 8, D)) * 0.3,
             jnp.float32)
-        return [
-            int(t[0]) for t, _ in generate_step(
-                e, m, max_tokens=8, prefill_step_size=8, block_size=2,
-                seed=0)
-        ]
+        lm = m.language_model
+        # capacity at the kernel's lane granularity (C % 128)
+        cache = lm.init_cache(1, 128, jnp.float32)
+        pos = jnp.arange(8, dtype=jnp.int32)[None]
+        logits, cache = m(m.params, e, cache,
+                          jnp.broadcast_to(pos, (3, 1, 8)))
+        out = [np.asarray(logits[:, -1], np.float32)]
+        toks = []
+        for s in range(n_steps - 1):
+            tok = (int(np.argmax(out[-1])) if forced_tokens is None
+                   else forced_tokens[s])
+            toks.append(tok)
+            emb = lm.embed(m.params["language_model"],
+                           jnp.asarray([[tok]], jnp.int32))
+            p = jnp.full((3, 1, 1), 8 + s, jnp.int32)
+            logits, cache = m(m.params, emb, cache, p)
+            out.append(np.asarray(logits[:, 0], np.float32))
+        return np.concatenate(out, axis=0), toks  # [n_steps, V]
 
-    return toks(True) == toks(False)
+    lr, ref_toks = step_logits(False)
+    lf, _ = step_logits(True, forced_tokens=ref_toks)
+    scale = max(1.0, float(np.abs(lr).max()))
+    tol = 0.05 * scale
+    close = bool(np.abs(lf - lr).max() <= tol)
+    top2 = np.sort(lr, axis=-1)[:, -2:]
+    margin_ok = (top2[:, 1] - top2[:, 0]) > 2 * tol
+    same_argmax = lf.argmax(-1) == lr.argmax(-1)
+    return close and bool(np.all(same_argmax[margin_ok]))
 
 
 def main():
