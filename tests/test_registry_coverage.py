@@ -19,7 +19,6 @@ TEMPLATE_ONLY = {
     "deepseek_v4",
     "diffusion_gemma",
     "jvlm",
-    "minicpmo",
     "molmo_point",
     "nemotron_h_nano_omni",
     "nemotron_labs_diffusion",
