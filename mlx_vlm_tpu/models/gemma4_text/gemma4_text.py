@@ -311,6 +311,13 @@ class LanguageModel:
         j = jnp.arange(C)[None, None, None, :]
         qpos = (offset + jnp.arange(S))[None, None, :, None]
         slide_mask = full_mask & (j > qpos - a.sliding_window)
+        if getattr(self, "canvas_bidirectional", False) and own_cache:
+            # diffusion canvas decode (diffusion_gemma): full layers see
+            # the whole canvas, sliding layers a symmetric local window
+            valid = j < S
+            full_mask = jnp.broadcast_to(valid, full_mask.shape)
+            slide_mask = full_mask & (jnp.abs(j - qpos)
+                                      < a.sliding_window)
 
         h0 = inputs_embeds[..., :D]  # embed() already applied the scale
         # per-layer inputs (reference :381-425), channel-packed by embed()
