@@ -106,6 +106,15 @@ class LanguageModel:
                                     cache.capacity,
                                     window=args.sliding_window)
                   if args.sliding_window else mask_f)
+        if getattr(self, "canvas_bidirectional", False) and made:
+            # diffusion canvas decode (nemotron_labs_diffusion): full
+            # layers see the whole canvas, sliding layers a symmetric
+            # local window
+            j = jnp.arange(cache.capacity)[None, None, None, :]
+            qpos = jnp.arange(S)[None, None, :, None]
+            mask_f = jnp.broadcast_to(j < S, mask_f.shape)
+            mask_s = (mask_f & (jnp.abs(j - qpos) < args.sliding_window)
+                      if args.sliding_window else mask_f)
         if self.beta:
             # llama-4 attn temperature (reference :19): per query position
             attn_scale = (1.0 + self.beta * jnp.log1p(jnp.floor(

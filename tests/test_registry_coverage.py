@@ -20,7 +20,6 @@ TEMPLATE_ONLY = {
     "jvlm",
     "molmo_point",
     "nemotron_h_nano_omni",
-    "nemotron_labs_diffusion",
     "nemotronh_nano_omni_reasoning_v3",
     "phi4mm",
     "step3p7",
