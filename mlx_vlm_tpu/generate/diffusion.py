@@ -85,6 +85,23 @@ def _make_step_fn(model, mask_token_id: int, sampler: str = "confidence",
     return step
 
 
+def _make_edit_fn(model):
+    @jax.jit
+    def edit(params, canvas, editable, threshold):
+        """Post-fill editing (reference llada2_moe language.py:613 /
+        nemotron_labs_diffusion): rewrite already-committed canvas
+        positions whose NEW prediction differs and clears the editing
+        confidence threshold."""
+        logits = model.forward_full(params, canvas).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        pred = jnp.argmax(logits, axis=-1).astype(canvas.dtype)
+        conf = jnp.max(probs, axis=-1)
+        edit = editable & (pred != canvas) & (conf > threshold)
+        return jnp.where(edit, pred, canvas), edit.any()
+
+    return edit
+
+
 def stream_diffusion_generate(
     model,
     processor,
@@ -95,6 +112,8 @@ def stream_diffusion_generate(
     mask_token_id: Optional[int] = None,
     diffusion_sampler: str = "confidence-threshold",
     entropy_bound: float = 0.1,
+    editing_threshold: Optional[float] = None,
+    max_post_steps: int = 4,
     **kwargs,
 ) -> Generator[GenerationResult, None, None]:
     """Reference diffusion.py:539 — block demasking with either the
@@ -124,6 +143,8 @@ def stream_diffusion_generate(
                else "confidence")
     step_fn = _make_step_fn(model, mask_id, sampler=sampler,
                             entropy_bound=entropy_bound)
+    edit_fn = (_make_edit_fn(model) if editing_threshold is not None
+               else None)
 
     tic = time.perf_counter()
     tok = getattr(processor, "tokenizer", processor)
@@ -150,6 +171,18 @@ def stream_diffusion_generate(
                     np.asarray(committed_dev[:, lo:hi]).sum())
             else:
                 remaining -= min(per_step, remaining)
+        if edit_fn is not None:
+            # post-fill editing: re-open committed block tokens that the
+            # model now contradicts with high confidence
+            editable = np.zeros((B, total), bool)
+            editable[:, lo:hi] = True
+            editable_dev = jnp.asarray(editable)
+            for _ in range(max_post_steps):
+                canvas, changed = edit_fn(
+                    model.params, canvas, editable_dev,
+                    jnp.float32(editing_threshold))
+                if not bool(changed):
+                    break
         # emit the finished block
         block_tokens = np.asarray(canvas[0, lo:hi])
         for t in block_tokens:

@@ -116,3 +116,30 @@ class TestEntropyBoundSampler:
             diffusion_sampler="entropy-bound", entropy_bound=0.5))
         assert len(out) == 8
         assert out[-1].finish_reason == "length"
+
+
+class TestPostFillEditing:
+    def test_editing_runs_and_threshold_gates(self):
+        """editing_threshold re-opens committed tokens the model
+        contradicts with high confidence; threshold=inf edits nothing."""
+        from mlx_vlm_tpu.generate.diffusion import stream_diffusion_generate
+        from mlx_vlm_tpu.utils.loader import load_model_from_weights
+        from mlx_vlm_tpu.utils.testing import (llama_hf_weights,
+                                               tiny_llama_config)
+
+        cfg = tiny_llama_config(model_type="llada", vocab_size=256)
+        cfg["mask_token_id"] = 255
+        cfg["diffusion"] = True
+        m = load_model_from_weights(cfg, llama_hf_weights(cfg, 0),
+                                    jnp.float32)
+        base = [r.token for r in stream_diffusion_generate(
+            m, _Proc(), "hello", max_tokens=8, block_size=4)]
+        inf_edit = [r.token for r in stream_diffusion_generate(
+            m, _Proc(), "hello", max_tokens=8, block_size=4,
+            editing_threshold=1.1)]  # > any softmax prob: no edits
+        assert inf_edit == base
+        # a permissive threshold runs the editing pass without crashing
+        edited = [r.token for r in stream_diffusion_generate(
+            m, _Proc(), "hello", max_tokens=8, block_size=4,
+            editing_threshold=0.0, max_post_steps=2)]
+        assert len(edited) == 8
