@@ -22,7 +22,6 @@ TEMPLATE_ONLY = {
     "nemotron_h_nano_omni",
     "nemotronh_nano_omni_reasoning_v3",
     "phi4mm",
-    "step3p7",
     "zaya1_vl",
 }
 
