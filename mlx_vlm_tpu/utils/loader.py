@@ -61,6 +61,7 @@ MODEL_REMAPPING = {
     "cohere": "cohere2",
     "nemotron-nas": "nemotron_nas",  # HF model_type has a hyphen
     "phi4-siglip": "phi4_siglip",
+    "jvlm": "jina_vlm",  # reference utils.py:38
     "phi3small": "phi3small",
     "phi3_small": "phi3small",
     "hunyuan_v1_moe": "hunyuan",
