@@ -23,6 +23,7 @@ import numpy as np
 DETECTION_MODEL_TYPES = {
     "sam3": "sam3",
     "sam3_video": "sam3",
+    "sam3_1": "sam3",
     "rfdetr": "rfdetr",
     "rf-detr": "rfdetr",
     "rt_detr_v2": "rt_detr_v2",

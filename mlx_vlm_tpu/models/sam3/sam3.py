@@ -66,8 +66,13 @@ class Model:
         d = det.detr_encoder_config.hidden_size
         fpn_pos = [sine_pos_2d(B, f.shape[1], f.shape[2], d // 2, f.dtype)
                    for f in fpn]
-        feats = fpn[:-1]          # drop coarsest (scalp=1)
-        pos = fpn_pos[:-1]
+        if getattr(self, "trim_coarsest", True):
+            feats = fpn[:-1]      # drop coarsest (scalp=1)
+            pos = fpn_pos[:-1]
+        else:
+            # sam3_1: 3 FPN scales [4x, 2x, 1x], no 0.5x level to drop
+            feats = fpn
+            pos = fpn_pos
 
         if inputs_embeds is None:
             inputs_embeds = self.get_input_embeddings(params, input_ids,
