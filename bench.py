@@ -15,8 +15,10 @@ Baseline: mlx-vlm on an M3 Ultra decodes Qwen2-VL-7B-4bit at roughly
 published number exists).  vs_baseline = value / 100.0.
 
 Physics note: this chip's sustained HBM bandwidth measures ~775 GB/s
-(tools/probe_overlap2.py); a 7B int4 step must read ~3.9 GB (weights +
-f32 scale planes + KV), so the zero-overhead roofline is ~195 tok/s.
+(tools/probe_overlap2.py); a 7B int4 step reads ~4.1 GB (3.5 GB packed
+nibbles + 0.59 GB f32 scale planes + KV), so the zero-overhead roofline
+is ~190 tok/s.  Round-4 measured: 8.67 ms/tok (u16 scales) -> 7.37
+(f32 scales + lm_head M-pad) -> 6.9 (z2 raw-byte matvec) = ~145 tok/s.
 
 Extras:
 - ttft_image_7b_s: image-prefill TTFT through the REAL Qwen2-VL vision
