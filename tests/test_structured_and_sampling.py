@@ -84,6 +84,137 @@ class TestConstrainedChooser:
         assert out.lstrip().startswith("{")
 
 
+class TestSchemaAutomaton:
+    """Real JSON-schema enforcement (reference structured.py:262 compiles
+    the schema via llguidance; here a pure-Python schema walker)."""
+
+    SCHEMA = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "color": {"enum": ["red", "green", "blue"]},
+            "count": {"type": "integer"},
+            "tags": {"type": "array", "items": {"type": "string"},
+                     "maxItems": 2},
+        },
+        "required": ["name", "color"],
+        "additionalProperties": False,
+    }
+
+    @pytest.mark.parametrize("text", [
+        "", "{", '{"', '{"na', '{"name"', '{"name": "x"',
+        '{"name": "x", "color": "re',
+        '{"name": "x", "color": "red"}',
+        '{"name": "x", "color": "red", "count": 3}',
+        '{"name": "x", "color": "red", "tags": ["a"]}',
+        '  {"name": "x", "color": "blue", "count": -12',
+    ])
+    def test_schema_prefixes_valid(self, text):
+        from mlx_vlm_tpu.structured import schema_prefix_valid
+        assert schema_prefix_valid(text, self.SCHEMA), text
+
+    @pytest.mark.parametrize("text", [
+        "[",                       # root type
+        '"x"',                     # root type
+        "3",                       # root type
+        '{"bogus',                 # additionalProperties: false, no match
+        '{"name": 1',              # property type
+        '{"color": "yellow"',      # off-enum complete string
+        '{"color": "gre_',         # not a prefix of any enum value
+        '{"name": "x"}',           # closes with required "color" missing
+        '{"count": 1.5}',          # integer violated at value completion
+        '{"count": tru',           # integer property, boolean literal
+        '{"tags": ["a", "b", "c"',  # maxItems
+        '{"name": "x", "name":',   # duplicate key
+        '{"name": "x", "color": "red"} x',  # trailing garbage
+    ])
+    def test_schema_prefixes_invalid(self, text):
+        from mlx_vlm_tpu.structured import schema_prefix_valid
+        assert not schema_prefix_valid(text, self.SCHEMA), text
+
+    def test_integer_exponent_form(self):
+        from mlx_vlm_tpu.structured import schema_complete
+        assert schema_complete('{"name":"x","color":"red","count":1e2}',
+                               self.SCHEMA)
+        assert not schema_complete('{"name":"x","color":"red","count":1.5}',
+                                   self.SCHEMA)
+
+    def test_anyof_and_const(self):
+        from mlx_vlm_tpu.structured import (
+            schema_complete, schema_prefix_valid)
+        sch = {"anyOf": [{"type": "string"}, {"const": 42}]}
+        assert schema_prefix_valid('"hel', sch)
+        assert schema_prefix_valid("4", sch)
+        assert schema_complete("42 ", sch)
+        assert not schema_prefix_valid("true", sch)
+        assert not schema_prefix_valid("41 ", sch)
+
+    def test_positional_items(self):
+        from mlx_vlm_tpu.structured import schema_prefix_valid
+        sch = {"type": "array",
+               "items": [{"type": "integer"}, {"type": "string"}]}
+        assert schema_prefix_valid('[1, "a"]', sch)
+        assert not schema_prefix_valid('["a"', sch)
+
+    def _greedy_walk(self, schema, favored, vocab, max_steps=64):
+        """Drive JSONLogitsProcessor with logits always favoring `favored`
+        (an off-schema token); return the final text."""
+        class Tok:
+            def decode(self, ids, **kw):
+                return "".join(vocab[i] for i in ids)
+
+        from mlx_vlm_tpu.structured import JSONLogitsProcessor
+        proc = JSONLogitsProcessor(Tok(), schema, beam=len(vocab))
+        rng = np.random.default_rng(0)
+        for _ in range(max_steps):
+            logits = rng.standard_normal(len(vocab)).astype(np.float32)
+            logits[favored] += 20.0  # off-schema token always argmax
+            proc.choose(logits)
+            if proc.done:
+                break
+        return proc
+
+    def test_required_and_enum_enforced_on_sampled_output(self):
+        import json as _json
+        vocab = ['{', '}', '"name"', '"color"', '"x"', '"red"', '"green"',
+                 '"yellow"', ':', ',', ' ', 'hello', '[', ']']
+        favored = vocab.index('hello')
+        schema = {
+            "type": "object",
+            "properties": {"name": {"type": "string"},
+                           "color": {"enum": ["red", "green", "blue"]}},
+            "required": ["name", "color"],
+            "additionalProperties": False,
+        }
+        proc = self._greedy_walk(schema, favored, vocab)
+        assert proc.done, proc.text
+        obj = _json.loads(proc.text)
+        assert set(obj) <= {"name", "color"}
+        assert "name" in obj and obj["color"] in ("red", "green", "blue")
+        assert "hello" not in proc.text
+
+    def test_off_schema_token_rejected_midway(self):
+        from mlx_vlm_tpu.structured import JSONLogitsProcessor
+
+        vocab = ['{', '}', '"a"', '"b"', ':', '1', '2', 'true']
+        class Tok:
+            def decode(self, ids, **kw):
+                return "".join(vocab[i] for i in ids)
+
+        schema = {"type": "object", "properties": {"a": {"type": "integer"}},
+                  "required": ["a"], "additionalProperties": False}
+        proc = JSONLogitsProcessor(Tok(), schema, beam=len(vocab))
+        proc.text = '{"a":'
+        # logits favor `true` (type violation) then `"b"` (closed key set):
+        # the automaton must fall through to an integer
+        logits = np.zeros(len(vocab), np.float32)
+        logits[vocab.index('true')] = 9.0
+        logits[vocab.index('"b"')] = 8.0
+        logits[vocab.index('1')] = 1.0
+        tid = proc.choose(logits)
+        assert vocab[tid] in ('1', '2')
+
+
 class TestSamplingExtras:
     def test_typical_p(self):
         s = make_sampler(temp=1.0, typical_p=0.5)
