@@ -78,14 +78,14 @@ def measure(model, cfg, *, s_prompt=128, n_decode=320):
 
     # warmup/compile at the same shapes
     for _ in generate_step(
-        embeds, model, max_tokens=2 * BLOCK, prefill_step_size=128,
+        embeds, model, max_tokens=2 * BLOCK, prefill_step_size=512,
         block_size=BLOCK,
     ):
         pass
 
     t0 = time.time()
     gen = generate_step(
-        embeds, model, max_tokens=n_decode, prefill_step_size=128,
+        embeds, model, max_tokens=n_decode, prefill_step_size=512,
         block_size=BLOCK,
     )
     next(gen)

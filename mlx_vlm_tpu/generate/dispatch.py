@@ -199,9 +199,8 @@ def stream_generate(
     draft_model = kwargs.get("draft_model")
     if draft_model is not None:
         # speculative decoding (reference --draft-model, dispatch.py:700):
-        # greedy-only, lossless vs plain target decoding
-        if temperature != 0.0:
-            raise ValueError("speculative decoding requires temperature=0")
+        # distribution-preserving at any temperature via the rejection walk
+        # (reference common.py:46,135); greedy (temp=0) stays lossless
         from ..speculative.utils import speculative_generate_step
 
         token_iter = speculative_generate_step(
@@ -212,6 +211,8 @@ def stream_generate(
             max_tokens=max_tokens,
             num_draft=int(kwargs.get("num_draft_tokens", 4)),
             prefill_step_size=prefill_step_size,
+            temperature=temperature, top_p=top_p, min_p=min_p, top_k=top_k,
+            seed=seed,
         )
     else:
         token_iter = generate_step(

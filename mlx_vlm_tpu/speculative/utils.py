@@ -161,8 +161,53 @@ def validate_drafter_compatibility(model, drafter):
         raise ValueError(f"drafter vocab {dv} != target vocab {tv}")
 
 
+def rejection_walk(pt, pd, draft_toks, key):
+    """Speculative rejection-sampling walk (reference common.py:135).
+
+    pt [B,k+1,V]: filtered target probs at each draft position (+1 bonus);
+    pd [B,k,V]: filtered draft probs; draft_toks [B,k] sampled from pd.
+    Returns (out [B,k+1], n_acc [B]) where out[:, :n_acc+1] are committed —
+    accepted drafts followed by one residual-corrected token.  Guarantees
+    every committed token is marginally distributed as pt (Leviathan et al.;
+    with one-hot probs it reduces to greedy matching).
+    """
+    B, k = draft_toks.shape
+    dsel = jnp.take_along_axis(pd, draft_toks[..., None], axis=-1)[..., 0]
+    tsel = jnp.take_along_axis(
+        pt[:, :k], draft_toks[..., None], axis=-1)[..., 0]
+    key, sub = jax.random.split(key)
+    u = jax.random.uniform(sub, (B, k))
+    accept = u * jnp.maximum(dsel, 1e-20) <= tsel
+    n_acc = jnp.argmin(
+        jnp.concatenate([accept, jnp.zeros((B, 1), bool)], axis=1).astype(
+            jnp.int32),
+        axis=1,
+    )  # first rejection position == number accepted
+    # correction/bonus: residual draw at the first rejected position
+    # (p_d = 0 past k, so a full accept samples the bonus straight from p_t)
+    pt_n = jnp.take_along_axis(pt, n_acc[:, None, None], axis=1)[:, 0]
+    V = pt.shape[-1]
+    pd_pad = jnp.concatenate([pd, jnp.zeros((B, 1, V), pd.dtype)], axis=1)
+    pd_n = jnp.take_along_axis(pd_pad, n_acc[:, None, None], axis=1)[:, 0]
+    residual = jnp.maximum(pt_n - pd_n, 0.0)
+    key, sub = jax.random.split(key)
+    corr = jax.random.categorical(
+        sub, jnp.log(residual + 1e-30), axis=-1).astype(jnp.int32)
+    idx = jnp.arange(k + 1)[None, :]
+    out = jnp.where(
+        idx < n_acc[:, None], jnp.pad(draft_toks, ((0, 0), (0, 1))), 0)
+    out = jnp.where(idx == n_acc[:, None], corr[:, None], out)
+    return out, n_acc
+
+
 class SpeculativeEngine:
-    """Jitted draft/verify programs for a (target, drafter) pair."""
+    """Jitted draft/verify programs for a (target, drafter) pair.
+
+    Temperature-aware: draft/verify carry per-row sampling params `sp`
+    (dict of [B] arrays) and a PRNG key; rows with temp==0 reduce exactly
+    to greedy token matching because `batched_filtered_probs` returns
+    one-hot argmax distributions for them (reference runs the same
+    RNG-state-preserving rejection walk everywhere, common.py:46,135)."""
 
     def __init__(self, model, drafter, num_draft: int = 4):
         self.model = model
@@ -174,24 +219,31 @@ class SpeculativeEngine:
     def draft_fn(self):
         if self._draft_fn is not None:
             return self._draft_fn
+        from ..core.sampling import make_batched_sampler
+
         lm = self.drafter.language_model
         k = self.k
+        sampler = make_batched_sampler()
 
         @partial(jax.jit, donate_argnums=(1,))
-        def draft(params, cache, tok):
+        def draft(params, cache, tok, sp, key):
             B = tok.shape[0]
 
             def body(carry, _):
-                cache, tok = carry
+                cache, tok, key = carry
                 embeds = lm.embed(params["language_model"], tok[:, None])
                 pos = jnp.broadcast_to(cache.offset[None, None], (3, B, 1))
                 hidden, cache = lm(params["language_model"], embeds, cache, pos)
                 logits = lm.logits(params["language_model"], hidden)[:, 0]
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return (cache, nxt), nxt
+                logits = logits.astype(jnp.float32)
+                key, sub = jax.random.split(key)
+                nxt = sampler(logits, sp, sub)
+                return (cache, nxt, key), (nxt, logits)
 
-            (cache, _), toks = jax.lax.scan(body, (cache, tok), None, length=k)
-            return toks.T, cache  # [B, k]
+            (cache, _, _), (toks, lgs) = jax.lax.scan(
+                body, (cache, tok, key), None, length=k)
+            # [B, k] tokens + [B, k, V] draft logits for the rejection walk
+            return toks.T, jnp.moveaxis(lgs, 0, 1), cache
 
         self._draft_fn = draft
         return draft
@@ -217,15 +269,21 @@ class SpeculativeEngine:
     def verify_fn(self):
         if self._verify_fn is not None:
             return self._verify_fn
+        from ..core.sampling import batched_filtered_probs
+
         lm = self.model.language_model
         k = self.k
 
         @partial(jax.jit, donate_argnums=(1,))
-        def verify(params, cache, prev_tok, draft_toks, rope_delta):
-            """One target forward over [prev, d1..dk]; greedy acceptance.
+        def verify(params, cache, prev_tok, draft_toks, d_logits,
+                   rope_delta, sp, key):
+            """One target forward over [prev, d1..dk]; rejection-sampling
+            acceptance walk (reference common.py:135).
 
             Returns (out_toks [B, k+1], n_accepted [B], cache-with-rewound-
-            cursor).  out_toks[:, :n_acc+1] are the committed tokens.
+            cursor).  out_toks[:, :n_acc+1] are the committed tokens; the
+            token at n_acc is the residual correction draw (== target
+            greedy when temp==0, since both distributions are one-hot).
             """
             B = prev_tok.shape[0]
             seq = jnp.concatenate([prev_tok[:, None], draft_toks], axis=1)  # [B,k+1]
@@ -237,24 +295,9 @@ class SpeculativeEngine:
             pos = jnp.broadcast_to(pos, (3, B, k + 1))
             hidden, cache = lm(lp, embeds, cache, pos.astype(jnp.int32))
             logits = lm.logits(lp, hidden).astype(jnp.float32)  # [B,k+1,V]
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,k+1]
-            # accept draft i while greedy[:, i] == draft[:, i]
-            match = greedy[:, :k] == draft_toks  # [B,k]
-            n_acc = jnp.argmin(
-                jnp.concatenate(
-                    [match, jnp.zeros((B, 1), bool)], axis=1
-                ).astype(jnp.int32),
-                axis=1,
-            )  # first mismatch position == number accepted
-            # full match (n_acc == k) commits k+1 tokens (d1..dk + bonus
-            # greedy[k], reference utils.py:268); the host loop then syncs
-            # the drafter cache over d_k before the next round
-            # committed tokens: draft[:, :n_acc] then greedy[:, n_acc] (the
-            # correction/bonus token)
-            idx = jnp.arange(k + 1)[None, :]
-            out = jnp.where(idx < n_acc[:, None], jnp.pad(draft_toks, ((0, 0), (0, 1))), 0)
-            bonus = jnp.take_along_axis(greedy, n_acc[:, None], axis=1)[:, 0]
-            out = jnp.where(idx == n_acc[:, None], bonus[:, None], out)
+            pt = batched_filtered_probs(logits, sp)             # [B,k+1,V]
+            pd = batched_filtered_probs(d_logits, sp)           # [B,k,V]
+            out, n_acc = rejection_walk(pt, pd, draft_toks, key)
             # rewind: the forward advanced offset by k+1; commit only n_acc+1
             cache = dataclasses.replace(
                 cache,
@@ -289,10 +332,17 @@ def speculative_generate_step(
     num_draft: int = 4,
     prefill_step_size: int = 512,
     stats: Optional[SpecStats] = None,
+    temperature: float = 0.0,
+    top_p: float = 0.0,
+    min_p: float = 0.0,
+    top_k: int = -1,
+    seed: Optional[int] = None,
 ) -> Generator[Tuple[np.ndarray, np.ndarray], None, None]:
-    """Greedy speculative decoding, B=1 (reference utils.py:215).
+    """Speculative decoding, B=1 (reference utils.py:215).
 
-    Lossless: output equals plain greedy decoding of the target model.
+    Distribution-preserving at any temperature via the rejection-sampling
+    walk (reference common.py:135); at temperature=0 the walk reduces to
+    greedy matching, so output equals plain greedy target decoding.
     """
     assert inputs_embeds.shape[0] == 1, "speculative path is single-stream"
     params = model.params
@@ -350,7 +400,19 @@ def speculative_generate_step(
         )
     d_cache = dataclasses.replace(d_cache, offset=jnp.asarray(S, jnp.int32))
 
-    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # first token
+    from ..core.sampling import make_batched_sampler
+
+    sp = {
+        "temp": jnp.full((B,), temperature, jnp.float32),
+        "top_p": jnp.full((B,), top_p, jnp.float32),
+        "min_p": jnp.full((B,), min_p, jnp.float32),
+        "top_k": jnp.full((B,), top_k, jnp.int32),
+    }
+    key = jax.random.PRNGKey(
+        seed if seed is not None else int(time.time_ns() % 2**31))
+    key, sub = jax.random.split(key)
+    tok = make_batched_sampler()(
+        logits.astype(jnp.float32), sp, sub)  # first token
     yield np.asarray(tok), np.zeros((B,), np.float32)
     n = 1
 
@@ -360,8 +422,10 @@ def speculative_generate_step(
     # `cur` = sequence position of the last emitted token (target cache's
     # write cursor; the last token's own KV is written by the next round)
     while n < max_tokens:
-        d_toks, d_cache = draft(drafter.params, d_cache, tok)
-        out, n_acc, cache = verify(params, cache, tok, d_toks, rope_deltas)
+        key, dk, vk = jax.random.split(key, 3)
+        d_toks, d_logits, d_cache = draft(drafter.params, d_cache, tok, sp, dk)
+        out, n_acc, cache = verify(
+            params, cache, tok, d_toks, d_logits, rope_deltas, sp, vk)
         out_h = np.asarray(out)
         n_acc_h = int(np.asarray(n_acc)[0])
         stats.rounds += 1

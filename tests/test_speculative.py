@@ -75,6 +75,98 @@ class TestSpeculative:
             out, _ = _spec_greedy(target, drafter_diff, ids, 10, k=k)
             assert out == ref, f"k={k}: {out} != {ref}"
 
+    def test_temperature_greedy_equivalence(self, target, drafter_diff):
+        """temperature=0 through the rejection walk == plain greedy."""
+        ids = (np.arange(7, dtype=np.int32) * 5 % 190)[None]
+        ref = _plain_greedy(target, ids, 12)
+        toks = [
+            int(t[0]) for t, _ in speculative_generate_step(
+                _embeds(target, ids), target, drafter_diff, input_ids=ids,
+                max_tokens=12, num_draft=3, temperature=0.0, seed=11,
+            )
+        ]
+        assert toks == ref
+
+    def test_temperature_sampling_runs_end_to_end(self, target, drafter_diff):
+        """temp>0 speculation yields max_tokens tokens without error and
+        different seeds produce different continuations."""
+        ids = (np.arange(7, dtype=np.int32) * 5 % 190)[None]
+        runs = []
+        for seed in (3, 4):
+            toks = [
+                int(t[0]) for t, _ in speculative_generate_step(
+                    _embeds(target, ids), target, drafter_diff,
+                    input_ids=ids, max_tokens=10, num_draft=3,
+                    temperature=0.9, seed=seed,
+                )
+            ]
+            assert len(toks) == 10
+            runs.append(toks)
+        assert runs[0] != runs[1]
+
+
+class TestRejectionWalk:
+    """Distribution preservation of the rejection-sampling walk itself
+    (reference common.py:135): every committed token must be marginally
+    distributed as the target distribution, for any drafter distribution."""
+
+    def _empirical(self, p, q, k, n_trials=4000, seed=0):
+        from mlx_vlm_tpu.speculative.utils import rejection_walk
+
+        V = p.shape[-1]
+        pt = jnp.asarray(np.tile(p, (1, k + 1, 1)), jnp.float32)  # [1,k+1,V]
+        pd = jnp.asarray(np.tile(q, (1, k, 1)), jnp.float32)      # [1,k,V]
+
+        def one(key):
+            kd, kw = jax.random.split(key)
+            draft = jax.random.categorical(
+                kd, jnp.log(pd[0] + 1e-30), axis=-1)[None].astype(jnp.int32)
+            out, n_acc = rejection_walk(pt, pd, draft, kw)
+            return out[0, 0], out[0, 1], n_acc[0]
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_trials)
+        t0, t1, n_acc = jax.jit(jax.vmap(one))(keys)
+        t0 = np.asarray(t0)
+        t1 = np.asarray(t1)
+        n_acc = np.asarray(n_acc)
+        first = np.bincount(t0, minlength=V) / n_trials
+        # second committed token marginal, conditioned on >= 2 committed
+        mask = n_acc >= 1
+        second = (np.bincount(t1[mask], minlength=V) / max(mask.sum(), 1))
+        return first, second, n_acc
+
+    def test_first_token_matches_target(self):
+        p = np.asarray([[[0.6, 0.25, 0.1, 0.05]]])
+        q = np.asarray([[[0.1, 0.2, 0.3, 0.4]]])  # very different drafter
+        first, _, n_acc = self._empirical(p, q, k=3)
+        tv = 0.5 * np.abs(first - p[0, 0]).sum()
+        assert tv < 0.03, f"TV {tv:.4f}: {first} vs {p[0,0]}"
+        # weak drafter: acceptance must be well below 1 (walk is active)
+        assert n_acc.mean() < 2.5
+
+    def test_perfect_drafter_accepts_everything(self):
+        p = np.asarray([[[0.5, 0.3, 0.15, 0.05]]])
+        first, second, n_acc = self._empirical(p, p.copy(), k=3)
+        # p_d == p_t: u*p <= p always -> all k drafts accepted
+        assert (n_acc == 3).all()
+        tv = 0.5 * np.abs(first - p[0, 0]).sum()
+        assert tv < 0.03
+
+    def test_second_token_matches_target(self):
+        # i.i.d. positions: the second committed token is also ~ p_t
+        p = np.asarray([[[0.7, 0.2, 0.08, 0.02]]])
+        q = np.asarray([[[0.25, 0.25, 0.25, 0.25]]])
+        _, second, _ = self._empirical(p, q, k=3)
+        tv = 0.5 * np.abs(second - p[0, 0]).sum()
+        assert tv < 0.05, f"TV {tv:.4f}: {second} vs {p[0,0]}"
+
+    def test_one_hot_reduces_to_greedy(self):
+        p = np.zeros((1, 1, 4)); p[..., 2] = 1.0
+        q = np.zeros((1, 1, 4)); q[..., 1] = 1.0
+        first, _, n_acc = self._empirical(p, q, k=2, n_trials=64)
+        assert (n_acc == 0).all()          # every draft rejected
+        assert first[2] == 1.0             # correction = target argmax
+
     def test_eagle3_lossless(self, target):
         """EAGLE-style drafter (random weights): output must equal plain
         target greedy regardless of drafter quality."""
@@ -196,9 +288,11 @@ class TestDispatchWiring:
             draft_model=draft, num_draft_tokens=3))
         assert spec == plain
 
-        with pytest.raises(ValueError, match="temperature"):
-            list(stream_generate(target, proc, "x", max_tokens=2,
-                                 temperature=0.5, draft_model=draft))
+        # temperature>0 is supported via the rejection walk (no guard)
+        sampled = list(stream_generate(target, proc, "x", max_tokens=4,
+                                       temperature=0.5, draft_model=draft,
+                                       seed=9))
+        assert len([r for r in sampled if r.text is not None]) >= 1
 
     def test_mrope_target_lossless(self):
         """speculative_generate_step on an M-RoPE (qwen2_vl) target."""
