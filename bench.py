@@ -103,7 +103,7 @@ def measure(model, cfg, *, s_prompt=128, n_decode=320):
 def measure_image_ttft(model, cfg, *, img_hw=(476, 644), n_text=40):
     """TTFT for a COCO-sized image prompt THROUGH the vision tower:
     embed (ViT + merge) + chunked prefill + first sampled token."""
-    from mlx_vlm_tpu.generate.ar import generate_step
+    from mlx_vlm_tpu.generate.ar import embed_fn, generate_step
 
     vc = cfg["vision_config"]
     patch = vc["patch_size"]
@@ -126,7 +126,7 @@ def measure_image_ttft(model, cfg, *, img_hw=(476, 644), n_text=40):
 
     def once():
         t0 = time.time()
-        embeds = jax.jit(model.get_input_embeddings)(
+        embeds = embed_fn(model)(
             model.params, jnp.asarray(ids), jnp.asarray(pv), **aux_dev
         )
         gen = generate_step(

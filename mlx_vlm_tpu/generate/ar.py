@@ -186,6 +186,29 @@ class DecodeEngine:
 _ENGINES = weakref.WeakKeyDictionary()
 
 
+def jitted_method(model, name: str):
+    """Cached jitted bound method `model.<name>` (one wrapper per model).
+
+    `jax.jit(model.get_input_embeddings)` at a call site retraces EVERY
+    call — each attribute access makes a fresh bound method, so the jit
+    cache never hits; on a 7B the repeated re-lowering dominated image
+    TTFT.  The wrapper lives ON the model (a GC-collectable cycle), not in
+    the weak-keyed engine registry, which must hold no strong model refs."""
+    cache = getattr(model, "_jit_methods", None)
+    if cache is None:
+        cache = {}
+        model._jit_methods = cache
+    fn = cache.get(name)
+    if fn is None:
+        fn = cache[name] = jax.jit(getattr(model, name))
+    return fn
+
+
+def embed_fn(model):
+    """Cached jitted multimodal embed program (see jitted_method)."""
+    return jitted_method(model, "get_input_embeddings")
+
+
 def get_engine(model) -> DecodeEngine:
     """Engine per model instance; weak keys so dropping the model frees its
     params and compiled programs (an id()-keyed dict pinned every model —

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..core import cache as cache_lib
 from ..core.sampling import make_batched_sampler
-from .ar import get_engine
+from .ar import embed_fn, get_engine
 from .common import round_up
 
 DEFAULT_SLOTS = 8
@@ -510,12 +510,12 @@ def batch_generate(
         grid = inputs.get("image_grid_thw")
         if pixel_values is not None:
             aux = model.vision_aux_inputs(np.asarray(grid))
-            embeds = jax.jit(model.get_input_embeddings)(
+            embeds = embed_fn(model)(
                 model.params, jnp.asarray(ids), jnp.asarray(pixel_values),
                 **{k: jnp.asarray(v) for k, v in aux.items()},
             )
         else:
-            embeds = jax.jit(model.get_input_embeddings)(
+            embeds = embed_fn(model)(
                 model.params, jnp.asarray(ids)
             )
         pos, deltas = model.prepare_position_ids(

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..core.sampling import make_logits_processors, make_sampler
 from ..utils.processing import prepare_inputs
-from .ar import generate_step, get_engine
+from .ar import embed_fn, generate_step, get_engine, jitted_method
 from .common import GenerationResult, device_peak_memory_gb
 
 __all__ = ["stream_generate", "generate"]
@@ -118,7 +118,7 @@ def stream_generate(
     # --- embed (vision tower + merge) on device
     ids_dev = jnp.asarray(input_ids)
     if audio_aux_dev and pixel_values is None:
-        embeds = jax.jit(model.get_input_embeddings)(
+        embeds = embed_fn(model)(
             model.params, ids_dev, **audio_aux_dev
         )
     elif pixel_values is not None:
@@ -129,20 +129,20 @@ def stream_generate(
             ckey = vision_cache.key(pixel_values, grid_thw)
             feats = vision_cache.get(ckey)
             if feats is None:
-                feats = jax.jit(model.vision_features)(
+                feats = jitted_method(model, "vision_features")(
                     model.params, jnp.asarray(pixel_values), **aux_dev
                 )
                 vision_cache.put(ckey, feats)
-            embeds = jax.jit(model.get_input_embeddings)(
+            embeds = embed_fn(model)(
                 model.params, ids_dev, image_features=feats
             )
         else:
-            embeds = jax.jit(model.get_input_embeddings)(
+            embeds = embed_fn(model)(
                 model.params, ids_dev, jnp.asarray(pixel_values),
                 **aux_dev, **audio_aux_dev,
             )
     else:
-        embeds = jax.jit(model.get_input_embeddings)(model.params, ids_dev)
+        embeds = embed_fn(model)(model.params, ids_dev)
 
     # --- APC lookup: reuse the longest cached, media-safe prefix
     prompt_cache = None

@@ -20,6 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .ar import embed_fn
 from .common import GenerationResult, device_peak_memory_gb, round_up
 
 
@@ -86,7 +87,7 @@ def stream_encdec_generate(
         ids = ids[:, keep] if keep.ndim == 1 else ids
 
     tic = time.perf_counter()
-    embeds = jax.jit(model.get_input_embeddings)(
+    embeds = embed_fn(model)(
         model.params, jnp.asarray(ids), pixel_values)
 
     tok_owner = getattr(processor, "tokenizer", processor)

@@ -156,11 +156,13 @@ class Sam3Predictor:
                 p, px, attention_mask=am, boxes=bx, inputs_embeds=emb))
 
     def _text(self, prompt: str):
+        from ...generate.ar import embed_fn
+
         if prompt not in self._text_cache:
             t = self.processor.preprocess_text(prompt)
             ids = jnp.asarray(t["input_ids"])
             am = jnp.asarray(t["attention_mask"])
-            emb = jax.jit(self.model.get_input_embeddings)(
+            emb = embed_fn(self.model)(
                 self.model.params, ids, am)
             self._text_cache[prompt] = (emb, am)
         return self._text_cache[prompt]

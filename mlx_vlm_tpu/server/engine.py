@@ -203,6 +203,7 @@ class ResponseGenerator:
 
     # ------------------------------------------------------------ TPU thread
     def _prepare(self, args: GenerationArguments):
+        from ..generate.ar import embed_fn, jitted_method
         from ..generate.batch import BatchRequest, SamplingParams
         from ..utils.processing import prepare_inputs
 
@@ -244,22 +245,22 @@ class ResponseGenerator:
                 ckey = self.vision_cache.key(pixel_values, grid)
                 feats = self.vision_cache.get(ckey)
                 if feats is None:
-                    feats = jax.jit(self.model.vision_features)(
+                    feats = jitted_method(self.model, "vision_features")(
                         self.model.params, jnp.asarray(pixel_values), **aux_dev
                     )
                     self.vision_cache.put(ckey, feats)
             if feats is not None:
-                embeds = jax.jit(self.model.get_input_embeddings)(
+                embeds = embed_fn(self.model)(
                     self.model.params, jnp.asarray(ids), image_features=feats,
                     **audio_kw,
                 )
             else:
-                embeds = jax.jit(self.model.get_input_embeddings)(
+                embeds = embed_fn(self.model)(
                     self.model.params, jnp.asarray(ids), jnp.asarray(pixel_values),
                     **aux_dev, **audio_kw,
                 )
         else:
-            embeds = jax.jit(self.model.get_input_embeddings)(
+            embeds = embed_fn(self.model)(
                 self.model.params, jnp.asarray(ids), **audio_kw
             )
         pos, deltas = self.model.prepare_position_ids(

@@ -707,14 +707,14 @@ def constrained_generate(model, processor, prompt: str, schema=None,
     import jax
     import jax.numpy as jnp
 
-    from .generate.ar import generate_step
+    from .generate.ar import embed_fn, generate_step
     from .utils.processing import prepare_inputs
 
     tok = getattr(processor, "tokenizer", processor)
     proc = build_json_schema_logits_processor(schema, tok)
     sampler = make_constrained_sampler(proc)
     inputs = prepare_inputs(processor, prompt)
-    embeds = jax.jit(model.get_input_embeddings)(
+    embeds = embed_fn(model)(
         model.params, jnp.asarray(inputs["input_ids"])
     )
     for t, _ in generate_step(
