@@ -350,6 +350,12 @@ def _builtin_processor(model_type: str, tokenizer, model=None):
         from ..models.minicpmv4_6.processing import MiniCPMVProcessor
 
         return MiniCPMVProcessor(tokenizer, model=model)
+    if model_type == "phi4mm":
+        from ..models.phi4mm.processing import Phi4MMProcessor
+
+        vc = getattr(getattr(model, "config", None), "vision_config", None)
+        return Phi4MMProcessor(
+            tokenizer, patch_size=getattr(vc, "patch_size", 14))
     if model_type == "moondream2":
         from ..models.moondream2.processing import MoondreamProcessor
 

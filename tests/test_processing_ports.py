@@ -136,3 +136,59 @@ class TestMolmo2Processing:
         assert out["pixel_values"].ndim == 3
         assert out["pooled_patches_idx"].shape[1] == 4
         assert out["input_ids"].shape[0] == 1
+
+
+class _CallTok:
+    """Callable fake tokenizer (HF __call__ signature)."""
+
+    pad_token_id = 0
+
+    def __call__(self, text, add_special_tokens=False, **kw):
+        return {"input_ids": [10 + (ord(c) % 50) for c in text]}
+
+
+class TestPhi4MMProcessing:
+    def test_naflex_sizing_no_upscale_band(self):
+        from mlx_vlm_tpu.models.phi4mm.processing import fit_num_patches
+
+        hp, wp = fit_num_patches(80, 100, 14, 256)
+        assert hp * wp <= 256
+        assert abs((wp / hp) - (100 / 80)) < 0.3
+
+    def test_image_expansion_matches_patch_count(self):
+        from mlx_vlm_tpu.models.phi4mm.processing import (
+            IMAGE_TOKEN_INDEX, Phi4MMProcessor)
+
+        proc = Phi4MMProcessor(_CallTok())
+        img = Image.fromarray(
+            (np.random.default_rng(0).random((80, 100, 3)) * 255
+             ).astype(np.uint8))
+        out = proc(text="hi <|image_1|> bye", images=[img])
+        g = out["image_grid_thw"][0]
+        n = int(g[1] * g[2])
+        assert out["pixel_values"].shape == (n, 14 * 14 * 3)
+        assert (out["input_ids"][0] == IMAGE_TOKEN_INDEX).sum() == n
+
+    def test_audio_features_and_expansion(self):
+        from mlx_vlm_tpu.models.phi4mm.processing import (
+            AUDIO_TOKEN_INDEX, Phi4MMProcessor)
+
+        proc = Phi4MMProcessor(_CallTok())
+        wav = np.sin(np.linspace(0, 440 * 2 * np.pi, 16000)).astype(
+            np.float32)
+        out = proc(text="say <|audio_1|> now", audio=[wav])
+        n_frames = (16000 - 400) // 160 + 1
+        assert out["input_features"].shape == (1, n_frames, 80)
+        want = -(-n_frames // 8)
+        assert (out["input_ids"][0] == AUDIO_TOKEN_INDEX).sum() == want
+        assert int(out["audio_embed_sizes"][0]) == want
+
+    def test_audio_embed_size_matches_model_conv_formula(self):
+        """ceil(T/8) (processor) == 3x stride-2 conv output (model)."""
+        import jax.numpy as jnp
+
+        from tests.test_phi4mm import _model
+
+        m = _model()
+        for t in (7, 8, 9, 24, 98, 500, 501):
+            assert m.audio_embed_size(t) == -(-t // 8), t
