@@ -20,7 +20,6 @@ TEMPLATE_ONLY = {
     "molmo_point",
     "nemotron_h_nano_omni",
     "nemotronh_nano_omni_reasoning_v3",
-    "zaya1_vl",
 }
 
 
