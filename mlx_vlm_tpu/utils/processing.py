@@ -356,6 +356,13 @@ def _builtin_processor(model_type: str, tokenizer, model=None):
         vc = getattr(getattr(model, "config", None), "vision_config", None)
         return Phi4MMProcessor(
             tokenizer, patch_size=getattr(vc, "patch_size", 14))
+    if model_type == "falcon_perception":
+        from ..models.falcon_perception.processing import (
+            FalconPerceptionProcessor,
+        )
+
+        return FalconPerceptionProcessor(
+            tokenizer, getattr(model, "config_dict", None))
     if model_type == "moondream2":
         from ..models.moondream2.processing import MoondreamProcessor
 
