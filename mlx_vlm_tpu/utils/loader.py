@@ -62,6 +62,7 @@ MODEL_REMAPPING = {
     "nemotron-nas": "nemotron_nas",  # HF model_type has a hyphen
     "phi4-siglip": "phi4_siglip",
     "jvlm": "jina_vlm",  # reference utils.py:38
+    "nemotronh_nano_omni_reasoning_v3": "nemotron_h_nano_omni",
     "phi3small": "phi3small",
     "phi3_small": "phi3small",
     "hunyuan_v1_moe": "hunyuan",

@@ -363,6 +363,14 @@ def _builtin_processor(model_type: str, tokenizer, model=None):
 
         return FalconPerceptionProcessor(
             tokenizer, getattr(model, "config_dict", None))
+    if model_type in ("nemotron_h_nano_omni",
+                      "nemotronh_nano_omni_reasoning_v3"):
+        from ..models.nemotron_h_nano_omni.processing import (
+            NemotronOmniProcessor,
+        )
+
+        return NemotronOmniProcessor(
+            tokenizer, getattr(model, "config_dict", None))
     if model_type == "moondream2":
         from ..models.moondream2.processing import MoondreamProcessor
 

@@ -18,8 +18,6 @@ TEMPLATE_ONLY = {
     "cohere2_vision",
     "deepseek_v4",
     "molmo_point",
-    "nemotron_h_nano_omni",
-    "nemotronh_nano_omni_reasoning_v3",
 }
 
 
