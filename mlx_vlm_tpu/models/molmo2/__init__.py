@@ -115,7 +115,9 @@ def _mhdpa(p, q_in, kv_in, n_heads, head_dim, mask=None):
     o = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
              v.transpose(0, 2, 1, 3), head_dim**-0.5, mask)
     o = o.transpose(0, 2, 1, 3).reshape(Bq, Lq, -1)
-    return linear(p["wo"], o)
+    # molmo_point's pooling attention has no output projection
+    # (reference molmo_point/vision.py out_layer=False:52)
+    return linear(p["wo"], o) if "wo" in p else o
 
 
 class VisionModel:
@@ -209,7 +211,11 @@ class LanguageModel:
             self.args.num_hidden_layers, batch_size, self.n_kv_heads,
             self.head_dim, capacity, dtype, left_pad)
 
-    def __call__(self, params, inputs_embeds, cache, position_ids):
+    def __call__(self, params, inputs_embeds, cache, position_ids,
+                 return_pre_ln: bool = False):
+        """return_pre_ln=True additionally returns the pre-ln_f hidden —
+        molmo_point's point-predictor heads read it (reference
+        molmo_point/language.py return_pre_ln:150)."""
         a = self.args
         B, S, _ = inputs_embeds.shape
         pos = position_ids[0] if position_ids.ndim == 3 else position_ids
@@ -248,10 +254,13 @@ class LanguageModel:
             h = h + linear(lp["mlp"]["ff_out"], jax.nn.silu(gate) * val)
             return h, (kc, vc)
 
-        h, cys = scan_layers(layer, inputs_embeds, mp["blocks"],
-                             cache.scan_arrays())
-        h = rms_norm(mp["ln_f"], h, a.layer_norm_eps)
-        return h, (None if made else cache.with_arrays(cys, S))
+        pre, cys = scan_layers(layer, inputs_embeds, mp["blocks"],
+                               cache.scan_arrays())
+        h = rms_norm(mp["ln_f"], pre, a.layer_norm_eps)
+        out_cache = None if made else cache.with_arrays(cys, S)
+        if return_pre_ln:
+            return (h, pre), out_cache
+        return h, out_cache
 
 
 class Model:

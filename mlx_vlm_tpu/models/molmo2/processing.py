@@ -97,9 +97,15 @@ def image_to_patches_and_grids(
     pool_h: int = 2, pool_w: int = 2,
     mean=(0.48145466, 0.4578275, 0.40821073),
     std=(0.26862954, 0.26130258, 0.27577711),
+    return_owner: bool = False,
 ):
     """(image_grid [1,4], patches [N, n_patch, pdim], pooling_idx
-    [n_pool, pool], (hi_h, hi_w)) — reference :273."""
+    [n_pool, pool], (hi_h, hi_w)[, owner]) — reference :273.
+
+    With return_owner=True also yields the full-res patch-ownership map
+    [full_h, full_w] of ABSOLUTE vit-patch ids (low-res crop offsets
+    applied) — molmo_point's subpatch back-mapping consumes it
+    (reference molmo_point/image_processing.py patch_idx_arr:240)."""
     lm, rm = overlap_margins
     crop_size = base_size[0]
     cp = crop_size // patch                 # patches per crop side
@@ -153,8 +159,11 @@ def image_to_patches_and_grids(
     all_crops = np.concatenate([lo, crops], axis=0)
     pooling_idx = np.concatenate([lo_pool, hi_pool], axis=0)
     grid = np.asarray([[lo_h, lo_w, hi_h, hi_w]], np.int32)
-    return grid, pixels_to_patches(all_crops, patch), pooling_idx, (hi_h,
-                                                                    hi_w)
+    out = (grid, pixels_to_patches(all_crops, patch), pooling_idx,
+           (hi_h, hi_w))
+    if return_owner:
+        out = out + (owner + cp * cp,)
+    return out
 
 
 def image_token_string(grid_row, use_col_tokens: bool = True,

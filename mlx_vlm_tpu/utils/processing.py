@@ -346,6 +346,10 @@ def _builtin_processor(model_type: str, tokenizer, model=None):
         from ..models.molmo2.processing import Molmo2Processor
 
         return Molmo2Processor(tokenizer, model=model)
+    if model_type == "molmo_point":
+        from ..models.molmo_point.processing import MolmoPointProcessor
+
+        return MolmoPointProcessor(tokenizer)
     if model_type in ("minicpmv", "minicpmv4_6", "minicpm_v"):
         from ..models.minicpmv4_6.processing import MiniCPMVProcessor
 

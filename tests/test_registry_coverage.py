@@ -17,7 +17,6 @@ from mlx_vlm_tpu.utils.loader import MODEL_REMAPPING
 TEMPLATE_ONLY = {
     "cohere2_vision",
     "deepseek_v4",
-    "molmo_point",
 }
 
 
