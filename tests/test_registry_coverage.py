@@ -16,7 +16,6 @@ from mlx_vlm_tpu.utils.loader import MODEL_REMAPPING
 # family here is an explicit statement that only templating is supported
 TEMPLATE_ONLY = {
     "cohere2_vision",
-    "deepseek_v4",
 }
 
 
