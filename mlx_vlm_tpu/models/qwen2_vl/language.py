@@ -69,15 +69,23 @@ class LanguageModel:
         h = inputs_embeds
         mp = params["model"]
 
+        self._fused_logits = None
         if (B == 1 and S == 1 and "fused_decode" in params
                 and type(cache).__name__ == "KVCache"):
             # whole-stack fused int4 decode step (ops/fused_decode.py):
             # one Pallas call streams every weight byte of the step
             from ...ops.fused_decode import fused_decode_step_auto
 
-            h_out, k_new, v_new = fused_decode_step_auto(
+            outs = fused_decode_step_auto(
                 params["fused_decode"], inputs_embeds, cos[0, 0], sin[0, 0],
                 cache.k, cache.v, cache.offset)
+            if len(outs) == 4:
+                # lm_head streamed inside the kernel — logits() consumes
+                # the stash within the SAME jit trace (decode step program)
+                h_out, k_new, v_new, logits = outs
+                self._fused_logits = logits[:, None, :]
+            else:
+                h_out, k_new, v_new = outs
             h = rms_norm(mp["norm"], h_out.astype(inputs_embeds.dtype),
                          self.args.rms_norm_eps)
             L, _, H, _, hd = cache.k.shape
@@ -179,6 +187,11 @@ class LanguageModel:
         return linear(p["o_proj"], out), cxs
 
     def logits(self, params: dict, hidden: jax.Array) -> jax.Array:
+        fused = getattr(self, "_fused_logits", None)
+        if fused is not None:
+            # produced by the fused decode megakernel in THIS trace
+            self._fused_logits = None
+            return fused
         if self.args.tie_word_embeddings:
             return embedding_as_linear(params["model"]["embed_tokens"], hidden)
         return linear(params["lm_head"], hidden)

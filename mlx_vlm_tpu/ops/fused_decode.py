@@ -80,11 +80,12 @@ def _pick_tk(K: int, g: int, width: int, budget: int = 1 << 20) -> int:
     data_fields=[
         "qkv_qp", "qkv_sc", "qkv_bias", "o_qp", "o_sc",
         "gu_qp", "gu_sc", "dn_qp", "dn_sc", "norms",
+        "hd_qp", "hd_sc", "hd_norm",
     ],
     meta_fields=[
         "dim", "inter", "n_layers", "n_heads", "n_kv", "head_dim",
         "group_size", "eps", "nq2", "nk2", "nv2", "no2", "ng2", "nd2",
-        "out_dtype",
+        "out_dtype", "nhd2", "nhd2_pad", "head_n",
     ],
 )
 @dataclasses.dataclass
@@ -112,6 +113,12 @@ class FusedDecodePack:
     dn_qp: jax.Array
     dn_sc: jax.Array
     norms: jax.Array
+    # optional fused lm_head stream (same tile width as qkv so the head
+    # phase reuses the qkv VMEM buffers): hd_qp u8 [NH, K, TNQ],
+    # hd_sc f32 [NH, G, 4, TNQ], hd_norm f32 [1, D] (final rms norm)
+    hd_qp: Optional[jax.Array] = None
+    hd_sc: Optional[jax.Array] = None
+    hd_norm: Optional[jax.Array] = None
     dim: int = 0
     inter: int = 0
     n_layers: int = 0
@@ -127,6 +134,9 @@ class FusedDecodePack:
     ng2: int = 0
     nd2: int = 0
     out_dtype: str = "bfloat16"
+    nhd2: int = 0  # real lm_head half-width (vocab/2, lane-padded)
+    nhd2_pad: int = 0  # tile-padded half-width
+    head_n: int = 0  # true vocab size (lane padding sliced off)
 
 
 def _cat_tensors(ts, xp):
@@ -156,7 +166,8 @@ def _plane_bias(bias, n, n2p, xp):
     return b[:, :n2p], b[:, n2p:]
 
 
-def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32
+def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32,
+                     lm_head=None, final_norm=None
                      ) -> Optional[FusedDecodePack]:
     """Build the pack from stacked layer params `mp = params["model"]`.
 
@@ -281,10 +292,49 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32
             jnp.float32),
     ], axis=1)  # [L, 2, D]
 
+    # ---- optional fused lm_head stream (reuses the qkv tile width so
+    # the head phase rides the qkv VMEM buffers; saves the separate
+    # int4_matvec dispatch whose M=1 layout runs far off the DMA floor)
+    hd_qp = hd_sc = hd_norm = None
+    nhd2 = nhd2_pad = 0
+    if (lm_head is not None and final_norm is not None
+            and isinstance(lm_head, Int4GroupedTensor)
+            and lm_head.qp.ndim == 2 and lm_head.qp.shape[0] == D
+            and lm_head.group_size == g
+            and os.environ.get("MLX_VLM_TPU_FUSED_HEAD", "1")
+            not in ("0", "false")):
+        hq = lm_head.qp
+        hs = xp.concatenate(
+            [lm_head.sl, lm_head.sh, lm_head.bl, lm_head.bh], axis=1)
+        hs = hs.astype(sdt) if xp is _np else hs.astype(scale_dtype)
+        nhd2 = hq.shape[1]
+        pad = (-nhd2) % TNQ
+        if pad:
+            if xp is _np:
+                hq = _np.pad(hq, ((0, 0), (0, pad)))
+                hs = _np.pad(hs, ((0, 0), (0, 0), (0, pad)))
+            else:
+                hq = jnp.pad(hq, ((0, 0), (0, pad)))
+                hs = jnp.pad(hs, ((0, 0), (0, 0), (0, pad)))
+        nhd2_pad = nhd2 + pad
+        NH = nhd2_pad // TNQ
+        Gh = hs.shape[0]
+        hd_qp = hq.reshape(D, NH, TNQ).transpose(1, 0, 2)
+        hd_sc = hs.reshape(Gh, 4, NH, TNQ).transpose(2, 0, 1, 3)
+        if xp is _np:
+            hd_qp = _np.ascontiguousarray(hd_qp)
+            hd_sc = _np.ascontiguousarray(hd_sc)
+        hd_norm = (xp.asarray(final_norm, dtype=f32).reshape(1, D)
+                   if xp is _np
+                   else final_norm.astype(jnp.float32).reshape(1, D))
+
     return FusedDecodePack(
         qkv_qp=qkv_qp, qkv_sc=qkv_sc, qkv_bias=qkv_bias,
         o_qp=o_qp, o_sc=o_sc, gu_qp=gu_qp, gu_sc=gu_sc,
         dn_qp=dn_qp, dn_sc=dn_sc, norms=norms,
+        hd_qp=hd_qp, hd_sc=hd_sc, hd_norm=hd_norm,
+        nhd2=nhd2, nhd2_pad=nhd2_pad,
+        head_n=(lm_head.n if hd_qp is not None else 0),
         dim=D, inter=I, n_layers=L,
         n_heads=args.num_attention_heads,
         n_kv=args.num_key_value_heads,
@@ -618,15 +668,23 @@ def make_manual_kernel(plan):
     mv = _mv2 if os.environ.get("MLX_VLM_TPU_FUSED_MV", "z2") == "deq" \
         else _mv2z
 
-    def kernel(off_ref, h_in_ref, cossin_ref, qkv_b_ref, norms_ref,
-               qkv_qp, qkv_sc, o_qp, o_sc, gu_qp, gu_sc, dn_qp, dn_sc,
-               k_hist, v_hist,
-               h_out_ref, k_new_ref, v_new_ref,
-               sc_h, sc_xn, sc_attn, sc_y, sc_act3, sc_flo, sc_fhi,
-               sc_qh, sc_kvh, sc_oh,
-               b_qkv_qp, b_qkv_sc, b_o_qp, b_o_sc, b_gu_qp, b_gu_sc,
-               b_dn_qp, b_dn_sc, b_k, b_v,
-               sem_qkv, sem_o, sem_gu, sem_dn, sem_kv):
+    def kernel(*refs):
+        it = iter(refs)
+        off_ref, h_in_ref, cossin_ref, qkv_b_ref, norms_ref = (
+            next(it) for _ in range(5))
+        hd_norm_ref = next(it) if p.NH else None
+        (qkv_qp, qkv_sc, o_qp, o_sc, gu_qp, gu_sc, dn_qp, dn_sc,
+         k_hist, v_hist) = (next(it) for _ in range(10))
+        hd_qp_ref = next(it) if p.NH else None
+        hd_sc_ref = next(it) if p.NH else None
+        h_out_ref, k_new_ref, v_new_ref = (next(it) for _ in range(3))
+        logits_ref = next(it) if p.NH else None
+        (sc_h, sc_xn, sc_attn, sc_y, sc_act3, sc_flo, sc_fhi,
+         sc_qh, sc_kvh, sc_oh,
+         b_qkv_qp, b_qkv_sc, b_o_qp, b_o_sc, b_gu_qp, b_gu_sc,
+         b_dn_qp, b_dn_sc, b_k, b_v,
+         sem_qkv, sem_o, sem_gu, sem_dn, sem_kv) = (
+            next(it) for _ in range(25))
 
         def mk_stream(hbm_qp, hbm_sc, bq, bs, sem):
             def start(slot, l, j):
@@ -839,6 +897,42 @@ def make_manual_kernel(plan):
             qkv_wait(1, L - 1, 1)
         kv_wait(jax.lax.rem(L, 2), L - 1)
 
+        # ---- fused lm_head: stream head tiles through the (drained) qkv
+        # buffers and emit the logits halves planes
+        if p.NH:
+            xf = sc_h[:]
+            var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            sc_xn[:] = xf * jax.lax.rsqrt(var + p.eps) \
+                * hd_norm_ref[0:1, :]
+
+            def hd_start(slot, _l, j):
+                pltpu.make_async_copy(
+                    hd_qp_ref.at[j], b_qkv_qp.at[slot],
+                    sem_qkv.at[slot, 0]).start()
+                pltpu.make_async_copy(
+                    hd_sc_ref.at[j], b_qkv_sc.at[slot],
+                    sem_qkv.at[slot, 1]).start()
+
+            def hd_wait(slot, _l, j):
+                pltpu.make_async_copy(
+                    hd_qp_ref.at[j], b_qkv_qp.at[slot],
+                    sem_qkv.at[slot, 0]).wait()
+                pltpu.make_async_copy(
+                    hd_sc_ref.at[j], b_qkv_sc.at[slot],
+                    sem_qkv.at[slot, 1]).wait()
+
+            hd_start(0, 0, 0)
+            if p.NH > 1:
+                hd_start(1, 0, 1)
+
+            def hd_compute(j, slot):
+                ylo, yhi = mv(sc_xn[:], b_qkv_qp[slot], b_qkv_sc[slot], g)
+                logits_ref[0:1, pl.ds(j * p.TNQ, p.TNQ)] = ylo[0:1]
+                logits_ref[0:1, pl.ds(p.nhd2_pad + j * p.TNQ, p.TNQ)] = \
+                    yhi[0:1]
+
+            phase(hd_start, hd_wait, p.NH, 0, hd_compute, [])
+
     return kernel
 
 
@@ -869,6 +963,9 @@ def fused_decode_step_manual(pack: FusedDecodePack, h: jax.Array,
         jax.ShapeDtypeStruct((L, nkv8, hd), jnp.float32),
         jax.ShapeDtypeStruct((L, nkv8, hd), jnp.float32),
     ]
+    if p.NH:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((1, 2 * p.nhd2_pad), jnp.float32))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)  # noqa: pl.ANY alias differs across jax versions
     G = D // p.group_size
@@ -906,31 +1003,51 @@ def fused_decode_step_manual(pack: FusedDecodePack, h: jax.Array,
         pltpu.SemaphoreType.DMA((2, 2)),                  # sem_kv
     ]
 
-    h_out, k_new, v_new = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # offset
+        vmem,                                   # h_in
+        vmem,                                   # cos/sin
+        vmem,                                   # qkv bias [L, 2, Cq]
+        vmem,                                   # norms [L, 2, D]
+    ]
+    inputs = [
+        jnp.atleast_1d(offset).astype(jnp.int32),
+        h8, cs, pack.qkv_bias, pack.norms,
+    ]
+    if p.NH:
+        in_specs.append(vmem)                   # head final-norm [1, D]
+        inputs.append(pack.hd_norm)
+    in_specs += [hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm,  # weights
+                 hbm, hbm]                                # kv history
+    inputs += [
+        pack.qkv_qp, pack.qkv_sc, pack.o_qp, pack.o_sc,
+        pack.gu_qp, pack.gu_sc, pack.dn_qp, pack.dn_sc,
+        k_cache[:, 0], v_cache[:, 0],
+    ]
+    if p.NH:
+        in_specs += [hbm, hbm]                  # head weight stream
+        inputs += [pack.hd_qp, pack.hd_sc]
+
+    outs = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # offset
-            vmem,                                   # h_in
-            vmem,                                   # cos/sin
-            vmem,                                   # qkv bias [L, 2, Cq]
-            vmem,                                   # norms [L, 2, D]
-            hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm,  # weight streams
-            hbm, hbm,                               # kv history
-        ],
-        out_specs=[vmem, vmem, vmem],
+        in_specs=in_specs,
+        out_specs=[vmem] * len(out_shapes),
         scratch_shapes=scratch,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        jnp.atleast_1d(offset).astype(jnp.int32),
-        h8, cs, pack.qkv_bias, pack.norms,
-        pack.qkv_qp, pack.qkv_sc, pack.o_qp, pack.o_sc,
-        pack.gu_qp, pack.gu_sc, pack.dn_qp, pack.dn_sc,
-        k_cache[:, 0], v_cache[:, 0],
-    )
+    )(*inputs)
+    if p.NH:
+        h_out, k_new, v_new, halves = outs
+        # halves planes -> real vocab order (padding sliced away)
+        logits = jnp.concatenate(
+            [halves[:, : p.nhd2],
+             halves[:, p.nhd2_pad: p.nhd2_pad + p.nhd2]],
+            axis=-1)[:, : p.head_n]
+        return h_out[0:1, None, :], k_new, v_new, logits
+    h_out, k_new, v_new = outs
     return h_out[0:1, None, :], k_new, v_new
 
 
@@ -1007,6 +1124,10 @@ class _Plan:
     TKD: int
     nh8: int
     nkv8: int
+    NH: int = 0  # fused lm_head tiles (0 = head not packed)
+    nhd2: int = 0
+    nhd2_pad: int = 0
+    head_n: int = 0
 
     @property
     def TPL(self) -> int:  # grid steps per layer
@@ -1025,6 +1146,8 @@ def _make_plan(pack: FusedDecodePack, capacity: int) -> _Plan:
         NGU=pack.gu_qp.shape[1], TNG=pack.gu_qp.shape[3],
         ND=pack.dn_qp.shape[1], TKD=pack.dn_qp.shape[2],
         nh8=max(pack.n_heads, 8), nkv8=max(pack.n_kv, 8),
+        NH=(pack.hd_qp.shape[0] if pack.hd_qp is not None else 0),
+        nhd2=pack.nhd2, nhd2_pad=pack.nhd2_pad, head_n=pack.head_n,
     )
 
 

@@ -671,7 +671,11 @@ def _build_host_fused_pack(flat_weights: dict, model):
     try:
         from ..ops.fused_decode import build_fused_pack
 
-        return build_fused_pack(lp["model"], args)
+        lm_head = None if getattr(args, "tie_word_embeddings", False) \
+            else (lp.get("lm_head") or {}).get("weight")
+        final_norm = (lp["model"].get("norm") or {}).get("weight")
+        return build_fused_pack(lp["model"], args, lm_head=lm_head,
+                                final_norm=final_norm)
     except Exception:
         return None
 
@@ -698,7 +702,11 @@ def _maybe_attach_fused_decode(model) -> None:
     try:
         from ..ops.fused_decode import build_fused_pack
 
-        pack = build_fused_pack(lp["model"], args)
+        lm_head = None if getattr(args, "tie_word_embeddings", False) \
+            else (lp.get("lm_head") or {}).get("weight")
+        final_norm = (lp["model"].get("norm") or {}).get("weight")
+        pack = build_fused_pack(lp["model"], args, lm_head=lm_head,
+                                final_norm=final_norm)
     except Exception:
         return
     if pack is not None:

@@ -296,3 +296,86 @@ def test_f16_scale_planes_roundtrip_and_parity():
     rebuilt = stacked_params_from_pack(pack)
     wq = rebuilt["self_attn"]["q_proj"]["weight"]
     assert wq.sl.dtype == np.float32
+
+
+def _tiny_int4_head_model(seed=13):
+    """Like _tiny_int4_model but with an int4 lm_head (fused head pack)."""
+    cfg = tiny_qwen2_vl_config()
+    cfg["hidden_size"] = 128
+    cfg["intermediate_size"] = 256
+    cfg["num_attention_heads"] = 4
+    cfg["num_key_value_heads"] = 2
+    cfg["num_hidden_layers"] = 2
+    cfg["rope_scaling"] = {"type": "mrope", "mrope_section": [4, 6, 6]}
+    cfg["vision_config"]["hidden_size"] = 32
+    cfg["tie_word_embeddings"] = False
+    weights = qwen2_vl_hf_weights(cfg, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    for k in list(weights.keys()):
+        quantize_it = (
+            (k.startswith("model.layers.") and k.endswith(".weight")
+             and "layernorm" not in k and weights[k].ndim == 2)
+            or k == "lm_head.weight")
+        if quantize_it:
+            w = rng.standard_normal(weights[k].shape).astype(np.float32) * 0.1
+            weights[k] = to_int4_grouped(quantize(jnp.asarray(w), bits=4,
+                                                  group_size=64))
+    model = load_model_from_weights(cfg, weights, jnp.float32)
+    return model, cfg
+
+
+def test_fused_head_parity():
+    """The in-kernel lm_head stream must reproduce the standalone int4
+    logits path (same weights, same hidden)."""
+    from mlx_vlm_tpu.core.layers import linear, rms_norm
+    from mlx_vlm_tpu.ops.fused_decode import fused_decode_step_manual
+
+    model, cfg = _tiny_int4_head_model()
+    lp = model.params["language_model"]
+    pack = lp["fused_decode"]
+    assert pack.hd_qp is not None, "head should pack for int4 lm_head"
+    V = cfg["vocab_size"]
+    assert pack.head_n == V
+
+    L, Hkv, hd, C = pack.n_layers, pack.n_kv, pack.head_dim, 32
+    rng = np.random.default_rng(2)
+    h = jnp.asarray(rng.standard_normal((1, 1, pack.dim)) * 0.3,
+                    jnp.float32)
+    cos = jnp.asarray(rng.standard_normal((hd // 2,)) * 0.1 + 1.0,
+                      jnp.float32)
+    sin = jnp.asarray(rng.standard_normal((hd // 2,)) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((L, 1, Hkv, C, hd)) * 0.2,
+                    jnp.float32)
+    v = jnp.asarray(rng.standard_normal((L, 1, Hkv, C, hd)) * 0.2,
+                    jnp.float32)
+    off = jnp.asarray(5, jnp.int32)
+    outs = fused_decode_step_manual(pack, h, cos, sin, k, v, off,
+                                    interpret=True)
+    assert len(outs) == 4
+    h_out, _, _, logits = outs
+    assert logits.shape == (1, V)
+
+    # reference: final norm + standalone int4 lm_head on the SAME h_out
+    lm = model.language_model
+    normed = rms_norm(lp["model"]["norm"], h_out.astype(jnp.float32),
+                      model.config.text_config.rms_norm_eps)
+    ref = linear(lp["lm_head"], normed)[:, 0]
+    lf, lr = np.asarray(logits), np.asarray(ref, np.float32)
+    np.testing.assert_allclose(lf, lr, atol=8e-2, rtol=0.05)
+    assert np.argmax(lf) == np.argmax(lr)
+
+
+def test_fused_head_decode_matches_unfused():
+    """End-to-end greedy decode with the head-packed model matches the
+    non-fused path (the CPU grid route ignores the head; this guards the
+    pack build + logits slicing)."""
+    fused, cfg = _tiny_int4_head_model(seed=17)
+    os.environ["MLX_VLM_TPU_FUSED_DECODE"] = "0"
+    try:
+        ref, _ = _tiny_int4_head_model(seed=17)
+    finally:
+        del os.environ["MLX_VLM_TPU_FUSED_DECODE"]
+    t_f, lp_f = _decode_tokens(fused)
+    t_r, lp_r = _decode_tokens(ref)
+    assert t_f == t_r
+    np.testing.assert_allclose(lp_f, lp_r, atol=0.08)
