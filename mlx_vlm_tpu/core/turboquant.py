@@ -92,23 +92,30 @@ def _boundaries(bits: int) -> jnp.ndarray:
 def pack_codes(codes: jax.Array, bits: int) -> jax.Array:
     """[..., D] b-bit codes -> [..., D*bits/8] bytes via bit-plane layout.
 
-    Plane j holds bit j of every code, 8 codes per byte; planes are
-    concatenated along the last axis.  Works for ANY bits in 1..8 (the
-    reference packs 3/5/6-bit codes in its Metal kernels, turboquant.py
-    §2.6; v1 here burned a whole byte for those widths).  Pure shifts,
-    masks and reshapes — XLA fuses it into the surrounding encode.
+    Plane j holds bit j of every code; planes are concatenated along the
+    last axis.  Works for ANY bits in 1..8 (the reference packs 3/5/6-bit
+    codes in its Metal kernels, turboquant.py §2.6; v1 here burned a
+    whole byte for those widths).
+
+    Within a plane the layout is STRIDED: byte m carries (at bit
+    position i) the bit of dim i*(D/8) + m.  This makes the fused
+    kernel's unpack one `pltpu.repeat` (segment i = lanes i*w..) plus a
+    shift by lane//w — Mosaic has no lane-interleaving relayout, so the
+    natural "8 consecutive dims per byte" order could not be expanded
+    in-kernel (ops/tq_kv_attention.py).
     """
     if bits == 8:
         return codes
     D = codes.shape[-1]
     if D % 8:
         raise ValueError(f"last dim {D} must be a multiple of 8")
-    weights = jnp.asarray(1 << np.arange(8), jnp.int32)
+    w = D // 8
     planes = []
     for j in range(bits):
         bitj = (codes.astype(jnp.int32) >> j) & 1
-        grouped = bitj.reshape(*codes.shape[:-1], D // 8, 8)
-        planes.append((grouped * weights).sum(-1).astype(jnp.uint8))
+        grouped = bitj.reshape(*codes.shape[:-1], 8, w)  # [.., i, m]
+        weights = (1 << jnp.arange(8, dtype=jnp.int32))[:, None]
+        planes.append((grouped * weights).sum(-2).astype(jnp.uint8))
     return jnp.concatenate(planes, axis=-1)
 
 
@@ -117,9 +124,11 @@ def unpack_codes(packed: jax.Array, bits: int) -> jax.Array:
     if bits == 8:
         return packed
     D = packed.shape[-1] * 8 // bits
-    planes = packed.reshape(*packed.shape[:-1], bits, D // 8)
+    w = D // 8
+    planes = packed.reshape(*packed.shape[:-1], bits, w)
     bit = (planes[..., None].astype(jnp.int32) >> jnp.arange(8)) & 1
-    bit = bit.reshape(*packed.shape[:-1], bits, D)
+    # [.., bits, m, i] -> [.., bits, i, m] -> dims i*w + m
+    bit = bit.swapaxes(-1, -2).reshape(*packed.shape[:-1], bits, D)
     weights = (1 << jnp.arange(bits, dtype=jnp.int32))[:, None]
     return (bit * weights).sum(-2).astype(jnp.uint8)
 
@@ -256,6 +265,54 @@ class TurboQuantKVCache:
         ksc = upd(ksc, nks)
         vq = upd(vq, nv)
         vsc = upd(vsc, nvs)
+
+        import os
+
+        B, nh, _, D = q.shape
+        nkv = kq.shape[1]
+        g = nh // nkv
+        p2 = _pow2(self.head_dim)
+        off = self.offset
+        fused_ok = (
+            S == 1 and g <= 8
+            and logit_softcap is None and sinks is None and window is None
+            and p2 % 128 == 0 and kq.shape[2] % 128 == 0
+            and os.environ.get("MLX_VLM_TPU_TQ_FUSED", "1")
+            not in ("0", "false")
+        )
+        if fused_ok:
+            # fused packed-domain decode: the kernel reads ONLY the
+            # 2/3/4/5/6-bit planes — no whole-cache dequant copy
+            # (reference turboquant.py fully-fused decode :2021)
+            from ..ops.tq_kv_attention import M_ROWS, tq_kv_decode_attention
+
+            qf = q.astype(jnp.float32)
+            if p2 != self.head_dim:
+                qf = jnp.pad(
+                    qf, ((0, 0), (0, 0), (0, 0), (0, p2 - self.head_dim)))
+            q_rot = hadamard_transform(qf * signs)
+            BH = B * nkv
+            qr = q_rot.reshape(B, nkv, g, p2).reshape(BH, g, p2)
+            qr = jnp.pad(qr, ((0, 0), (0, M_ROWS - g), (0, 0)))
+            lp = jnp.broadcast_to(self.left_pad[:, None],
+                                  (B, nkv)).reshape(BH)
+            offs = (off + S if off.ndim == 0
+                    else jnp.broadcast_to((off + S)[:, None],
+                                          (B, nkv)).reshape(BH))
+            out = tq_kv_decode_attention(
+                qr, kq.reshape(BH, kq.shape[2], -1),
+                ksc.reshape(BH, -1),
+                vq.reshape(BH, vq.shape[2], -1),
+                vsc.reshape(BH, -1),
+                offs, scale, self.k_bits, self.v_bits,
+                _levels(self.k_bits), _levels(self.v_bits),
+                left_pad=lp)
+            # probabilities were accumulated over ROTATED values: one
+            # inverse rotation recovers the real-domain output
+            out = hadamard_transform(out[:, :g]) * signs
+            out = out[..., : self.head_dim].reshape(B, nh, 1, self.head_dim)
+            return out.astype(q.dtype), (kq, ksc, vq, vsc)
+
         k_full = tq_decode_headdim(kq, ksc, self.k_bits, signs,
                                    self.head_dim, q.dtype)
         v_full = tq_decode_headdim(vq, vsc, self.v_bits, signs,

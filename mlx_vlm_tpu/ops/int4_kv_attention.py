@@ -129,11 +129,14 @@ def int4_kv_decode_attention(q8, qsum_qs, k4, ks, kb, v4, vs, vb,
             pl.BlockSpec((1, M_ROWS, D), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((1, M_ROWS, 2), lambda b, c: (b, 0, 0)),
             pl.BlockSpec((1, TC, h), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, TC), lambda b, c: (b, c)),
-            pl.BlockSpec((1, TC), lambda b, c: (b, c)),
+            # scales ride a [BH, 1, C] layout: Mosaic requires the last
+            # two block dims to divide (8, 128) or equal the array dims —
+            # a (1, TC) block over [BH, C] does neither
+            pl.BlockSpec((1, 1, TC), lambda b, c: (b, 0, c)),
+            pl.BlockSpec((1, 1, TC), lambda b, c: (b, 0, c)),
             pl.BlockSpec((1, TC, h), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, TC), lambda b, c: (b, c)),
-            pl.BlockSpec((1, TC), lambda b, c: (b, c)),
+            pl.BlockSpec((1, 1, TC), lambda b, c: (b, 0, c)),
+            pl.BlockSpec((1, 1, TC), lambda b, c: (b, 0, c)),
         ],
         out_specs=pl.BlockSpec((1, M_ROWS, D), lambda b, c: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, M_ROWS, D), jnp.float32),
@@ -149,6 +152,7 @@ def int4_kv_decode_attention(q8, qsum_qs, k4, ks, kb, v4, vs, vb,
         jnp.atleast_1d(jnp.float32(scale)),
         (jnp.zeros((BH,), jnp.int32) if left_pad is None
          else jnp.asarray(left_pad, jnp.int32)),
-        q8, qsum_qs, k4, ks, kb, v4, vs, vb,
+        q8, qsum_qs, k4, ks[:, None], kb[:, None], v4, vs[:, None],
+        vb[:, None],
     )
     return out

@@ -227,3 +227,67 @@ class TestRotatedInt4Fused:
         finally:
             del os.environ["MLX_VLM_TPU_KV_SCHEME"]
         assert type(c).__name__ == "_RotatedInt4"
+
+
+class TestFractionalFusedDecode:
+    """Fused packed-domain decode for fractional codes
+    (ops/tq_kv_attention.py): --kv-bits 3.5 etc. must no longer
+    whole-cache-dequantize (reference turboquant.py fused decode :2021)."""
+
+    def _run(self, fused: bool, kv_bits=3.5, B=1, H=2, G=2, D=128, C=128,
+             S=6, seed=0):
+        import dataclasses
+        import os
+
+        from mlx_vlm_tpu.core.turboquant import init_turboquant_cache
+
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.standard_normal((B, G * H, 1, D)) * 0.5,
+                        jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.5,
+                        jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.5,
+                        jnp.float32)
+        cache = init_turboquant_cache(1, B, H, D, C, kv_bits=kv_bits)
+        arrs = tuple(a[0] for a in cache.scan_arrays())
+        os.environ["MLX_VLM_TPU_TQ_FUSED"] = "1" if fused else "0"
+        try:
+            out = None
+            for t in range(S):
+                c = dataclasses.replace(cache, offset=jnp.asarray(t))
+                m = jnp.arange(C)[None, None, None, :] <= t
+                out, arrs = c.attend(arrs, q, k[:, :, t:t + 1],
+                                     v[:, :, t:t + 1], D**-0.5, m)
+        finally:
+            del os.environ["MLX_VLM_TPU_TQ_FUSED"]
+        return np.asarray(out)
+
+    @pytest.mark.parametrize("kv_bits", [3.5, 3.0, 5.0, 6.0])
+    def test_fused_matches_dequant_path(self, kv_bits):
+        fused = self._run(True, kv_bits=kv_bits)
+        ref = self._run(False, kv_bits=kv_bits)
+        err = np.abs(fused - ref).max()
+        assert err < 0.06, (kv_bits, err)
+
+    def test_fused_is_default_decode_route(self, monkeypatch):
+        """S==1 decode with pow-2 dims must take the kernel (guarded by
+        a probe on the kernel entry)."""
+        import mlx_vlm_tpu.ops.tq_kv_attention as tqk
+
+        calls = []
+        orig = tqk.tq_kv_decode_attention
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(tqk, "tq_kv_decode_attention", spy)
+        self._run(True)
+        assert calls, "fused kernel was not used for S==1 decode"
+
+    def test_nonpow2_head_dim_pads(self):
+        """head_dim 96 rotates in a 128 slot; fused path must stay exact
+        vs the dequant path."""
+        fused = self._run(True, D=96, seed=3)
+        ref = self._run(False, D=96, seed=3)
+        assert np.abs(fused - ref).max() < 0.06

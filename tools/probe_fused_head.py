@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def main(which="both"):
     from mlx_vlm_tpu.ops import fused_decode as fd
     from mlx_vlm_tpu.core.quant import Int4GroupedTensor, _int4_half_width
 
@@ -57,7 +57,10 @@ def main():
     head = shell(V, D, layers=False)
     norm = jnp.ones(D, jnp.float32)
 
-    for label, lm_head in (("no-head", None), ("fused-head", head)):
+    variants = [("no-head", None), ("fused-head", head)]
+    if which != "both":
+        variants = [v for v in variants if v[0] == which]
+    for label, lm_head in variants:
         pack = fd.build_fused_pack(mp, Args, lm_head=lm_head,
                                    final_norm=norm)
         assert pack is not None
@@ -96,4 +99,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(sys.argv[1] if len(sys.argv) > 1 else "both")
