@@ -760,14 +760,18 @@ class APCManager:
     # per-token blocks (SSM / recurrent / MLA latents) — reference apc.py
     # `model_apc_mode`:4098, lookup_exact_cache:2976 / store_exact_cache.
 
-    def store_exact(self, tokens: Sequence[int], cache, extra: str = "") -> bool:
+    def store_exact(self, tokens: Sequence[int], cache, extra: str = "",
+                    capacity: Optional[int] = None) -> bool:
+        """`capacity` records the snapshot's KV time-axis size so lookups
+        can reject snapshots too small to hold a longer continuation
+        (reference disk load_exact_cache min_capacity_tokens)."""
         key = _hash(None, tuple(tokens), "exact:" + extra)
         snap = jax.device_get(cache)
         with self.lock:
             store = getattr(self, "_exact", None)
             if store is None:
                 store = self._exact = {}
-            store[key] = (len(tokens), snap)
+            store[key] = (len(tokens), snap, capacity)
             self.stats.stores += 1
             # bound the snapshot count with simple FIFO eviction
             while len(store) > max(8, self.num_blocks // 256):
@@ -775,25 +779,43 @@ class APCManager:
                 self.stats.evictions += 1
         return True
 
-    def lookup_exact(self, tokens: Sequence[int], extra: str = ""):
+    def lookup_exact(self, tokens: Sequence[int], extra: str = "",
+                     min_prefix_tokens: int = 0,
+                     max_prefix_tokens: Optional[int] = None,
+                     min_capacity: int = 0):
         """Longest stored snapshot matching a strict prefix of `tokens`.
         Returns (prefix_len, device cache) or (0, None).
+
+        `max_prefix_tokens` is the prefix-guard boundary (reference
+        exact_cache_guard_tokens:2864): callers pass len(tokens) - guard so
+        at least `guard` suffix tokens are re-prefilled, keeping recurrent
+        boundaries conservative.  `min_prefix_tokens` enforces the media-
+        safety floor; `min_capacity` rejects snapshots whose fixed KV
+        capacity can't hold the new continuation (legacy entries stored
+        without a capacity are trusted).
 
         One hash per DISTINCT stored length, longest first with early exit
         (not one per snapshot — the round-1 linear scan)."""
         tokens = list(tokens)
+        hi = len(tokens) - 1
+        if max_prefix_tokens is not None:
+            hi = min(hi, int(max_prefix_tokens))
         with self.lock:
             self.stats.lookups += 1
             store = getattr(self, "_exact", None)
             if not store:
                 return 0, None
             best = (0, None)
-            lengths = sorted({n for n, _ in store.values()
-                              if n < len(tokens)}, reverse=True)
+            lengths = sorted({n for n, _, _ in store.values()
+                              if min_prefix_tokens <= n <= hi}, reverse=True)
             for n in lengths:
                 key = _hash(None, tuple(tokens[:n]), "exact:" + extra)
                 hit = store.get(key)
                 if hit is not None:
+                    if (min_capacity and hit[2] is not None
+                            and hit[2] < min_capacity):
+                        self.stats.reject("exact_capacity")
+                        continue
                     best = (n, hit[1])
                     break
             if best[1] is None:

@@ -6,6 +6,7 @@ generate:1110, main:1233 (CLI).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Generator, List, Optional, Union
 
@@ -149,7 +150,8 @@ def stream_generate(
     prefix_len = 0
     prompt_cache_callback = None
     if apc is not None:
-        from ..apc import semantic_extra_hash
+        from ..apc import media_safe_prefix_min, semantic_extra_hash
+        from ..apc_adapters import model_apc_mode
         from .common import round_up as _round_up
 
         tokens = np.asarray(input_ids)[0].tolist()
@@ -157,17 +159,39 @@ def stream_generate(
             model_key=str(getattr(model, "config_dict", {}).get("model_type", "")),
             images=[np.asarray(pixel_values)] if pixel_values is not None else None,
         )
-        prefix_len, blocks = apc.lookup(tokens, extra)
         S = int(np.asarray(input_ids).shape[1])
         capacity = _round_up(S + max_tokens + block_size + 65, 256)
-        try:
-            prompt_cache = apc.make_warm_cache(blocks, model, capacity,
-                                               embeds.dtype)
-        finally:
-            apc.release(blocks)
+        mode = model_apc_mode(model, kv_bits=kv_bits,
+                              kv_group_size=kv_group_size)
+        if mode == "exact":
+            # hybrid SSM/quantized layouts: whole-prefix snapshot reuse at
+            # a guarded boundary (reference apc_lookup_plan exact branch +
+            # exact_cache_guard_tokens:2864)
+            guard = max(1, int(os.environ.get(
+                "APC_EXACT_PREFIX_GUARD_TOKENS", "16")))
+            prefix_len, prompt_cache = apc.lookup_exact(
+                tokens, extra,
+                min_prefix_tokens=media_safe_prefix_min(
+                    tokens, apc.media_token_ids),
+                max_prefix_tokens=S - guard,
+                min_capacity=capacity,
+            )
 
-        def prompt_cache_callback(cache, _tokens=tokens, _extra=extra, _S=S):
-            apc.commit(_tokens, cache, _extra, upto=_S)
+            def prompt_cache_callback(cache, _tokens=tokens, _extra=extra,
+                                      _cap=capacity):
+                apc.store_exact(_tokens, cache, _extra, capacity=_cap)
+
+        elif mode == "block":
+            prefix_len, blocks = apc.lookup(tokens, extra)
+            try:
+                prompt_cache = apc.make_warm_cache(blocks, model, capacity,
+                                                   embeds.dtype)
+            finally:
+                apc.release(blocks)
+
+            def prompt_cache_callback(cache, _tokens=tokens, _extra=extra,
+                                      _S=S):
+                apc.commit(_tokens, cache, _extra, upto=_S)
 
     position_ids, rope_deltas = model.prepare_position_ids(
         np.asarray(input_ids),

@@ -170,6 +170,97 @@ class TestExactMode:
         assert warm == cold, f"{warm} != {cold}"
 
 
+class TestAdapterRegistry:
+    """Capability classification + exact-mode reuse for hybrid families
+    (reference apc_adapters.py resolve_capability, apc.py
+    model_apc_mode:4098)."""
+
+    def test_cache_capability_classes(self, model):
+        from mlx_vlm_tpu.apc_adapters import cache_capability
+        from mlx_vlm_tpu.core import cache as cl
+
+        kv = make_cache(model, 1, 32, jnp.float32)
+        assert cache_capability(kv) == "block"
+        i4 = cl.init_int4_cache(2, 1, 2, 16, 128)
+        assert cache_capability(i4) == "exact"
+        # composite: weakest child wins; unknown objects disable APC
+        assert cache_capability((kv, i4)) == "exact"
+        assert cache_capability((kv, object())) is None
+        assert cache_capability(object()) is None
+
+    def test_model_apc_mode(self, model):
+        from mlx_vlm_tpu.apc_adapters import model_apc_mode
+
+        assert model_apc_mode(model) == "block"
+        # quantized-KV policy demotes the same model to exact snapshots
+        assert model_apc_mode(model, kv_bits=8) == "exact"
+
+    def test_hybrid_model_classifies_exact(self):
+        from tests.test_qwen3_next import tiny_next_config, tiny_next_weights
+        from mlx_vlm_tpu.apc_adapters import cache_capability, model_apc_mode
+        from mlx_vlm_tpu.utils.loader import load_model_from_weights
+
+        cfg = tiny_next_config()
+        m = load_model_from_weights(cfg, tiny_next_weights(cfg), jnp.float32)
+        cache = m.language_model.init_cache(1, 64, jnp.float32)
+        assert cache_capability(cache) == "exact"  # conv/state slots
+        assert model_apc_mode(m) == "exact"
+
+    def test_hybrid_warm_matches_cold_with_guard(self):
+        """qwen3_next exact-mode round trip: request A stores a guarded
+        whole-prefix snapshot; request B sharing A's prompt as a prefix
+        restores it and must decode token-identically to a cold run."""
+        from tests.test_qwen3_next import tiny_next_config, tiny_next_weights
+        from mlx_vlm_tpu.apc import APCManager
+        from mlx_vlm_tpu.utils.loader import load_model_from_weights
+
+        cfg = tiny_next_config()
+        m = load_model_from_weights(cfg, tiny_next_weights(cfg), jnp.float32)
+        apc = APCManager(num_blocks=64, block_size=4)
+
+        SA = 12
+        ids_a = (np.arange(SA, dtype=np.int32) * 7 % 200)[None]
+        tokens_a = ids_a[0].tolist()
+        embeds_a = _embeds(m, ids_a)
+        list(generate_step(
+            embeds_a, m, max_tokens=2,
+            prompt_cache_callback=lambda c: apc.store_exact(
+                tokens_a, c, capacity=int(c.k.shape[3])),
+        ))
+
+        SB = SA + 8
+        ids_b = np.concatenate(
+            [ids_a, (np.arange(8, dtype=np.int32) * 11 % 200 + 1)[None]],
+            axis=1)
+        tokens_b = ids_b[0].tolist()
+        embeds_b = _embeds(m, ids_b)
+        cold = [int(t[0]) for t, _ in generate_step(embeds_b, m, max_tokens=6)]
+
+        guard = 4
+        n, warm_cache = apc.lookup_exact(
+            tokens_b, max_prefix_tokens=SB - guard, min_capacity=32)
+        assert n == SA and warm_cache is not None
+        assert int(warm_cache.offset) == SA
+        warm = [
+            int(t[0])
+            for t, _ in generate_step(
+                embeds_b, m, max_tokens=6,
+                prompt_cache=warm_cache, prefix_len=n,
+            )
+        ]
+        assert warm == cold, f"warm {warm} != cold {cold}"
+
+        # prefix-guard: a lookup whose guard window swallows the stored
+        # prefix must miss (at least `guard` suffix tokens re-prefill)
+        n2, _ = apc.lookup_exact(tokens_b, max_prefix_tokens=SA - 1)
+        assert n2 == 0
+        # capacity guard: snapshots too small for the continuation lose
+        n3, _ = apc.lookup_exact(
+            tokens_b, max_prefix_tokens=SB - guard, min_capacity=1 << 20)
+        assert n3 == 0
+        assert apc.stats.rejects.get("exact_capacity", 0) >= 1
+
+
 class TestWarmCacheCorrectness:
     def test_warm_prefill_matches_cold(self, model):
         """Generation from an APC-warmed cache must equal cold generation."""
