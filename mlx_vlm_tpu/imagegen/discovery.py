@@ -28,6 +28,18 @@ def _load_bonsai(path, **kw):
     return BonsaiPipeline.from_pretrained(path, **kw)
 
 
+def _load_mage_flow(path, **kw):
+    from ..models.mage_flow import MageFlowPipeline
+
+    return MageFlowPipeline.from_pretrained(path, **kw)
+
+
+def _load_ideogram4(path, **kw):
+    from ..models.ideogram4 import Ideogram4Pipeline
+
+    return Ideogram4Pipeline.from_pretrained(path, **kw)
+
+
 # class-name (model_index.json `_class_name`) -> loader
 _CLASS_REGISTRY: Dict[str, Callable[..., Any]] = {
     "Flux2Pipeline": _load_flux2,
@@ -35,11 +47,16 @@ _CLASS_REGISTRY: Dict[str, Callable[..., Any]] = {
     "FluxPipeline": _load_flux2,
     "BonsaiPipeline": _load_bonsai,
     "BonsaiImage": _load_bonsai,
+    "MageFlowPipeline": _load_mage_flow,
+    "Ideogram4Pipeline": _load_ideogram4,
 }
 
 # model-id / path substring -> loader (reference _model_type_from_id)
 _ID_REGISTRY = (
     ("bonsai", _load_bonsai),
+    ("mage-flow", _load_mage_flow),
+    ("mage_flow", _load_mage_flow),
+    ("ideogram", _load_ideogram4),
     ("flux", _load_flux2),
     ("klein", _load_flux2),
 )
