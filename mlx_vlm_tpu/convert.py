@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import re
 import json
 import shutil
 from pathlib import Path
@@ -56,6 +57,61 @@ def default_quant_predicate(skip_vision: bool = True) -> Callable[[str, np.ndarr
         ):
             return False
         return w.shape[1] % 64 == 0
+
+    return pred
+
+
+MIXED_RECIPES = {
+    # reference convert.py:74 mixed_quant_predicate_builder (Q4_K_M-style
+    # low/high splits).  TPU packing is byte-aligned: odd reference widths
+    # round UP to the next runtime-supported width {2, 4, 8} (more bpw,
+    # never less quality).
+    "mixed_2_4": (2, 4),
+    "mixed_2_6": (2, 8),
+    "mixed_2_8": (2, 8),
+    "mixed_3_4": (4, 4),
+    "mixed_3_5": (4, 8),
+    "mixed_3_6": (4, 8),
+    "mixed_3_8": (4, 8),
+    "mixed_4_6": (4, 8),
+    "mixed_4_8": (4, 8),
+}
+
+
+def mixed_quant_predicate_builder(recipe: str, config: dict,
+                                  group_size: int = 64,
+                                  skip_vision: bool = True) -> Callable:
+    """llama.cpp-Q4_K_M-style mixed predicate (reference convert.py:74):
+    first/last eighth of layers, every 3rd in between, plus v_proj /
+    down_proj there and lm_head/embed_tokens everywhere get high bits.
+    Returns {bits, group_size} per key (dict predicate protocol)."""
+    if recipe not in MIXED_RECIPES:
+        raise ValueError(
+            f"Invalid quant recipe {recipe}; known: {sorted(MIXED_RECIPES)}")
+    low_bits, high_bits = MIXED_RECIPES[recipe]
+    tc = config.get("text_config") or config
+    num_layers = int(tc.get("num_hidden_layers", 0))
+    base_ok = default_quant_predicate(skip_vision)
+    layer_re = re.compile(r"\.layers\.(\d+)\.")
+
+    def pred(key: str, w) -> object:
+        quantize_embed = ("embed_tokens" in key and key.endswith(".weight")
+                          and getattr(w, "ndim", 0) == 2
+                          and w.shape[1] % group_size == 0)
+        if not base_ok(key, w) and not quantize_embed:
+            return False
+        if "lm_head" in key or "embed_tokens" in key:
+            return {"bits": high_bits, "group_size": group_size}
+        m = layer_re.search(key)
+        index = int(m.group(1)) if m else 0
+        use_more = (
+            num_layers > 0
+            and (index < num_layers // 8
+                 or index >= 7 * num_layers // 8
+                 or (index - num_layers // 8) % 3 == 2))
+        if use_more and ("v_proj" in key or "down_proj" in key):
+            return {"bits": high_bits, "group_size": group_size}
+        return {"bits": low_bits, "group_size": group_size}
 
     return pred
 
@@ -127,19 +183,30 @@ def convert(
     n_quantized = 0
     total_bits = 0
     total_params = 0
+    per_path: dict = {}
     for k, v in weights.items():
         if np.issubdtype(v.dtype, np.floating) or v.dtype == ml_dtypes.bfloat16:
             total_params += v.size
-            if quantize and pred(k, v):
+            verdict = pred(k, v) if quantize else False
+            if verdict:
+                # dict verdicts carry per-tensor bits/group (mixed recipes,
+                # reference convert.py mixed_quant_predicate)
+                b = q_bits
+                g = q_group_size
+                if isinstance(verdict, dict):
+                    b = int(verdict.get("bits", q_bits))
+                    g = int(verdict.get("group_size", q_group_size))
                 packed, scales, biases = _quantize_affine_packed(
-                    v.astype(np.float32), q_bits, q_group_size
+                    v.astype(np.float32), b, g
                 )
                 base = k[: -len(".weight")]
                 out[k] = packed
                 out[base + ".scales"] = scales
                 out[base + ".biases"] = biases
                 n_quantized += 1
-                total_bits += v.size * q_bits
+                total_bits += v.size * b
+                if b != q_bits or g != q_group_size:
+                    per_path[base] = {"bits": b, "group_size": g}
             else:
                 out[k] = v.astype(np_dtype)
                 total_bits += v.size * np.dtype(np_dtype).itemsize * 8
@@ -147,7 +214,8 @@ def convert(
             out[k] = v
 
     if quantize:
-        config["quantization"] = {"bits": q_bits, "group_size": q_group_size}
+        config["quantization"] = {
+            "bits": q_bits, "group_size": q_group_size, **per_path}
         bpw = total_bits / max(total_params, 1)
         print(f"quantized {n_quantized} tensors; {bpw:.2f} bits per weight")
 
@@ -175,10 +243,22 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--keep-vision", action="store_true",
                    help="quantize vision/audio towers too")
+    p.add_argument("--quant-predicate", default=None,
+                   help="mixed recipe name (mixed_2_4/mixed_4_8/... — "
+                        "reference convert.py --quant-predicate)")
     args = p.parse_args(argv)
+    quant_predicate = None
+    if args.quant_predicate:
+        from .utils.loader import get_model_path, load_config
+
+        cfg = load_config(get_model_path(args.hf_path))
+        quant_predicate = mixed_quant_predicate_builder(
+            args.quant_predicate, cfg, group_size=args.q_group_size,
+            skip_vision=not args.keep_vision)
     convert(
-        args.hf_path, args.tpu_path, args.quantize, args.q_bits,
-        args.q_group_size, args.dtype, skip_vision=not args.keep_vision,
+        args.hf_path, args.tpu_path, args.quantize or bool(quant_predicate),
+        args.q_bits, args.q_group_size, args.dtype,
+        skip_vision=not args.keep_vision, quant_predicate=quant_predicate,
     )
 
 

@@ -337,7 +337,14 @@ def _fold_quantized(flat: dict, qcfg: dict,
         wk, bk = base + ".weight", base + ".biases"
         if wk not in flat:
             continue
-        per = qcfg.get(base, None)
+        # per-path overrides are keyed by CHECKPOINT names; sanitize() may
+        # have wrapped them (e.g. language_model. prefix), so probe with
+        # leading components progressively stripped
+        probe = base
+        per = qcfg.get(probe, None)
+        while per is None and "." in probe:
+            probe = probe.split(".", 1)[1]
+            per = qcfg.get(probe, None)
         b, g = bits, group_size
         if isinstance(per, dict):
             b, g = per.get("bits", bits), per.get("group_size", group_size)

@@ -64,6 +64,60 @@ class TestConvert:
             toks = [int(t[0]) for t, _ in generate_step(embeds, model, max_tokens=3)]
             assert len(toks) == 3
 
+    def test_convert_mixed_recipe_roundtrip(self):
+        """--quant-predicate mixed_2_8: per-path bit overrides land in
+        config.quantization and the output loads + generates (reference
+        convert.py:74 mixed_quant_predicate_builder)."""
+        from safetensors.numpy import save_file
+
+        from mlx_vlm_tpu.convert import convert, mixed_quant_predicate_builder
+        from mlx_vlm_tpu.utils.loader import load_model
+
+        with tempfile.TemporaryDirectory() as src, \
+                tempfile.TemporaryDirectory() as dst:
+            cfg = tiny_qwen2_vl_config(
+                hidden_size=64, intermediate_size=128, vocab_size=256,
+                num_hidden_layers=2,
+            )
+            save_file(qwen2_vl_hf_weights(cfg, 3), f"{src}/model.safetensors")
+            with open(f"{src}/config.json", "w") as f:
+                json.dump(cfg, f)
+            pred = mixed_quant_predicate_builder("mixed_2_8", cfg,
+                                                 group_size=32)
+            convert(src, dst, quantize=True, q_bits=2, q_group_size=32,
+                    quant_predicate=pred)
+            out_cfg = json.load(open(f"{dst}/config.json"))
+            q = out_cfg["quantization"]
+            assert q["bits"] == 2
+            # last-eighth rule: layer 1 (of 2) v_proj gets the high width
+            assert q["model.layers.1.self_attn.v_proj"]["bits"] == 8
+            assert q["model.layers.1.mlp.down_proj"]["bits"] == 8
+            # lm_head / embed_tokens always high
+            assert q["lm_head"]["bits"] == 8
+            assert q["model.embed_tokens"]["bits"] == 8
+            # plain low-bit paths carry no per-path override
+            assert "model.layers.0.self_attn.q_proj" not in q
+
+            import jax
+
+            from mlx_vlm_tpu.generate.ar import generate_step
+
+            model = load_model(dst, dtype=jnp.float32)
+            ids = (np.arange(8, dtype=np.int32) % 200)[None]
+            embeds = jax.jit(model.get_input_embeddings)(
+                model.params, jnp.asarray(ids))
+            toks = [int(t[0]) for t, _ in generate_step(embeds, model,
+                                                        max_tokens=3)]
+            assert len(toks) == 3
+
+    def test_mixed_recipe_names(self):
+        from mlx_vlm_tpu.convert import MIXED_RECIPES, \
+            mixed_quant_predicate_builder
+
+        assert MIXED_RECIPES["mixed_3_6"] == (4, 8)  # rounded up for TPU
+        with pytest.raises(ValueError, match="recipe"):
+            mixed_quant_predicate_builder("mixed_9_9", {})
+
     def test_quantized_close_to_original(self):
         from mlx_vlm_tpu.convert import _quantize_affine_packed
         from mlx_vlm_tpu.core.quant import dequantize, from_mlx_packed
