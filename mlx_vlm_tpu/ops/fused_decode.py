@@ -267,6 +267,21 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32,
                for p in planes):
             qkv_sc, o_sc, gu_sc, dn_sc = (
                 p.astype(_np.float16).view(_np.uint16) for p in planes)
+    elif os.environ.get("MLX_VLM_TPU_PACK_SCB16", "0") not in ("0", "false"):
+        # bf16 scale planes: halves the plane DMA like the f16 path but
+        # decodes with ONE native VPU convert (astype) instead of the
+        # exponent-rebias bit math that made u16 a net loss.  Lossy to
+        # ~2^-9 relative on the f16 checkpoint scales.
+        if xp is _np:
+            import ml_dtypes
+
+            qkv_sc, o_sc, gu_sc, dn_sc = (
+                p.astype(ml_dtypes.bfloat16)
+                for p in (qkv_sc, o_sc, gu_sc, dn_sc))
+        else:
+            qkv_sc, o_sc, gu_sc, dn_sc = (
+                p.astype(jnp.bfloat16)
+                for p in (qkv_sc, o_sc, gu_sc, dn_sc))
 
     parts = []
     for w, t in ((wq, attn["q_proj"]), (wk, attn["k_proj"]),
@@ -307,6 +322,14 @@ def build_fused_pack(mp: dict, args, scale_dtype=jnp.float32,
         hs = xp.concatenate(
             [lm_head.sl, lm_head.sh, lm_head.bl, lm_head.bh], axis=1)
         hs = hs.astype(sdt) if xp is _np else hs.astype(scale_dtype)
+        if os.environ.get("MLX_VLM_TPU_PACK_SCB16", "0") not in (
+                "0", "false"):
+            if xp is _np:
+                import ml_dtypes
+
+                hs = hs.astype(ml_dtypes.bfloat16)
+            else:
+                hs = hs.astype(jnp.bfloat16)
         nhd2 = hq.shape[1]
         pad = (-nhd2) % TNQ
         if pad:
