@@ -42,6 +42,9 @@ class GenerationArguments:
     top_k: int = -1
     stop: List[str] = dataclasses.field(default_factory=list)
     seed: Optional[int] = None
+    # OpenAI response_format: {"type": "json_object"} or
+    # {"type": "json_schema", "json_schema": {"schema": {...}}}
+    response_format: Optional[dict] = None
     request_id: str = ""
 
     def __post_init__(self):
@@ -328,6 +331,94 @@ class ResponseGenerator:
         tok = getattr(self.processor, "tokenizer", self.processor)
         return make_detokenizer(tok, skip_special_tokens=True)
 
+    def _run_constrained(self, args: GenerationArguments):
+        """Schema-constrained generation for one request (OpenAI
+        response_format json_object / json_schema): host-stepped
+        generate_step with the automaton sampler (structured.py), tokens
+        streamed into the request queue like any batch row."""
+        from ..generate.ar import embed_fn, generate_step
+        from ..structured import (build_json_schema_logits_processor,
+                                  make_constrained_sampler)
+        from ..utils.processing import prepare_inputs
+        from ..utils.tokenizer import make_detokenizer
+
+        rf = args.response_format or {}
+        # json_object still means "a JSON OBJECT" (OpenAI semantics), so the
+        # schema-less mode gets an object root rather than any JSON value
+        schema = {"type": "object"}
+        if rf.get("type") == "json_schema":
+            js = rf.get("json_schema") or {}
+            schema = js.get("schema") or js or schema
+        tok = getattr(self.processor, "tokenizer", self.processor)
+        proc = build_json_schema_logits_processor(schema, tok)
+        sampler = make_constrained_sampler(proc)
+        q = self._queues.get(args.request_id)
+        inputs = prepare_inputs(self.processor, args.prompt,
+                                images=args.images or None)
+        ids = np.asarray(inputs["input_ids"])
+        if ids.shape[1] + args.max_tokens > self.max_context:
+            args.max_tokens = max(1, self.max_context - ids.shape[1])
+        if inputs.get("pixel_values") is not None:
+            aux = self.model.vision_aux_inputs(
+                np.asarray(inputs.get("image_grid_thw")))
+            embeds = embed_fn(self.model)(
+                self.model.params, jnp.asarray(ids),
+                jnp.asarray(inputs["pixel_values"]),
+                **{k: jnp.asarray(v) for k, v in aux.items()})
+        else:
+            embeds = embed_fn(self.model)(self.model.params, jnp.asarray(ids))
+        n = 0
+        sent = 0
+        finish = "length"
+        from ..structured import _openness
+
+        # the automaton's text is the authoritative constrained output;
+        # generate_step pipelines one block ahead of its yields, so the
+        # emitted stream tracks proc.text diffs, not the detokenizer
+        for t, lp in generate_step(embeds, self.model,
+                                   max_tokens=args.max_tokens,
+                                   sampler=sampler, block_size=1):
+            tid = int(np.asarray(t).reshape(-1)[0])
+            n += 1
+            # flip the automaton into close-out mode once the remaining
+            # budget barely covers closing the open structures (each level
+            # can cost a few byte-level tokens, plus key->value detours)
+            if (proc.close_after is None
+                    and args.max_tokens - n
+                    <= 4 * _openness(proc.text) + 4):
+                proc.close_after = 0
+            if tid in self.eos_ids:
+                finish = "stop"
+                break
+            if q:
+                new = proc.text[sent:]
+                sent += len(new)
+                q.put(StreamingToken(token=tid, text=new))
+            if proc.done:
+                finish = "stop"
+                break
+        tail = ""
+        from ..structured import (force_complete, json_complete,
+                                  schema_complete)
+
+        final_text = proc.text
+        if not proc.done:
+            # run ended mid-document (length budget, or an EOS the deadlock
+            # guard let through): append the grammar-forced completion
+            # (structured.force_complete) so the client always receives one
+            # valid schema-satisfying document
+            final_text = force_complete(proc.text, schema)
+            if (schema_complete(final_text, schema) if schema
+                    else json_complete(final_text)):
+                finish = "stop"
+        tail = final_text[sent:]
+        if q:
+            q.put(StreamingToken(token=None, text=tail,
+                                 finish_reason=finish))
+        self.metrics.record({"prompt_tokens": int(ids.shape[1]),
+                             "generation_tokens": n,
+                             "constrained": True})
+
     def _run(self):
         while not self._stop.is_set():
             # admit queued HTTP requests
@@ -342,6 +433,23 @@ class ResponseGenerator:
                     cancelled = args.request_id in self._cancel
                     self._cancel.discard(args.request_id)
                 if cancelled:
+                    continue
+                rf = args.response_format or {}
+                if str(rf.get("type", "")).startswith("json"):
+                    # structured outputs run a dedicated host-stepped
+                    # constrained loop on the owner thread (the batched
+                    # block scan has no per-token host hook); concurrent
+                    # rows resume after — correctness over throughput for
+                    # the rare schema-constrained request
+                    try:
+                        self._run_constrained(args)
+                    except Exception as e:  # noqa: BLE001
+                        logger.exception("constrained generate failed")
+                        q = self._queues.get(args.request_id)
+                        if q:
+                            q.put(StreamingToken(
+                                token=None, finish_reason="error",
+                                error=str(e)))
                     continue
                 try:
                     req = self._prepare(args)

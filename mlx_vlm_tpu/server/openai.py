@@ -91,6 +91,7 @@ def normalize_chat_request(body: dict, model, processor) -> GenerationArguments:
         top_p=0.0 if (req.top_p or 1.0) >= 1.0 else req.top_p,
         stop=stop,
         seed=req.seed,
+        response_format=req.response_format,
     )
 
 

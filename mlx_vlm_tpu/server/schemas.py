@@ -30,6 +30,9 @@ class OpenAIChatRequest(FlexibleBaseModel):
     stop: Optional[Union[str, List[str]]] = None
     seed: Optional[int] = None
     logprobs: Optional[bool] = None
+    # {"type": "json_object"} or {"type": "json_schema",
+    #  "json_schema": {"schema": {...}}} (OpenAI structured outputs)
+    response_format: Optional[Dict[str, Any]] = None
 
 
 class AnthropicContentBlock(FlexibleBaseModel):

@@ -48,6 +48,7 @@ def json_prefix_valid(text: str) -> bool:
     # modes: expect_value, after_value, expect_key, after_key, in_string...
     mode = "value"
     string_ctx = None  # "key" or "value" while inside a string
+    lit_word, lit_pos = "", 0  # exact-word literal tracking (true/false/null)
 
     def at_end(ok_modes):
         return True  # reaching end of input in any consistent state is fine
@@ -69,9 +70,16 @@ def json_prefix_valid(text: str) -> bool:
             mode = "after_value"
             continue  # re-examine c
         if mode == "literal":
-            if c in "truefalsn" + "ul":  # chars of true/false/null
-                i += 1
-                continue
+            # exact-word match: "t"->"true" etc.; a bare prefix may end the
+            # input, but any deviating character kills the document ("t "
+            # or "tx" must NOT validate — v1 accepted any true/false/null
+            # character soup, which let the constrained sampler stall)
+            if lit_pos < len(lit_word):
+                if c == lit_word[lit_pos]:
+                    lit_pos += 1
+                    i += 1
+                    continue
+                return False
             mode = "after_value"
             continue
         if c in _WS:
@@ -92,6 +100,8 @@ def json_prefix_valid(text: str) -> bool:
                 mode = "number"
             elif c in "tfn":
                 mode = "literal"
+                lit_word = {"t": "true", "f": "false", "n": "null"}[c]
+                lit_pos = 1
             else:
                 return False
             i += 1
@@ -604,19 +614,67 @@ def json_complete(text: str) -> bool:
         return False
 
 
+def _openness(text: str) -> int:
+    """How far `text` is from a complete JSON document: unclosed
+    containers + 1 while inside a string/number/literal.  Drives the
+    close-out preference when the token budget runs low."""
+    depth = 0
+    in_str = False
+    esc = False
+    tail_pending = False
+    for c in text:
+        if in_str:
+            if esc:
+                esc = False
+            elif c == "\\":
+                esc = True
+            elif c == '"':
+                in_str = False
+            continue
+        if c == '"':
+            in_str = True
+        elif c in "{[":
+            depth += 1
+        elif c in "}]":
+            depth = max(0, depth - 1)
+    t = text.rstrip()
+    if t and not in_str and t[-1] not in "}]\"" and t[-1] not in _WS:
+        # mid-number / mid-literal / after ':' or ',' — needs more chars
+        tail_pending = t[-1] not in "el0123456789" or depth > 0
+    return depth * 2 + (1 if in_str else 0) + (1 if tail_pending else 0)
+
+
 class JSONLogitsProcessor:
     """Host-side constrained token chooser over the top-`beam` candidates.
 
     If no candidate keeps the output a valid JSON prefix, falls back to the
-    unconstrained argmax (deadlock guard).
+    unconstrained argmax (deadlock guard).  After `close_after` picks the
+    chooser prefers candidates that REDUCE openness (close strings and
+    containers) so bounded-token generations finish with a complete
+    document instead of a truncated one.
     """
 
-    def __init__(self, tokenizer, schema: Optional[dict] = None, beam: int = 128):
+    def __init__(self, tokenizer, schema: Optional[dict] = None,
+                 beam: int = 128, close_after: Optional[int] = None):
         self.tokenizer = tokenizer
         self.schema = schema
         self.beam = beam
         self.text = ""
         self._decode_cache = {}
+        self._ws_run = 0  # consecutive pure-whitespace picks
+        self.close_after = close_after
+        self._picks = 0
+        # special/added tokens must never enter the document: they decode
+        # to marker text the detokenizer hides, desyncing the automaton
+        # from the emitted stream
+        specials = set(getattr(tokenizer, "all_special_ids", None) or ())
+        added = getattr(tokenizer, "get_added_vocab", None)
+        if callable(added):
+            try:
+                specials.update(added().values())
+            except Exception:
+                pass
+        self.special_ids = specials
 
     def _tok_text(self, tid: int) -> str:
         s = self._decode_cache.get(tid)
@@ -633,14 +691,67 @@ class JSONLogitsProcessor:
         return json_prefix_valid(text)
 
     def choose(self, logits_row: np.ndarray) -> int:
-        order = np.argsort(-logits_row)[: self.beam]
-        for tid in order:
+        order = np.argsort(-logits_row)
+        # whitespace is always "valid" JSON filler, so an unconditioned
+        # model can emit it forever; after 2 consecutive all-WS picks only
+        # structure-advancing tokens qualify
+        ban_ws = self._ws_run >= 2
+
+        def accept(tid):
+            if int(tid) in self.special_ids:
+                return False
             cand = self._tok_text(int(tid))
+            if not cand:
+                # empty-decoding tokens (bare specials, marker ids) are
+                # vacuously "valid" and would stall the automaton forever
+                return False
+            if ban_ws and cand.strip() == "":
+                return False
             new = self.text + cand
             if self._ok(new):
                 self.text = new
+                self._ws_run = self._ws_run + 1 if cand.strip() == "" else 0
+                return True
+            return False
+
+        self._picks += 1
+        closing = (self.close_after is not None
+                   and self._picks > self.close_after)
+        if closing:
+            # close-out mode: among the valid beam candidates take the one
+            # that most reduces openness (logit order breaks ties)
+            base_text = self.text
+            base_ws = self._ws_run
+            best = None
+            for tid in order[: self.beam]:
+                if int(tid) in self.special_ids:
+                    continue
+                cand = self._tok_text(int(tid))
+                if not cand or (base_ws >= 2 and cand.strip() == ""):
+                    continue
+                new = base_text + cand
+                if self._ok(new):
+                    op = _openness(new)
+                    if best is None or op < best[0]:
+                        best = (op, int(tid), new, cand)
+                        if op == 0:
+                            break
+            if best is not None:
+                _, tid, new, cand = best
+                self.text = new
+                self._ws_run = self._ws_run + 1 if cand.strip() == "" else 0
+                return tid
+        for tid in order[: self.beam]:
+            if accept(tid):
                 return int(tid)
-        tid = int(order[0])
+        # exhaustive rescue: rare-but-required tokens (enum literals,
+        # structural punctuation) can sit below the beam on a cold model —
+        # scan the remaining vocab before conceding (correctness > speed;
+        # this pass runs only when the beam found nothing)
+        for tid in order[self.beam:]:
+            if accept(tid):
+                return int(tid)
+        tid = int(order[0])  # deadlock guard: no token extends the prefix
         self.text += self._tok_text(tid)
         return tid
 
@@ -672,6 +783,41 @@ class ThinkingAwareLogitsProcessor:
     @property
     def done(self) -> bool:
         return self.active and self.inner.done
+
+
+def force_complete(text: str, schema: Optional[dict] = None,
+                   max_steps: int = 512) -> str:
+    """Deterministically extend `text` to a complete schema-valid document
+    (the llguidance "fast-forward/forced tokens" idea, reference
+    structured.py — here char-level): at each step append the candidate
+    that keeps the prefix valid and most reduces openness.  Used when a
+    length-bounded constrained generation ends mid-document."""
+    if schema:
+        ok = lambda t: schema_prefix_valid(t, schema)
+        done = lambda t: schema_complete(t, schema)
+    else:
+        ok = json_prefix_valid
+        done = json_complete
+    # candidate pieces, roughly by closing power; multi-char pieces let
+    # key/value obligations resolve in one step
+    pieces = ('"', "}", "]", "0", "null", "true", ":", ": 0", ", ", '"a"',
+              '"a": 0', "a", " ")
+    for _ in range(max_steps):
+        if done(text):
+            return text
+        best = None
+        for cand in pieces:
+            new = text + cand
+            if ok(new):
+                op = _openness(new)
+                if best is None or op < best[0]:
+                    best = (op, new)
+                    if op == 0:
+                        break
+        if best is None:
+            return text  # dead prefix; give up (caller already validated)
+        text = best[1]
+    return text
 
 
 def build_json_schema_logits_processor(schema, tokenizer, beam: int = 128):

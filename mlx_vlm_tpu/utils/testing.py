@@ -610,6 +610,11 @@ def build_tiny_checkpoint(directory: str, seed: int = 11, scale: float = 0.5) ->
         [
             "What is in this image? A photo of a cat sitting on a mat. " * 20,
             "Describe the picture please, thank you very much. " * 20,
+            # JSON structural bytes so constrained-decoding tests have the
+            # tokens they need (a corpus-only ByteLevel alphabet would
+            # otherwise lack {, }, [, ], :, ", digits)
+            '{"kind": "cat", "n": [0, 1, 2, 3, 4567.89], "ok": true, '
+            '"dog": null, "x": false} ' * 20,
         ],
         trainer,
     )

@@ -119,6 +119,39 @@ class TestOpenAI:
         assert body["usage"]["completion_tokens"] >= 1
         assert body["choices"][0]["finish_reason"] in ("stop", "length")
 
+    def test_chat_response_format_json_object(self, server):
+        """response_format json_object: output must be one valid JSON doc
+        (reference structured.py automaton riding the server)."""
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "Emit some JSON"}],
+            "max_tokens": 96,
+            "response_format": {"type": "json_object"},
+        })
+        assert status == 200
+        text = body["choices"][0]["message"]["content"]
+        json.loads(text)  # must parse
+
+    def test_chat_response_format_json_schema(self, server):
+        """json_schema with required/enum must be satisfied end to end."""
+        schema = {
+            "type": "object",
+            "properties": {
+                "kind": {"type": "string", "enum": ["cat", "dog"]},
+            },
+            "required": ["kind"],
+            # bounded document space so a random tiny model terminates
+            "additionalProperties": False,
+        }
+        status, body = _post(server, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "Classify the animal"}],
+            "max_tokens": 96,
+            "response_format": {"type": "json_schema",
+                                "json_schema": {"schema": schema}},
+        })
+        assert status == 200
+        doc = json.loads(body["choices"][0]["message"]["content"])
+        assert doc.get("kind") in ("cat", "dog")
+
     def test_chat_completion_stream(self, server):
         events = _post_stream(server, "/v1/chat/completions", {
             "messages": [{"role": "user", "content": "Stream please"}],
@@ -212,7 +245,7 @@ class TestAnthropic:
             server + "/v1/messages",
             data=json.dumps({
                 "max_tokens": 4, "stream": True,
-                "messages": [{"role": "user", "content": "Hello"}],
+                "messages": [{"role": "user", "content": "Hello there"}],
             }).encode(),
             headers={"Content-Type": "application/json"}, method="POST",
         )
