@@ -358,6 +358,209 @@ def init_turboquant_cache(
     )
 
 
+# ------------------------------------------------------- outlier split
+
+def tq_encode_split(x, lo_bits: int, hi_bits: int, d_hi: int, signs):
+    """Per-channel mixed precision in the rotated domain (reference
+    turboquant._SplitCodec:4832): the last `d_hi` rotated dims carry
+    ceil-bits codes, the rest floor-bits, each segment with its own
+    per-token RMS scale.
+
+    TPU re-design: the reference picks the high-precision channels by
+    observed mean |x| (calibration pass); here the Hadamard rotation has
+    already equalized channel energy, so a FIXED contiguous split is
+    statistically equivalent and keeps every shape static for jit —
+    no calibration state, no gather/scatter permutations in the kernel."""
+    d = x.shape[-1]
+    p2 = _pow2(d)
+    xf = x.astype(jnp.float32)
+    if p2 != d:
+        xf = jnp.pad(xf, [(0, 0)] * (x.ndim - 1) + [(0, p2 - d)])
+    xr = hadamard_transform(xf * signs)
+    xa, xb = xr[..., : p2 - d_hi], xr[..., p2 - d_hi:]
+
+    def enc(seg, bits):
+        sc = jnp.sqrt(jnp.mean(jnp.square(seg), axis=-1, keepdims=True)
+                      + 1e-8)
+        codes = jnp.searchsorted(_boundaries(bits), seg / sc).astype(
+            jnp.uint8)
+        return pack_codes(codes, bits), sc[..., 0]
+
+    pa, sa = enc(xa, lo_bits)
+    pb, sb = enc(xb, hi_bits)
+    return pa, sa, pb, sb
+
+
+def tq_decode_split(pa, sa, pb, sb, lo_bits: int, hi_bits: int,
+                    signs, head_dim: int, dtype=jnp.float32):
+    xa = jnp.take(_codebook(lo_bits),
+                  unpack_codes(pa, lo_bits).astype(jnp.int32)) * sa[..., None]
+    xb = jnp.take(_codebook(hi_bits),
+                  unpack_codes(pb, hi_bits).astype(jnp.int32)) * sb[..., None]
+    out = hadamard_transform(jnp.concatenate([xa, xb], axis=-1)) * signs
+    return out[..., :head_dim].astype(dtype)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["kqa", "ksa", "kqb", "ksb", "vqa", "vsa", "vqb", "vsb",
+                 "offset", "left_pad"],
+    meta_fields=["lo_bits", "hi_bits", "d_hi", "head_dim"],
+)
+@dataclasses.dataclass
+class SplitTurboQuantKVCache:
+    """Outlier-split rotated-codebook KV cache: fractional --kv-bits as
+    PER-CHANNEL mixed precision (reference _SplitCodec) instead of the
+    K-floor/V-ceil mix.  Decode rides the two-segment fused kernel
+    (ops/tq_kv_attention.tq_kv_decode_attention_split)."""
+
+    kqa: jax.Array  # [L, B, H, C, DA*lo/8]
+    ksa: jax.Array  # [L, B, H, C]
+    kqb: jax.Array  # [L, B, H, C, DB*hi/8]
+    ksb: jax.Array
+    vqa: jax.Array
+    vsa: jax.Array
+    vqb: jax.Array
+    vsb: jax.Array
+    offset: jax.Array
+    left_pad: jax.Array
+    lo_bits: int
+    hi_bits: int
+    d_hi: int
+    head_dim: int
+
+    @property
+    def capacity(self) -> int:
+        return self.kqa.shape[3]
+
+    def scan_arrays(self):
+        return (self.kqa, self.ksa, self.kqb, self.ksb,
+                self.vqa, self.vsa, self.vqb, self.vsb)
+
+    def with_arrays(self, ys, new_tokens: int):
+        kqa, ksa, kqb, ksb, vqa, vsa, vqb, vsb = ys
+        return dataclasses.replace(
+            self, kqa=kqa, ksa=ksa, kqb=kqb, ksb=ksb, vqa=vqa, vsa=vsa,
+            vqb=vqb, vsb=vsb, offset=self.offset + new_tokens)
+
+    def attend(self, cxs, q, k, v, scale, mask, flash_ok=True, window=None,
+               logit_softcap=None, sinks=None):
+        import os
+
+        from ..ops.attention import sdpa
+
+        kqa, ksa, kqb, ksb, vqa, vsa, vqb, vsb = cxs
+        p2 = _pow2(self.head_dim)
+        signs = _signs(p2)
+        nka, nksa, nkb, nksb = tq_encode_split(
+            k, self.lo_bits, self.hi_bits, self.d_hi, signs)
+        nva, nvsa, nvb, nvsb = tq_encode_split(
+            v, self.lo_bits, self.hi_bits, self.d_hi, signs)
+        S = k.shape[2]
+        off = self.offset
+
+        def upd(buf, new):
+            return jax.lax.dynamic_update_slice_in_dim(
+                buf, new.astype(buf.dtype), off, axis=2)
+
+        kqa = upd(kqa, nka)
+        ksa = upd(ksa, nksa)
+        kqb = upd(kqb, nkb)
+        ksb = upd(ksb, nksb)
+        vqa = upd(vqa, nva)
+        vsa = upd(vsa, nvsa)
+        vqb = upd(vqb, nvb)
+        vsb = upd(vsb, nvsb)
+        new_cxs = (kqa, ksa, kqb, ksb, vqa, vsa, vqb, vsb)
+
+        B, nh, _, _ = q.shape
+        nkv = kqa.shape[1]
+        g = nh // nkv
+        da = p2 - self.d_hi
+        fused_ok = (
+            S == 1 and g <= 8 and off.ndim == 0
+            and logit_softcap is None and sinks is None and window is None
+            and da % 8 == 0 and self.d_hi % 8 == 0
+            and kqa.shape[2] % 128 == 0
+            and os.environ.get("MLX_VLM_TPU_TQ_FUSED", "1")
+            not in ("0", "false")
+        )
+        if fused_ok:
+            from ..ops.tq_kv_attention import (M_ROWS,
+                                               tq_kv_decode_attention_split)
+
+            qf = q.astype(jnp.float32)
+            if p2 != self.head_dim:
+                qf = jnp.pad(
+                    qf, ((0, 0), (0, 0), (0, 0), (0, p2 - self.head_dim)))
+            q_rot = hadamard_transform(qf * signs)
+            BH = B * nkv
+            qr = q_rot.reshape(B, nkv, g, p2).reshape(BH, g, p2)
+            qr = jnp.pad(qr, ((0, 0), (0, M_ROWS - g), (0, 0)))
+            lp = jnp.broadcast_to(self.left_pad[:, None],
+                                  (B, nkv)).reshape(BH)
+            C = kqa.shape[2]
+            out = tq_kv_decode_attention_split(
+                qr,
+                kqa.reshape(BH, C, -1), ksa.reshape(BH, C),
+                kqb.reshape(BH, C, -1), ksb.reshape(BH, C),
+                vqa.reshape(BH, C, -1), vsa.reshape(BH, C),
+                vqb.reshape(BH, C, -1), vsb.reshape(BH, C),
+                off + S, scale, self.lo_bits, self.hi_bits,
+                _levels(self.lo_bits), _levels(self.hi_bits), left_pad=lp)
+            out = hadamard_transform(out[:, :g]) * signs
+            out = out[..., : self.head_dim].reshape(B, nh, 1, self.head_dim)
+            return out.astype(q.dtype), new_cxs
+
+        k_full = tq_decode_split(kqa, ksa, kqb, ksb, self.lo_bits,
+                                 self.hi_bits, signs, self.head_dim, q.dtype)
+        v_full = tq_decode_split(vqa, vsa, vqb, vsb, self.lo_bits,
+                                 self.hi_bits, signs, self.head_dim, q.dtype)
+        out = sdpa(q, k_full, v_full, scale, mask,
+                   logit_softcap=logit_softcap, sinks=sinks)
+        return out, new_cxs
+
+
+def init_turboquant_split_cache(
+    num_layers: int,
+    batch_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    capacity: int,
+    kv_bits: float = 3.5,
+    left_pad: Optional[jax.Array] = None,
+) -> SplitTurboQuantKVCache:
+    """Fractional kv_bits as a per-channel split: ceil-bits on
+    round(frac * D) rotated dims (multiple of 8), floor-bits elsewhere."""
+    lo = int(np.floor(kv_bits))
+    hi = int(np.ceil(kv_bits))
+    if lo == hi:
+        raise ValueError("split codec needs a fractional kv_bits")
+    p2 = _pow2(head_dim)
+    d_hi = int(round((kv_bits - lo) * p2 / 8)) * 8
+    d_hi = max(8, min(p2 - 8, d_hi))
+    if left_pad is None:
+        left_pad = jnp.zeros((batch_size,), jnp.int32)
+    shape = (num_layers, batch_size, num_kv_heads, capacity)
+    da = p2 - d_hi
+    return SplitTurboQuantKVCache(
+        kqa=jnp.zeros((*shape, da * lo // 8), jnp.uint8),
+        ksa=jnp.zeros(shape, jnp.float32),
+        kqb=jnp.zeros((*shape, d_hi * hi // 8), jnp.uint8),
+        ksb=jnp.zeros(shape, jnp.float32),
+        vqa=jnp.zeros((*shape, da * lo // 8), jnp.uint8),
+        vsa=jnp.zeros(shape, jnp.float32),
+        vqb=jnp.zeros((*shape, d_hi * hi // 8), jnp.uint8),
+        vsb=jnp.zeros(shape, jnp.float32),
+        offset=jnp.zeros((), jnp.int32),
+        left_pad=left_pad,
+        lo_bits=lo,
+        hi_bits=hi,
+        d_hi=d_hi,
+        head_dim=head_dim,
+    )
+
+
 # ---------------------------------------------------- fused rotated int4
 
 class RotatedInt4KVCache:

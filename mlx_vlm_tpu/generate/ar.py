@@ -257,7 +257,17 @@ def make_cache(
                 capacity, per_row=per_row,
             )
         # fractional bits -> rotation+codebook cache
-        # (reference turboquant_enabled, turboquant.py:3511)
+        # (reference turboquant_enabled, turboquant.py:3511); the split
+        # scheme spends the fraction per CHANNEL instead of K-vs-V
+        # (reference _SplitCodec outlier split)
+        if (float(kv_bits) != int(kv_bits)
+                and os.environ.get("MLX_VLM_TPU_TQ_SCHEME") == "split"):
+            from ..core.turboquant import init_turboquant_split_cache
+
+            return init_turboquant_split_cache(
+                lm.args.num_hidden_layers, batch_size, lm.n_kv_heads,
+                lm.head_dim, capacity, kv_bits=float(kv_bits),
+            )
         from ..core.turboquant import init_turboquant_cache
 
         return init_turboquant_cache(

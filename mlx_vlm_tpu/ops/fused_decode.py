@@ -624,6 +624,8 @@ def _mv2(x, qp, sc, g):
     TK, TN = qp.shape
     gt = TK // g
     sc = _scales_f32(sc)
+    if sc.ndim == 2:  # merged manual-kernel layout [gt*4, TN]
+        sc = sc.reshape(gt, 4, TN)
     if "nodeq" in _ABLATE:
         z = (qp[0:8, :].astype(jnp.int32).astype(jnp.float32) * 1e-9
              + sc[0, 0:1, :] * 1e-9 + x[:, 0:1] * 0.0)
@@ -1010,13 +1012,13 @@ def fused_decode_step_manual(pack: FusedDecodePack, h: jax.Array,
         pltpu.VMEM((2 * p.nkv8, hd), jnp.float32),        # sc_kvh
         pltpu.VMEM((p.nh8, hd), jnp.float32),             # sc_oh
         pltpu.VMEM((3, D, p.TNQ), jnp.uint8),             # b_qkv_qp
-        pltpu.VMEM((3, G, 4, p.TNQ), pack.qkv_sc.dtype),  # b_qkv_sc
+        pltpu.VMEM((3, G * 4, p.TNQ), pack.qkv_sc.dtype),  # b_qkv_sc
         pltpu.VMEM((3, D, p.TNO), jnp.uint8),             # b_o_qp
-        pltpu.VMEM((3, G, 4, p.TNO), pack.o_sc.dtype),    # b_o_sc
+        pltpu.VMEM((3, G * 4, p.TNO), pack.o_sc.dtype),   # b_o_sc
         pltpu.VMEM((3, D, p.TNG), jnp.uint8),             # b_gu_qp
-        pltpu.VMEM((3, G, 4, p.TNG), pack.gu_sc.dtype),   # b_gu_sc
+        pltpu.VMEM((3, G * 4, p.TNG), pack.gu_sc.dtype),  # b_gu_sc
         pltpu.VMEM((3, p.TKD, Cd), jnp.uint8),            # b_dn_qp
-        pltpu.VMEM((3, gtd, 4, Cd), pack.dn_sc.dtype),    # b_dn_sc
+        pltpu.VMEM((3, gtd * 4, Cd), pack.dn_sc.dtype),   # b_dn_sc
         pltpu.VMEM((2, Hkv, C, hd), k_cache.dtype),       # b_k
         pltpu.VMEM((2, Hkv, C, hd), v_cache.dtype),       # b_v
         pltpu.SemaphoreType.DMA((3, 2)),                  # sem_qkv
@@ -1042,14 +1044,20 @@ def fused_decode_step_manual(pack: FusedDecodePack, h: jax.Array,
         inputs.append(pack.hd_norm)
     in_specs += [hbm, hbm, hbm, hbm, hbm, hbm, hbm, hbm,  # weights
                  hbm, hbm]                                # kv history
+    def _merge_sc(a):
+        # [..., G, 4, TN] -> [..., G*4, TN]: adjacent-dim merge, layout-
+        # preserving on the HBM side; keeps the VMEM buffer sublane-clean
+        sh = a.shape
+        return a.reshape(sh[:-3] + (sh[-3] * 4, sh[-1]))
+
     inputs += [
-        pack.qkv_qp, pack.qkv_sc, pack.o_qp, pack.o_sc,
-        pack.gu_qp, pack.gu_sc, pack.dn_qp, pack.dn_sc,
+        pack.qkv_qp, _merge_sc(pack.qkv_sc), pack.o_qp, _merge_sc(pack.o_sc),
+        pack.gu_qp, _merge_sc(pack.gu_sc), pack.dn_qp, _merge_sc(pack.dn_sc),
         k_cache[:, 0], v_cache[:, 0],
     ]
     if p.NH:
         in_specs += [hbm, hbm]                  # head weight stream
-        inputs += [pack.hd_qp, pack.hd_sc]
+        inputs += [pack.hd_qp, _merge_sc(pack.hd_sc)]
 
     outs = pl.pallas_call(
         kernel,
@@ -1093,6 +1101,15 @@ def _mv2z(x, qp, sc, g):
     TK, TN = qp.shape
     gt = TK // g
     sc = _scales_f32(sc)
+    # plane rows: [gt, 4, TN] (grid kernel) or MERGED [gt*4, TN] (manual
+    # kernel — a 4-row sublane dim would pad to 8 in VMEM; merged rows
+    # tile cleanly and the plane DMA/buffer stops carrying dead sublanes)
+    if sc.ndim == 3:
+        def row(j, k):
+            return sc[j, k:k + 1]
+    else:
+        def row(j, k):
+            return sc[4 * j + k: 4 * j + k + 1]
     xb = x.astype(jnp.bfloat16)
     dims = (((1,), (0,)), ((), ()))
     qi = qp.astype(jnp.int32)
@@ -1112,11 +1129,11 @@ def _mv2z(x, qp, sc, g):
         sj = jnp.sum(x[:, sl_], axis=1, keepdims=True)  # [8, 1] f32
         zl = z2 - 16.0 * zh
         if j % 2 == 0:
-            ylo = ylo + zl * sc[j, 0:1] + sj * sc[j, 2:3]
-            yhi = yhi + zh * sc[j, 1:2] + sj * sc[j, 3:4]
+            ylo = ylo + zl * row(j, 0) + sj * row(j, 2)
+            yhi = yhi + zh * row(j, 1) + sj * row(j, 3)
         else:
-            ylo2 = ylo2 + zl * sc[j, 0:1] + sj * sc[j, 2:3]
-            yhi2 = yhi2 + zh * sc[j, 1:2] + sj * sc[j, 3:4]
+            ylo2 = ylo2 + zl * row(j, 0) + sj * row(j, 2)
+            yhi2 = yhi2 + zh * row(j, 1) + sj * row(j, 3)
     return ylo + ylo2, yhi + yhi2
 
 

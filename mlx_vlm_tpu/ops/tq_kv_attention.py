@@ -165,4 +165,121 @@ def tq_kv_decode_attention(q_rot, kq, ks, vq, vs, offset, scale,
     return out
 
 
-__all__ = ["tq_kv_decode_attention"]
+def _split_kernel(off_ref, scale_ref, lp_ref, q_ref, kqa_ref, ksa_ref,
+                  kqb_ref, ksb_ref, vqa_ref, vsa_ref, vqb_ref, vsb_ref,
+                  out_ref, m_scr, l_scr, acc_scr,
+                  *, TC: int, DA: int, DB: int, lo_bits: int, hi_bits: int,
+                  lo_lut: tuple, hi_lut: tuple):
+    """Two-segment (outlier-split) codebook decode attention: segment A
+    carries floor-bits codes over the first DA rotated dims, segment B
+    ceil-bits codes over the last DB — scores sum BEFORE the online
+    softmax (reference turboquant._SplitCodec.score_prepared)."""
+    ct = pl.program_id(1)
+    ncx = pl.num_programs(1)
+
+    @pl.when(ct == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.bfloat16)                   # [8, DA+DB]
+    dims = (((1,), (1,)), ((), ()))
+    ka = _decode_tile(kqa_ref[0], lo_lut, lo_bits, TC, DA)
+    kb = _decode_tile(kqb_ref[0], hi_lut, hi_bits, TC, DB)
+    sa = jax.lax.dot_general(q[:, :DA], ka, dims,
+                             preferred_element_type=jnp.float32)
+    sb = jax.lax.dot_general(q[:, DA:], kb, dims,
+                             preferred_element_type=jnp.float32)
+    scores = (sa * ksa_ref[0].reshape(1, TC)
+              + sb * ksb_ref[0].reshape(1, TC)) * scale_ref[0]
+
+    b = pl.program_id(0)
+    ids = ct * TC + jax.lax.broadcasted_iota(jnp.int32, (M_ROWS, TC), 1)
+    valid = (ids < off_ref[b]) & (ids >= lp_ref[b])
+    scores = jnp.where(valid, scores, -jnp.inf)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, scores.max(axis=-1, keepdims=True))
+    m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
+    p = jnp.where(valid, jnp.exp(scores - m_safe), 0.0)
+
+    va = _decode_tile(vqa_ref[0], lo_lut, lo_bits, TC, DA)
+    vb = _decode_tile(vqb_ref[0], hi_lut, hi_bits, TC, DB)
+    pva = (p * vsa_ref[0].reshape(1, TC)).astype(jnp.bfloat16)
+    pvb = (p * vsb_ref[0].reshape(1, TC)).astype(jnp.bfloat16)
+    dims_pv = (((1,), (0,)), ((), ()))
+    oa = jax.lax.dot_general(pva, va, dims_pv,
+                             preferred_element_type=jnp.float32)
+    ob = jax.lax.dot_general(pvb, vb, dims_pv,
+                             preferred_element_type=jnp.float32)
+    out = jnp.concatenate([oa, ob], axis=-1)
+
+    acc_scr[:] = acc_scr[:] * alpha + out
+    l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
+    m_scr[:] = m_new
+
+    @pl.when(ct == ncx - 1)
+    def _():
+        out_ref[0] = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+
+
+def tq_kv_decode_attention_split(q_rot, kqa, ksa, kqb, ksb,
+                                 vqa, vsa, vqb, vsb, offset, scale,
+                                 lo_bits: int, hi_bits: int,
+                                 lo_lut, hi_lut, left_pad=None,
+                                 interpret=None):
+    """Outlier-split fused decode: segment A = first DA rotated dims at
+    lo_bits, segment B = last DB dims at hi_bits, per-token per-segment
+    scales.  q_rot [BH, 8, DA+DB]; kqa/vqa [BH, C, DA*lo/8] u8;
+    kqb/vqb [BH, C, DB*hi/8]; ks*/vs* [BH, C] f32 -> out [BH, 8, DA+DB]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    BH, C, wa = kqa.shape
+    DA = wa * 8 // lo_bits
+    DB = kqb.shape[-1] * 8 // hi_bits
+    TC = 256
+    while C % TC:
+        TC //= 2
+    off = jnp.broadcast_to(jnp.atleast_1d(offset).astype(jnp.int32), (BH,))
+    lp = (jnp.zeros((BH,), jnp.int32) if left_pad is None
+          else jnp.broadcast_to(jnp.atleast_1d(left_pad).astype(jnp.int32),
+                                (BH,)))
+    kern = functools.partial(
+        _split_kernel, TC=TC, DA=DA, DB=DB, lo_bits=lo_bits,
+        hi_bits=hi_bits, lo_lut=tuple(float(x) for x in lo_lut),
+        hi_lut=tuple(float(x) for x in hi_lut))
+    grid = (BH, C // TC)
+    sc = pl.BlockSpec((1, 1, TC), lambda b, c: (b, 0, c))
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # offset [BH]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scale [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # left_pad [BH]
+            pl.BlockSpec((1, M_ROWS, DA + DB), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, TC, wa), lambda b, c: (b, c, 0)), sc,
+            pl.BlockSpec((1, TC, kqb.shape[-1]), lambda b, c: (b, c, 0)), sc,
+            pl.BlockSpec((1, TC, wa), lambda b, c: (b, c, 0)), sc,
+            pl.BlockSpec((1, TC, kqb.shape[-1]), lambda b, c: (b, c, 0)), sc,
+        ],
+        out_specs=pl.BlockSpec((1, M_ROWS, DA + DB), lambda b, c: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, M_ROWS, DA + DB), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((M_ROWS, 1), jnp.float32),
+            pltpu.VMEM((M_ROWS, 1), jnp.float32),
+            pltpu.VMEM((M_ROWS, DA + DB), jnp.float32),
+        ],
+        interpret=interpret,
+    )(off, jnp.atleast_1d(jnp.asarray(scale, jnp.float32)), lp,
+      q_rot.astype(jnp.float32),
+      kqa, ksa.astype(jnp.float32)[:, None],
+      kqb, ksb.astype(jnp.float32)[:, None],
+      vqa, vsa.astype(jnp.float32)[:, None],
+      vqb, vsb.astype(jnp.float32)[:, None])
+    return out
+
+
+__all__ = ["tq_kv_decode_attention", "tq_kv_decode_attention_split"]

@@ -291,3 +291,80 @@ class TestFractionalFusedDecode:
         fused = self._run(True, D=96, seed=3)
         ref = self._run(False, D=96, seed=3)
         assert np.abs(fused - ref).max() < 0.06
+
+
+class TestOutlierSplitCodec:
+    """Per-channel mixed-precision split codec (reference
+    turboquant._SplitCodec:4832 / _select_outlier_indices:4810)."""
+
+    def _cache(self, kv_bits=3.5, B=1, H=2, D=128, C=128):
+        from mlx_vlm_tpu.core.turboquant import init_turboquant_split_cache
+
+        return init_turboquant_split_cache(1, B, H, D, C, kv_bits=kv_bits)
+
+    def test_split_geometry(self):
+        c = self._cache(3.5, D=128)
+        assert c.lo_bits == 3 and c.hi_bits == 4
+        assert c.d_hi == 64  # half the rotated dims at the high width
+        # packed widths: 64 dims * 3 bits / 8 and 64 * 4 / 8
+        assert c.kqa.shape[-1] == 24 and c.kqb.shape[-1] == 32
+
+    def test_roundtrip_beats_uniform_low(self):
+        """split(3.5) reconstruction must beat uniform 3-bit."""
+        from mlx_vlm_tpu.core.turboquant import (_pow2, _signs, tq_decode,
+                                                 tq_encode, tq_encode_split,
+                                                 tq_decode_split)
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, 2, 16, 128)), jnp.float32)
+        signs = _signs(_pow2(128))
+        pa, sa, pb, sb = tq_encode_split(x, 3, 4, 64, signs)
+        rec = tq_decode_split(pa, sa, pb, sb, 3, 4, signs, 128)
+        err_split = float(jnp.mean((rec - x) ** 2))
+        p3, s3 = tq_encode(x, 3, signs)
+        rec3 = tq_decode(p3, s3, 3, signs)[..., :128]
+        err_u3 = float(jnp.mean((rec3 - x) ** 2))
+        assert err_split < err_u3, (err_split, err_u3)
+        assert err_split < 0.025
+
+    def _run(self, fused: bool, kv_bits=3.5, B=1, H=2, G=2, D=128, C=128,
+             S=6, seed=0):
+        import dataclasses
+        import os
+
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.standard_normal((B, G * H, 1, D)) * 0.5,
+                        jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.5,
+                        jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.5,
+                        jnp.float32)
+        cache = self._cache(kv_bits, B=B, H=H, D=D, C=C)
+        arrs = tuple(a[0] for a in cache.scan_arrays())
+        os.environ["MLX_VLM_TPU_TQ_FUSED"] = "1" if fused else "0"
+        try:
+            out = None
+            for t in range(S):
+                c = dataclasses.replace(cache, offset=jnp.asarray(t))
+                m = jnp.arange(C)[None, None, None, :] <= t
+                out, arrs = c.attend(arrs, q, k[:, :, t:t + 1],
+                                     v[:, :, t:t + 1], D**-0.5, m)
+        finally:
+            del os.environ["MLX_VLM_TPU_TQ_FUSED"]
+        return np.asarray(out)
+
+    @pytest.mark.parametrize("kv_bits", [3.5, 4.5])
+    def test_fused_matches_dequant(self, kv_bits):
+        fused = self._run(True, kv_bits=kv_bits)
+        ref = self._run(False, kv_bits=kv_bits)
+        assert np.abs(fused - ref).max() < 0.06
+
+    def test_make_cache_env_routing(self, monkeypatch):
+        from mlx_vlm_tpu.core.turboquant import SplitTurboQuantKVCache
+        from mlx_vlm_tpu.generate.ar import make_cache
+        from mlx_vlm_tpu.utils.testing import make_tiny_qwen2_vl
+
+        model = make_tiny_qwen2_vl(seed=1)
+        monkeypatch.setenv("MLX_VLM_TPU_TQ_SCHEME", "split")
+        c = make_cache(model, 1, 128, jnp.float32, kv_bits=3.5)
+        assert isinstance(c, SplitTurboQuantKVCache)
