@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import json
 import os
 import threading
 import time
@@ -561,6 +562,96 @@ class ShardedDiskStore:
             }
 
 
+class ExactDiskStore:
+    """SSD tier for whole-prefix EXACT snapshots (reference apc.py
+    save_exact_cache / find_exact_prefix / load_exact_cache — the disk leg
+    of exact-mode APC for hybrid/recurrent caches).
+
+    One pickle per snapshot (the host-side numpy pytree of a registered
+    cache dataclass — importable classes, so restart-safe with the same
+    code), atomic tmp+rename writes, byte-budgeted LRU eviction by mtime.
+    A jsonl index carries (key, token_len, capacity) so lookups scan
+    metadata without touching snapshot payloads."""
+
+    def __init__(self, path: str, max_bytes: int = 4 * 1024**3):
+        os.makedirs(path, exist_ok=True)
+        self.path = path
+        self.max_bytes = max_bytes
+        self.lock = threading.Lock()
+        # key -> (token_len, capacity)
+        self.index: Dict[str, Tuple[int, Optional[int]]] = {}
+        for fn in os.listdir(path):
+            if fn.startswith("exact-") and fn.endswith(".meta"):
+                try:
+                    with open(os.path.join(path, fn)) as f:
+                        m = json.load(f)
+                    self.index[m["key"]] = (int(m["token_len"]),
+                                            m.get("capacity"))
+                except (OSError, ValueError, KeyError):
+                    continue
+
+    def _file(self, key: str) -> str:
+        return os.path.join(self.path, f"exact-{key}.pkl")
+
+    def put(self, key: str, token_len: int, capacity: Optional[int],
+            snapshot) -> None:
+        import pickle
+
+        with self.lock:
+            tmp = self._file(key) + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(snapshot, f, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp, self._file(key))
+            with open(os.path.join(self.path, f"exact-{key}.meta"),
+                      "w") as f:
+                json.dump({"key": key, "token_len": token_len,
+                           "capacity": capacity}, f)
+            self.index[key] = (token_len, capacity)
+            self._evict()
+
+    def get(self, key: str):
+        import pickle
+
+        try:
+            with open(self._file(key), "rb") as f:
+                snap = pickle.load(f)
+            os.utime(self._file(key))  # LRU touch
+            return snap
+        except (OSError, pickle.UnpicklingError, EOFError):
+            with self.lock:
+                self.index.pop(key, None)
+            return None
+
+    def lengths(self):
+        with self.lock:
+            return dict(self.index)
+
+    def _evict(self):
+        files = []
+        total = 0
+        for fn in os.listdir(self.path):
+            if fn.startswith("exact-") and fn.endswith(".pkl"):
+                fp = os.path.join(self.path, fn)
+                try:
+                    st = os.stat(fp)
+                except OSError:
+                    continue
+                files.append((st.st_mtime, st.st_size, fp, fn))
+                total += st.st_size
+        files.sort()
+        for _, size, fp, fn in files:
+            if total <= self.max_bytes:
+                break
+            key = fn[len("exact-"):-len(".pkl")]
+            for suffix in (".pkl", ".meta"):
+                try:
+                    os.remove(os.path.join(self.path, f"exact-{key}{suffix}"))
+                except OSError:
+                    pass
+            self.index.pop(key, None)
+            total -= size
+
+
 class APCManager:
     """Fixed-size block pool with chained hashes and LRU eviction."""
 
@@ -572,6 +663,7 @@ class APCManager:
         disk_store: Optional["DiskBlockStore"] = None,
         text_only_suffix: bool = False,
         min_free_ram_bytes: int = 1 << 30,
+        exact_disk_store: Optional["ExactDiskStore"] = None,
     ):
         # text_only_suffix: the reference's media rule (apc.py:451) — its
         # restore path re-embeds the suffix from token ids, so media must
@@ -585,6 +677,7 @@ class APCManager:
         self.media_token_ids = tuple(media_token_ids)
         self.blocks: Dict[str, APCBlock] = {}
         self.disk = disk_store
+        self.exact_disk = exact_disk_store
         self.text_only_suffix = text_only_suffix
         self.min_free_ram_bytes = min_free_ram_bytes
         self.lock = threading.RLock()
@@ -767,6 +860,11 @@ class APCManager:
         (reference disk load_exact_cache min_capacity_tokens)."""
         key = _hash(None, tuple(tokens), "exact:" + extra)
         snap = jax.device_get(cache)
+        if self.exact_disk is not None:
+            try:
+                self.exact_disk.put(key, len(tokens), capacity, snap)
+            except OSError:
+                pass  # best-effort tier
         with self.lock:
             store = getattr(self, "_exact", None)
             if store is None:
@@ -802,9 +900,7 @@ class APCManager:
             hi = min(hi, int(max_prefix_tokens))
         with self.lock:
             self.stats.lookups += 1
-            store = getattr(self, "_exact", None)
-            if not store:
-                return 0, None
+            store = getattr(self, "_exact", None) or {}
             best = (0, None)
             lengths = sorted({n for n, _, _ in store.values()
                               if min_prefix_tokens <= n <= hi}, reverse=True)
@@ -818,12 +914,39 @@ class APCManager:
                         continue
                     best = (n, hit[1])
                     break
-            if best[1] is None:
-                return 0, None
+        if best[1] is None and self.exact_disk is not None:
+            # SSD fallback (reference lookup_exact_cache disk leg :3026):
+            # scan distinct lengths against the jsonl-backed index, load
+            # the snapshot payload only on a key match, RAM-guarded
+            if _free_ram_bytes() >= self.min_free_ram_bytes:
+                idx = self.exact_disk.lengths()
+                by_len = sorted(
+                    {n for n, cap in idx.values()
+                     if min_prefix_tokens <= n <= hi
+                     and not (min_capacity and cap is not None
+                              and cap < min_capacity)},
+                    reverse=True)
+                for n in by_len:
+                    key = _hash(None, tuple(tokens[:n]), "exact:" + extra)
+                    if key not in idx:
+                        continue
+                    snap = self.exact_disk.get(key)
+                    if snap is not None:
+                        with self.lock:
+                            store = getattr(self, "_exact", None)
+                            if store is None:
+                                store = self._exact = {}
+                            # promote for the fast path next time
+                            store[key] = (n, snap, idx[key][1])
+                        best = (n, snap)
+                        break
+        if best[1] is None:
+            return 0, None
+        with self.lock:
             self.stats.hits += 1
             self.stats.hit_tokens += best[0]
-            cache = jax.tree_util.tree_map(jnp.asarray, best[1])
-            return best[0], cache
+        cache = jax.tree_util.tree_map(jnp.asarray, best[1])
+        return best[0], cache
 
     def reset(self):
         with self.lock:
@@ -850,6 +973,7 @@ def from_env(media_token_ids: Sequence[int] = ()) -> Optional[APCManager]:
     if os.environ.get("APC_ENABLED", "0") not in ("1", "true", "True"):
         return None
     disk = None
+    exact_disk = None
     if os.environ.get("APC_DISK_PATH"):
         max_bytes = int(os.environ.get("APC_DISK_MAX_BYTES", 8 * 1024**3))
         if os.environ.get("APC_DISK_LAYOUT", "sharded") == "blocks":
@@ -860,6 +984,11 @@ def from_env(media_token_ids: Sequence[int] = ()) -> Optional[APCManager]:
                 blocks_per_shard=int(
                     os.environ.get("APC_BLOCKS_PER_SHARD", 256)),
             )
+        exact_disk = ExactDiskStore(
+            os.path.join(os.environ["APC_DISK_PATH"], "exact"),
+            max_bytes=int(os.environ.get("APC_EXACT_DISK_MAX_BYTES",
+                                         4 * 1024**3)),
+        )
     return APCManager(
         num_blocks=int(os.environ.get("APC_NUM_BLOCKS", DEFAULT_NUM_BLOCKS)),
         block_size=int(os.environ.get("APC_BLOCK_SIZE", DEFAULT_BLOCK_SIZE)),
@@ -869,4 +998,5 @@ def from_env(media_token_ids: Sequence[int] = ()) -> Optional[APCManager]:
             "APC_TEXT_ONLY_SUFFIX", "0") in ("1", "true", "True"),
         min_free_ram_bytes=int(
             os.environ.get("APC_MIN_FREE_RAM_BYTES", 1 << 30)),
+        exact_disk_store=exact_disk,
     )

@@ -592,3 +592,64 @@ class TestTextOnlySuffixRule:
         prefix2, blocks2 = apc2.lookup(tokens)
         assert prefix2 == 8
         apc2.release(blocks2)
+
+
+class TestExactDiskTier:
+    """SSD persistence for exact snapshots (reference save_exact_cache /
+    find_exact_prefix / load_exact_cache)."""
+
+    def _snap(self, model, n):
+        import dataclasses
+
+        cache = make_cache(model, 1, 32, jnp.float32)
+        return dataclasses.replace(
+            cache, k=cache.k.at[:, 0, :, :n, :].set(1.25),
+            offset=jnp.asarray(n, jnp.int32))
+
+    def test_restart_survival(self, model, tmp_path):
+        from mlx_vlm_tpu.apc import APCManager, ExactDiskStore
+
+        tokens = list(range(12))
+        disk1 = ExactDiskStore(str(tmp_path / "exact"), max_bytes=10**9)
+        apc1 = APCManager(num_blocks=8, block_size=4,
+                          exact_disk_store=disk1)
+        apc1.store_exact(tokens, self._snap(model, 12), capacity=32)
+
+        # "restart": fresh manager, empty RAM store, same directory
+        disk2 = ExactDiskStore(str(tmp_path / "exact"), max_bytes=10**9)
+        apc2 = APCManager(num_blocks=8, block_size=4,
+                          exact_disk_store=disk2)
+        n, cache = apc2.lookup_exact(tokens + [99, 98])
+        assert n == 12 and cache is not None
+        assert int(cache.offset) == 12
+        assert float(jnp.max(cache.k)) == 1.25
+        # promoted to the RAM store: second lookup hits without disk
+        apc2.exact_disk = None
+        n2, c2 = apc2.lookup_exact(tokens + [99, 98])
+        assert n2 == 12 and c2 is not None
+
+    def test_capacity_filter_on_disk(self, model, tmp_path):
+        from mlx_vlm_tpu.apc import APCManager, ExactDiskStore
+
+        disk = ExactDiskStore(str(tmp_path / "exact"), max_bytes=10**9)
+        apc = APCManager(num_blocks=8, block_size=4, exact_disk_store=disk)
+        apc.store_exact(list(range(8)), self._snap(model, 8), capacity=32)
+        apc._exact.clear()  # force the disk path
+        n, _ = apc.lookup_exact(list(range(10)), min_capacity=64)
+        assert n == 0  # too small for the continuation
+
+    def test_byte_budget_eviction(self, model, tmp_path):
+        import os
+
+        from mlx_vlm_tpu.apc import ExactDiskStore
+
+        snap = jax.device_get(self._snap(model, 4))
+        one = sum(a.nbytes for a in jax.tree_util.tree_leaves(snap)
+                  if hasattr(a, "nbytes"))
+        disk = ExactDiskStore(str(tmp_path / "exact"),
+                              max_bytes=int(one * 2.5))
+        for i in range(4):
+            disk.put(f"k{i}", 8, 32, snap)
+        pkls = [f for f in os.listdir(str(tmp_path / "exact"))
+                if f.endswith(".pkl")]
+        assert len(pkls) <= 3  # oldest evicted under the byte budget
