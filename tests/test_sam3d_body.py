@@ -213,3 +213,51 @@ class TestEndToEnd:
         assert table.shape == (2, 8) and table[1].sum() == 8
         assert out["backbone.patch_embed.projection.weight"].shape == (
             4, 4, 3, 16)
+
+
+class TestVideo:
+    def test_iou_and_tracking(self):
+        from mlx_vlm_tpu.models.sam3d_body.video import bbox_iou, track_person
+
+        assert bbox_iou([0, 0, 10, 10], [0, 0, 10, 10]) == pytest.approx(1.0)
+        assert bbox_iou([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+        dets = [[0, 0, 50, 50], [100, 100, 120, 130]]
+        # matches by IoU with the previous box
+        assert track_person(dets, [98, 102, 121, 128]) == dets[1]
+        # lost track -> largest (first) detection
+        assert track_person(dets, [500, 500, 510, 510]) == dets[0]
+        assert track_person([], [0, 0, 1, 1]) is None
+        assert track_person(dets, None) == dets[0]
+
+    def test_perspective_projection_center(self):
+        from mlx_vlm_tpu.models.sam3d_body.video import \
+            project_keypoints_perspective
+
+        kp = np.zeros((3, 3))
+        cam = np.asarray([-1.0, 0.0, 0.0])  # flipped scale -> s=1
+        bbox = [40, 30, 120, 130]  # center (80, 80), size 100
+        out = project_keypoints_perspective(kp, cam, bbox, 160, 160)
+        # a point at the camera ray center projects to the bbox center
+        assert np.allclose(out[:, 0], 80.0, atol=1.0)
+        assert np.allclose(out[:, 1], 80.0, atol=1.0)
+
+    def test_process_frames_pipeline(self):
+        from mlx_vlm_tpu.models.sam3d_body.estimator import SAM3DPredictor
+        from mlx_vlm_tpu.models.sam3d_body.video import process_frames
+
+        model = Model(TINY)
+        params = init_sam3d_params(TINY, jax.random.PRNGKey(0))
+        pred = SAM3DPredictor(model, params)
+        frames = [np.zeros((96, 64, 3), np.uint8) for _ in range(2)]
+        calls = []
+
+        def detect(frame):
+            calls.append(1)
+            return [[8, 8, 56, 88]]
+
+        results = list(process_frames(pred, frames, detect=detect))
+        assert len(results) == 2 and len(calls) == 2
+        r = results[0]
+        assert r["bbox"] == [8, 8, 56, 88]
+        assert r["keypoints_2d"].shape == (TINY.num_point_embeddings, 2)
+        assert r["frame"].shape == (96, 64, 3)
